@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed fixture readers for the driver-generated testdata
+  * (FIXTURES.md). The reference tree at /root/reference is absent
+  * (SURVEY.md §0), so semantics cite the published i2MapReduce paper
+  * via SURVEY.md instead of reference file:line.
+  *
+  * Scale note: every reader is a plain parquet scan — columnar,
+  * splittable, predicate-pushdown-capable. At cluster scale the same
+  * code reads a partitioned table directory; nothing here assumes a
+  * single file.
+  */
+object Tables {
+  /** The driver contract's query shape: (session, sf-dir) => result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects by default (SPARK-40819); read it as raw nanos.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = tbl(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = tbl(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = tbl(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = tbl(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = tbl(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = tbl(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = tbl(s, d, "lineitem")
+  /** events with ts converted nanos→TimestampType (µs). The data is
+    * µs-aligned (verified: 0 rows with sub-µs parts), and DuckDB also
+    * reads this column at µs precision, so the two engines agree. The
+    * division is integer (`div`), not double — ns-since-epoch exceeds
+    * double's 53-bit mantissa. */
+  def events(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def documents(s: SparkSession, d: String): DataFrame = tbl(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = tbl(s, d, "embeddings")
+
+  val allNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+}
+
+/** Determinism helpers implementing SURVEY.md rules D1–D6 so Spark
+  * output hash-matches the DuckDB oracle.
+  *
+  * Cross-engine numeric contract (validated against DuckDB 1.0.0 on
+  * this box, 2026-08-12):
+  *  - Raw money columns are exact 2-dp doubles (verified per column),
+  *    so a scale-2/4 decimal cast is tie-free and exact on BOTH
+  *    engines. All arithmetic that feeds an aggregate happens in
+  *    decimal — exact and order-independent, so shuffle order can
+  *    never perturb a sum.
+  *  - Output floats are DOUBLE on both sides, produced from the exact
+  *    decimal by one CAST (correctly rounded in both engines —
+  *    validated on 40k random values) and at most one IEEE division
+  *    (exact-rounded, bit-identical). This survives any driver
+  *    normalization: float64 == float64 bitwise.
+  *  - NEVER round() a computed double: Spark rounds the shortest
+  *    decimal repr (BigDecimal.valueOf) while DuckDB rounds via
+  *    scale-multiply, and they can disagree at x.xxx5 boundaries.
+  *    Rounding raw 2-dp columns is safe (no ties); rounding computed
+  *    expressions is not.
+  */
+object Dec {
+  /** Exact money decimal (tie-free for the 2-dp raw columns). */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Small factor like (1-discount) — exact at 4 dp. */
+  def dec4s(c: Column): Column = c.cast(DecimalType(8, 4))
+  /** Output-normalize an exact decimal to double. */
+  def dbl(c: Column): Column = c.cast(DoubleType)
+  /** Exact decimal sum of a 2-dp column, output as double. */
+  def sumd2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** Average via one IEEE double division of exact operands. */
+  def avgd(sumDec: Column, cnt: Column): Column =
+    sumDec.cast(DoubleType) / cnt.cast(DoubleType)
+}
