@@ -17,11 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Scans.defs ++ Filters.defs ++ Aggs.defs ++ SortsSets.defs
+    Scans.defs ++ Filters.defs ++ Aggs.defs ++ SortsSets.defs ++
+      Joins.defs ++ Windows.defs ++ Scalars.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
     * (sketches, float-order-sensitive loops, streaming-only). */
   def oracleSql: Map[String, String] =
-    Scans.sql ++ Filters.sql ++ Aggs.sql ++ SortsSets.sql
+    Scans.sql ++ Filters.sql ++ Aggs.sql ++ SortsSets.sql ++
+      Joins.sql ++ Windows.sql ++ Scalars.sql
 }
