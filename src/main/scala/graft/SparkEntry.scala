@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.ops._
+import graft.iter.{IterQueries, KMeans, Apriori}
+import graft.incr.IncrMerge
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each §2 operator registers a query here; every oracle=SQL row also
@@ -18,12 +20,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.defs ++ Filters.defs ++ Aggs.defs ++ SortsSets.defs ++
-      Joins.defs ++ Windows.defs ++ Scalars.defs
+      Joins.defs ++ Windows.defs ++ Scalars.defs ++
+      IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ IncrMerge.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
     * (sketches, float-order-sensitive loops, streaming-only). */
   def oracleSql: Map[String, String] =
     Scans.sql ++ Filters.sql ++ Aggs.sql ++ SortsSets.sql ++
-      Joins.sql ++ Windows.sql ++ Scalars.sql
+      Joins.sql ++ Windows.sql ++ Scalars.sql ++
+      IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ IncrMerge.sql
 }

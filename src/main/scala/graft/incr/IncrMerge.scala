@@ -1,0 +1,94 @@
+package graft.incr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables._
+import graft.engine.Dec._
+
+/** §2 rows 46-47 — one-step incremental processing (paper [P §3]):
+  * the MRBGraph edge-merge. A delta input carries '+' (insert) and
+  * '-' (delete) flags — an update is delete+insert — and affected
+  * groups are re-aggregated by merging preserved and delta
+  * contributions. In Spark the "preserved edges" (MRBG-Store) are
+  * simply the base DataFrame: merge = union + signed re-aggregation,
+  * one shuffle on the group key.
+  *
+  * Scale: at 100 TB the base side would be a materialized aggregate;
+  * signed merge means only delta-affected groups change values, and
+  * the shuffle is proportional to base+delta group count — no
+  * recompute of raw history is required if base is pre-aggregated
+  * (associative signed sums compose). */
+object IncrMerge {
+
+  /** Generic signed merge: base rows count as inserts; delta must have
+    * an `op` column ('+'/'-'). Returns per-key signed count and sum. */
+  def merge(base: DataFrame, delta: DataFrame, keys: Seq[String],
+            value: Column): DataFrame = {
+    val all = base.withColumn("op", lit("+")).unionByName(delta)
+    val sign = when(col("op") === "+", lit(1L)).otherwise(lit(-1L))
+    all.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("n"),
+        dbl(sum(when(col("op") === "+", dec2(value))
+          .otherwise(-dec2(value)))).as("val_sum"))
+  }
+
+  private val cutoff = "2024-01-20"
+
+  val defs: Map[String, Q] = Map(
+    /** q46: base = events before the cutoff; delta = the rest as
+      * inserts plus a deterministic deletion subset (event_id%7=0 of
+      * base) as deletes. */
+    "q_incr_delta_merge" -> ((s, d) => {
+      val ev = events(s, d)
+      val cut = lit(cutoff).cast("timestamp")
+      val base = ev.filter(col("ts") < cut)
+      val ins = ev.filter(col("ts") >= cut).withColumn("op", lit("+"))
+      val del = ev.filter(col("ts") < cut && col("event_id") % 7 === 0)
+        .withColumn("op", lit("-"))
+      merge(base, ins.unionByName(del), Seq("event_type"), col("value"))
+        .orderBy("event_type")
+    }),
+
+    /** q47: kv-level upsert = delete+insert [P §3]: last-write-wins
+      * current state per user from the event change log. */
+    "q_incr_upsert_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_incr_delta_merge" ->
+      s"""SELECT event_type,
+         CAST(sum(CASE WHEN op = '+' THEN 1 ELSE -1 END) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN op = '+'
+                  THEN CAST(ROUND(value,2) AS DECIMAL(18,2))
+                  ELSE -CAST(ROUND(value,2) AS DECIMAL(18,2)) END) AS DOUBLE) AS val_sum
+         FROM (
+           SELECT event_type, value, '+' AS op FROM events
+           WHERE ts < TIMESTAMP '$cutoff'
+           UNION ALL
+           SELECT event_type, value, '+' AS op FROM events
+           WHERE ts >= TIMESTAMP '$cutoff'
+           UNION ALL
+           SELECT event_type, value, '-' AS op FROM events
+           WHERE ts < TIMESTAMP '$cutoff' AND event_id % 7 = 0
+         ) t GROUP BY event_type ORDER BY event_type""",
+    "q_incr_upsert_latest" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+         value AS last_value
+         FROM (
+           SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+         ) t WHERE rn = 1 ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,46 @@
+package graft.iter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Graph fixture for the iterative operators (SURVEY.md §2 rows
+  * 41-43, 48): the symmetric part↔supplier graph from lineitem,
+  * deduplicated. This is the paper's "structure data" [P §4] — static
+  * across iterations, so it is persisted once and reused by every
+  * step, exactly the loop-invariant caching i2MapReduce adds over
+  * stock MapReduce.
+  *
+  * Scale: edges are repartitioned by `src` before caching, so the
+  * per-iteration join (state ⋈ edges on src) and the subsequent
+  * groupBy(dst) are the only shuffles in a step; the big static side
+  * never re-shuffles — the whole point of the reference's design. */
+object Graphs {
+
+  /** Distinct symmetric edge set (src, dst). */
+  def edges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      .union(li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst")))
+      .distinct()
+  }
+
+  /** All nodes (the graph is symmetric, so srcs cover everything). */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node")).distinct()
+
+  /** Out-degree per node. */
+  def deg(edges: DataFrame): DataFrame =
+    edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+
+  /** Shared CTE prefix for the unrolled-CTE oracles. UNION (not UNION
+    * ALL) deduplicates across both directions, mirroring .distinct(). */
+  val cteSql: String =
+    """edges AS (
+         SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem
+         UNION
+         SELECT l_suppkey AS src, l_partkey AS dst FROM lineitem
+       ),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)"""
+}

@@ -1,0 +1,182 @@
+package graft.iter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** §2 group H — iterative processing (the reference's soul, paper
+  * [P §4]): a driver-side loop joins loop-variant state to cached
+  * static structure data each iteration — the Projector pattern —
+  * with `localCheckpoint()` truncating lineage per step (at cluster
+  * scale this would be `checkpoint()` to reliable storage).
+  *
+  * Determinism design: ALL loop arithmetic is 64-bit integer.
+  * PageRank runs on ranks scaled by 1e10 (BIGINT) with truncating
+  * division — bit-exact, shuffle-order-independent, and reproducible
+  * verbatim in the unrolled-CTE DuckDB oracles (fixed iteration
+  * counts make the loops non-recursive SQL). SSSP/CC are integer
+  * min-propagation, inherently exact. */
+object IterQueries {
+
+  /** One PageRank step on scaled-integer ranks.
+    * rank' = 0.15 + 0.85 * Σ_in rank/outdeg, scaled by 1e10:
+    * rs' = 15e8 + (85 * Σ (rs div outdeg)) div 100. */
+  private def prStep(nodes: DataFrame, edges: DataFrame, deg: DataFrame,
+                     state: DataFrame): DataFrame = {
+    val contribs = edges
+      .join(state, state("node") === edges("src"))
+      .join(deg, "src")
+      .selectExpr("dst", "rs DIV outdeg AS c")
+      .groupBy("dst").agg(sum(col("c")).as("S"))
+    nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+      .selectExpr("node",
+        "CAST(1500000000 + (85 * coalesce(S, 0)) DIV 100 AS BIGINT) AS rs")
+      .localCheckpoint()
+  }
+
+  /** Run `iters` PageRank steps from `init` over `edges`. */
+  def pagerank(edges0: DataFrame, iters: Int,
+               init: DataFrame => DataFrame = n => n): DataFrame = {
+    val edges = edges0.repartition(col("src")).persist()
+    val n = Graphs.nodes(edges).persist()
+    val dg = Graphs.deg(edges).persist()
+    var state = init(n).selectExpr("node", "CAST(10000000000 AS BIGINT) AS rs")
+    for (_ <- 1 to iters) state = prStep(n, edges, dg, state)
+    state
+  }
+
+  /** SQL for one unrolled PageRank stage over edge CTE `e`. */
+  private def prStageSql(k: Int, prev: String, e: String, dgc: String): String =
+    s"""r$k AS (
+        SELECT n.node,
+               CAST(1500000000 + (85 * coalesce(s.S, 0)) // 100 AS BIGINT) AS rs
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node, SUM(r.rs // d.outdeg) AS S
+          FROM $e e JOIN $prev r ON r.node = e.src JOIN $dgc d ON d.src = e.src
+          GROUP BY e.dst
+        ) s ON s.node = n.node
+      )"""
+
+  def pagerankSql(iters: Int): String = {
+    val stages = (1 to iters)
+      .map(k => prStageSql(k, if (k == 1) "r0" else s"r${k - 1}", "edges", "deg"))
+    s"""WITH ${Graphs.cteSql},
+       r0 AS (SELECT node, CAST(10000000000 AS BIGINT) AS rs FROM nodes),
+       ${stages.mkString(",\n")}
+       SELECT node, rs, CAST(rs AS DOUBLE) / 10000000000 AS rank
+       FROM r$iters ORDER BY node"""
+  }
+
+  /** q48 oracle: 5 stages on the full graph, drop edges where
+    * (src+dst)%17=0, recompute degrees, 2 more stages — incremental
+    * iterative computation restarting from converged state [P §6]. */
+  def pagerankIncrSql(baseIters: Int, incrIters: Int): String = {
+    val base = (1 to baseIters)
+      .map(k => prStageSql(k, if (k == 1) "r0" else s"r${k - 1}", "edges", "deg"))
+    val incr = (1 to incrIters).map(k => prStageSql(baseIters + k,
+      s"r${baseIters + k - 1}", "edges2", "deg2"))
+    s"""WITH ${Graphs.cteSql},
+       r0 AS (SELECT node, CAST(10000000000 AS BIGINT) AS rs FROM nodes),
+       ${base.mkString(",\n")},
+       edges2 AS (SELECT src, dst FROM edges WHERE (src + dst) % 17 <> 0),
+       deg2 AS (SELECT src, count(*) AS outdeg FROM edges2 GROUP BY src),
+       ${incr.mkString(",\n")}
+       SELECT node, rs, CAST(rs AS DOUBLE) / 10000000000 AS rank
+       FROM r${baseIters + incrIters} ORDER BY node"""
+  }
+
+  private val INF = 999999999L
+
+  /** One min-propagation step: dist' = min(dist, min_in(dist_src+1)).
+    * `delta` is the per-edge increment (1 for SSSP, 0 for CC-on-ids). */
+  private def minStep(nodes: DataFrame, edges: DataFrame, state: DataFrame,
+                      valCol: String, delta: Long): DataFrame = {
+    val cand = edges.join(state, state("node") === edges("src"))
+      .select(col("dst"), (col(valCol) + delta).as("cand"))
+      .groupBy("dst").agg(min(col("cand")).as("mc"))
+    state.join(cand, state("node") === cand("dst"), "left")
+      .select(col("node"),
+        least(col(valCol), coalesce(col("mc"), lit(INF))).as(valCol))
+      .localCheckpoint()
+  }
+
+  val defs: Map[String, Q] = Map(
+    /** q41: PageRank, damping 0.85, FIXED 5 iterations. */
+    "q_iter_pagerank" -> ((s, d) => {
+      pagerank(Graphs.edges(s, d), 5)
+        .selectExpr("node", "rs", "CAST(rs AS DOUBLE) / 10000000000 AS rank")
+        .orderBy("node")
+    }),
+
+    /** q48: incremental iterative [P §6] — restart from q41's state
+      * after an edge-delta, 2 refinement iterations. */
+    "q_incr_iter_converge" -> ((s, d) => {
+      val full = Graphs.edges(s, d)
+      val converged = pagerank(full, 5)
+      val edges2 = full.filter((col("src") + col("dst")) % 17 =!= 0)
+        .repartition(col("src")).persist()
+      val n = Graphs.nodes(full).persist()
+      val dg2 = Graphs.deg(edges2)
+      var state = converged
+      for (_ <- 1 to 2) state = prStep(n, edges2, dg2, state)
+      state.selectExpr("node", "rs", "CAST(rs AS DOUBLE) / 10000000000 AS rank")
+        .orderBy("node")
+    }),
+
+    /** q42: SSSP from the min node id, unit weights, FIXED 5 rounds;
+      * unreachable = sentinel 999999999. */
+    "q_iter_sssp" -> ((s, d) => {
+      val edges = Graphs.edges(s, d).repartition(col("src")).persist()
+      val n = Graphs.nodes(edges).persist()
+      val src = n.agg(min("node")).head().getLong(0)
+      var state = n.select(col("node"),
+        when(col("node") === src, 0L).otherwise(INF).as("dist"))
+      for (_ <- 1 to 5) state = minStep(n, edges, state, "dist", 1L)
+      state.orderBy("node")
+    }),
+
+    /** q43: connected components via min-label propagation (a GIM-V
+      * instance [P §7]), FIXED 5 rounds. */
+    "q_iter_connected_components" -> ((s, d) => {
+      val edges = Graphs.edges(s, d).repartition(col("src")).persist()
+      val n = Graphs.nodes(edges).persist()
+      var state = n.select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 5) state = minStep(n, edges, state, "label", 0L)
+      state.orderBy("node")
+    })
+  )
+
+  private def minStageSql(k: Int, valCol: String, delta: Int): String = {
+    val prev = if (k == 1) s"${valCol}0" else s"$valCol${k - 1}"
+    s"""$valCol$k AS (
+        SELECT p.node,
+               least(p.$valCol, coalesce(s.mc, $INF)) AS $valCol
+        FROM $prev p LEFT JOIN (
+          SELECT e.dst AS node, MIN(p2.$valCol + $delta) AS mc
+          FROM edges e JOIN $prev p2 ON p2.node = e.src
+          GROUP BY e.dst
+        ) s ON s.node = p.node
+      )"""
+  }
+
+  val sql: Map[String, String] = Map(
+    "q_iter_pagerank" -> pagerankSql(5),
+    "q_incr_iter_converge" -> pagerankIncrSql(5, 2),
+    "q_iter_sssp" -> {
+      val stages = (1 to 5).map(minStageSql(_, "dist", 1))
+      s"""WITH ${Graphs.cteSql},
+         dist0 AS (SELECT node,
+           CAST(CASE WHEN node = (SELECT min(node) FROM nodes)
+                THEN 0 ELSE $INF END AS BIGINT) AS dist FROM nodes),
+         ${stages.mkString(",\n")}
+         SELECT node, dist FROM dist5 ORDER BY node"""
+    },
+    "q_iter_connected_components" -> {
+      val stages = (1 to 5).map(minStageSql(_, "label", 0))
+      s"""WITH ${Graphs.cteSql},
+         label0 AS (SELECT node, node AS label FROM nodes),
+         ${stages.mkString(",\n")}
+         SELECT node, label FROM label5 ORDER BY node"""
+    }
+  )
+}

@@ -1,0 +1,70 @@
+package graft.iter
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** §2 row 44 — K-means (paper workload [P §7]). k=10, FIXED 3
+  * iterations, centroids seeded from vec_id 0..9. oracle=none: 64-dim
+  * float mean recomputation is FP-order-sensitive, so correctness is
+  * ScalaTest invariants (cost non-increasing, partition of the input,
+  * seed stability) instead of a DuckDB hash.
+  *
+  * Scale shape: centroids (k×64 doubles) broadcast to executors — the
+  * only driver-side data; assignment is a map-only pass; centroid
+  * recomputation is one groupBy(cluster, dim) over posexploded rows
+  * (k*64 groups). No cross join, no collect of the vectors. */
+object KMeans {
+
+  private def assignUdf(s: SparkSession, cents: Array[Array[Double]]) = {
+    val bc = s.sparkContext.broadcast(cents)
+    udf { (emb: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bd = Double.MaxValue; var ci = 0
+      while (ci < cs.length) {
+        val c = cs(ci); var d2 = 0.0; var i = 0
+        while (i < c.length) {
+          val diff = emb(i) - c(i); d2 += diff * diff; i += 1
+        }
+        if (d2 < bd) { bd = d2; best = ci } // strict < keeps lowest id on tie
+        ci += 1
+      }
+      best
+    }
+  }
+
+  /** Assign each vector to its nearest of `cents`; returns (vec_id,
+    * embedding, cluster). */
+  def assign(s: SparkSession, vecs: DataFrame,
+             cents: Array[Array[Double]]): DataFrame =
+    vecs.withColumn("cluster", assignUdf(s, cents)(col("embedding")))
+
+  def run(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
+    val vecs = embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
+    var cents: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assign(s, vecs, cents)
+      cents = assigned
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getDouble(2)))
+    }
+    assigned
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_iter_kmeans" -> ((s, d) => {
+      run(s, d)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+        .orderBy("cluster")
+    })
+  )
+
+  val sql: Map[String, String] = Map.empty // oracle=none by design
+}
