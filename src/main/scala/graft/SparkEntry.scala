@@ -4,6 +4,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.ops._
 import graft.iter.{IterQueries, KMeans, Apriori}
 import graft.incr.IncrMerge
+import graft.text.{Dedup, MinHash, Similarity, TextStats}
+import graft.stream.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each §2 operator registers a query here; every oracle=SQL row also
@@ -21,7 +23,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.defs ++ Filters.defs ++ Aggs.defs ++ SortsSets.defs ++
       Joins.defs ++ Windows.defs ++ Scalars.defs ++
-      IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ IncrMerge.defs
+      IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ IncrMerge.defs ++
+      Dedup.defs ++ MinHash.defs ++ Similarity.defs ++ TextStats.defs ++
+      Udaf.defs ++ StreamOps.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
@@ -29,5 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Scans.sql ++ Filters.sql ++ Aggs.sql ++ SortsSets.sql ++
       Joins.sql ++ Windows.sql ++ Scalars.sql ++
-      IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ IncrMerge.sql
+      IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ IncrMerge.sql ++
+      Dedup.sql ++ MinHash.sql ++ Similarity.sql ++ TextStats.sql ++
+      Udaf.sql ++ StreamOps.sql
 }

@@ -1,0 +1,44 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Dec._
+
+/** Structured-Streaming forms of the §2J operators, shared by batch
+  * queries and streaming tests: the SAME function builds the logical
+  * plan for either a batch DataFrame or a readStream/MemoryStream
+  * DataFrame — Spark's unified-plan guarantee is exactly what the
+  * batch-vs-stream equivalence tests assert.
+  *
+  * Watermarks bound state: at production scale these windows hold one
+  * StateStore entry per open (window × key); a 10-minute watermark
+  * means late data past it is dropped and old windows age out instead
+  * of accumulating unboundedly. */
+object Streams {
+
+  /** 1-hour tumbling counts+sums per event_type (q57's plan). */
+  def tumbling(ev: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(ev)(w => ev.withWatermark("ts", w))
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("val_sum"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("val_sum"))
+  }
+
+  /** Session windows per user, 30-minute gap (q59's plan). */
+  def sessions(ev: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(ev)(w => ev.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("user_id"), col("sw.start").as("sess_start"), col("n_ev"))
+  }
+
+  /** Stateful stream dedup by key within the watermark horizon. */
+  def dedupWithinWatermark(ev: DataFrame, watermark: String): DataFrame =
+    ev.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream ⋈ static dimension enrichment (broadcast at runtime). */
+  def enrich(ev: DataFrame, dim: DataFrame, key: String): DataFrame =
+    ev.join(broadcast(dim), Seq(key), "left")
+}

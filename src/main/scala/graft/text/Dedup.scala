@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** §2 group I — deduplication over documents [N].
+  *
+  * Scale design: exact dedup is a hash-groupBy (one shuffle on the
+  * content hash — at 100 TB that's the canonical fingerprint-shuffle).
+  * Exact pairwise Jaccard (q50) is the oracle-checkable ground truth
+  * computed on a deterministic doc subset; the scale path for all-pairs
+  * near-dup is MinHash-LSH (q51): O(n·bands) bucket shuffle instead of
+  * O(n²) comparisons, with exact verification only inside buckets. */
+object Dedup {
+
+  /** Distinct (doc_id, tok) pairs. */
+  def tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+
+  /** Deterministic subset used by the pairwise queries (bounds the
+    * candidate space at any SF; the full-corpus path is q51's LSH). */
+  def subsetTokens(s: SparkSession, d: String): DataFrame =
+    tokens(s, d).filter(col("doc_id") % 5 === 0)
+
+  /** Per-doc token set + size, for exact intersection via arrays
+    * (token vocabulary is bounded, so sets are small). */
+  def docSets(toks: DataFrame): DataFrame =
+    toks.groupBy("doc_id")
+      .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("sz"))
+
+  /** Exact Jaccard-qualified pairs among candidate (doc_a, doc_b)
+    * pairs: join the token sets, compare 2*|∩| >= |∪| — all integer
+    * arithmetic, no float division anywhere. */
+  def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame = {
+    val a = sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      col("sz").as("sz_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("sz").as("sz_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b")))
+        .cast("bigint"))
+      .withColumn("union_sz", (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    /** q49: exact dedup by content hash, keep min doc_id. */
+    "q_dedup_exact" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+        .orderBy("h")
+    }),
+
+    /** q50: exact near-dup pairs, Jaccard >= 0.5, via token self-join
+      * (the exact computation MinHash approximates). */
+    "q_sim_jaccard_pairs" -> ((s, d) => {
+      val toks = subsetTokens(s, d)
+      val a = toks.select(col("doc_id").as("doc_a"), col("tok"))
+      val b = toks.select(col("doc_id").as("doc_b"), col("tok"))
+      val cands = a.join(b, Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      verifyPairs(cands, docSets(toks)).orderBy("doc_a", "doc_b")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    "q_sim_jaccard_pairs" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           ) r WHERE length(tok) > 0 AND doc_id % 5 = 0
+         ),
+         sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+         SELECT doc_a, doc_b, inter,
+                sa.sz + sb.sz - inter AS union_sz
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE 2 * inter >= sa.sz + sb.sz - inter
+         ORDER BY doc_a, doc_b"""
+  )
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** §2 row 52 — similarity search over the embedding column [N]:
+  * brute-force cosine top-k against a probe vector.
+  *
+  * Scale shape: the probe is a broadcast single-row side of a cross
+  * join (no driver collect in the plan); the scan computes dot/norm
+  * per row map-only and TakeOrderedAndProject keeps only k rows per
+  * partition — at 100 TB this is one pass over the table with a
+  * per-partition heap, the standard brute-force ANN baseline. The
+  * bucketed scale-up path is MinHash-banding (q51) or IVF-style
+  * cluster pruning via q44's centroids (assign probe → search its
+  * cluster only).
+  *
+  * Determinism: dot products are explicit left-to-right double folds —
+  * the DuckDB oracle uses the same element order and width, so the
+  * doubles match bitwise. */
+object Similarity {
+
+  val defs: Map[String, Q] = Map(
+    "q_sim_topk_cosine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      emb.crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (dot(col("embedding"), col("probe")) /
+            (sqrt(dot(col("embedding"), col("embedding")))
+              * sqrt(dot(col("probe"), col("probe"))))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_sim_topk_cosine" ->
+      """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           list_sum(list_transform(list_zip(embedding, p),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(list_zip(p, p),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+           AS sim
+         FROM embeddings, probe
+         WHERE vec_id <> 0
+         ORDER BY sim DESC, vec_id ASC
+         LIMIT 10"""
+  )
+}

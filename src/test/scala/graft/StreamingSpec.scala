@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.stream.Streams
+
+/** §2J streaming behaviors on MemoryStream: batch/stream plan
+  * equivalence, watermark late-data drop, stateful dedup,
+  * stream-static join, session windows. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String): Timestamp =
+    Timestamp.from(Instant.parse(s"2024-01-01T${s}Z"))
+
+  test("tumbling window agg: stream (complete mode) equals batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val stream = ms.toDF.toDF("ts", "event_type", "value")
+    val q = Streams.tumbling(stream).writeStream
+      .format("memory").queryName("tumb").outputMode("complete").start()
+    val data = Seq(
+      (ts("10:00:00"), "click", 1.0), (ts("10:30:00"), "click", 2.5),
+      (ts("10:45:00"), "view", 3.0), (ts("11:05:00"), "view", 4.0))
+    ms.addData(data)
+    q.processAllAvailable()
+    val got = sp.table("tumb").orderBy("hour_start", "event_type").collect()
+    val want = Streams.tumbling(data.toDF("ts", "event_type", "value"))
+      .orderBy("hour_start", "event_type").collect()
+    assert(got.toSeq == want.toSeq)
+    q.stop()
+  }
+
+  test("watermark drops late events in append mode") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val stream = ms.toDF.toDF("ts", "event_type", "value")
+    val q = Streams.tumbling(stream, Some("10 minutes")).writeStream
+      .format("memory").queryName("late").outputMode("append").start()
+    ms.addData((ts("10:00:00"), "click", 1.0), (ts("10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    ms.addData((ts("11:30:00"), "view", 1.0)) // watermark → 11:20
+    q.processAllAvailable()
+    ms.addData((ts("10:10:00"), "click", 5.0)) // late: 10:10 < 11:20 → dropped
+    q.processAllAvailable()
+    val hour10 = sp.table("late")
+      .filter(col("hour_start") === ts("10:00:00")).collect()
+    assert(hour10.length == 1)
+    assert(hour10.head.getAs[Long]("n") == 2, "late event must not be counted")
+    q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes stream duplicates") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val stream = ms.toDF.toDF("ts", "event_id")
+    val q = Streams.dedupWithinWatermark(stream, "1 hour").writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    ms.addData((ts("10:00:00"), 1L), (ts("10:01:00"), 1L), (ts("10:02:00"), 2L))
+    q.processAllAvailable()
+    ms.addData((ts("10:03:00"), 1L), (ts("10:04:00"), 3L)) // 1 is a dup
+    q.processAllAvailable()
+    val ids = sp.table("dedup").select("event_id").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
+  test("stream-static dimension join enriches events") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[(Timestamp, Long)]
+    val stream = ms.toDF.toDF("ts", "user_id")
+    val q = Streams.enrich(stream, dim, "user_id").writeStream
+      .format("memory").queryName("enrich").outputMode("append").start()
+    ms.addData((ts("10:00:00"), 1L), (ts("10:01:00"), 3L))
+    q.processAllAvailable()
+    val rows = sp.table("enrich").orderBy("user_id")
+      .select("user_id", "tier").collect()
+    assert(rows.map(r => (r.getLong(0), r.isNullAt(1))).toSeq ==
+      Seq((1L, false), (3L, true)))
+    q.stop()
+  }
+
+  test("session windows close on watermark and split on 30-min gaps") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val stream = ms.toDF.toDF("ts", "user_id")
+    val q = Streams.sessions(stream, Some("10 minutes")).writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    // user 1: two sessions (gap 80 min between 10:10 and 11:30)
+    ms.addData((ts("10:00:00"), 1L), (ts("10:10:00"), 1L), (ts("11:30:00"), 1L))
+    q.processAllAvailable()
+    ms.addData((ts("14:00:00"), 2L)) // watermark → 13:50, closes user 1
+    q.processAllAvailable()
+    val u1 = sp.table("sess").filter(col("user_id") === 1L)
+      .orderBy("sess_start").collect()
+    assert(u1.map(r => (r.getAs[Timestamp]("sess_start"), r.getAs[Long]("n_ev")))
+      .toSeq == Seq((ts("10:00:00"), 2L), (ts("11:30:00"), 1L)))
+    q.stop()
+  }
+}
