@@ -20,29 +20,72 @@ object IterQueries {
 
   /** One PageRank step on scaled-integer ranks.
     * rank' = 0.15 + 0.85 * Σ_in rank/outdeg, scaled by 1e10:
-    * rs' = 15e8 + (85 * Σ (rs div outdeg)) div 100. */
-  private def prStep(nodes: DataFrame, edges: DataFrame, deg: DataFrame,
+    * rs' = 15e8 + (85 * Σ (rs div outdeg)) div 100.
+    *
+    * `edges` already carries outdeg (joined once, outside the loop),
+    * and the loop-variant state is node-sized, so it is broadcast:
+    * one shuffle per iteration (the groupBy(dst)), nothing else. For
+    * graphs whose state exceeds broadcast size, drop the hints and
+    * the same plan degrades gracefully to co-partitioned shuffles. */
+  private def prStep(nodes: DataFrame, edgesDeg: DataFrame,
                      state: DataFrame): DataFrame = {
-    val contribs = edges
-      .join(state, state("node") === edges("src"))
-      .join(deg, "src")
+    val contribs = edgesDeg
+      .join(broadcast(state), state("node") === edgesDeg("src"))
       .selectExpr("dst", "rs DIV outdeg AS c")
       .groupBy("dst").agg(sum(col("c")).as("S"))
-    nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+    nodes.join(broadcast(contribs), nodes("node") === contribs("dst"), "left")
       .selectExpr("node",
         "CAST(1500000000 + (85 * coalesce(S, 0)) DIV 100 AS BIGINT) AS rs")
-      .localCheckpoint()
   }
 
-  /** Run `iters` PageRank steps from `init` over `edges`. */
+  /** Lineage is truncated only every few steps: with small FIXED
+    * iteration counts the intermediate states stay lazy and the whole
+    * loop executes as one DAG (no per-step job), while the periodic
+    * checkpoint bounds plan depth for larger counts. */
+  val checkpointEvery = 4
+
+  /** Eagerly materialize a query result, then drop the loop's cached
+    * inputs: long benchmark sessions run dozens of queries back to
+    * back, and leaked cache blocks degrade every later query. */
+  def finish(out: DataFrame, tmp: DataFrame*): DataFrame = {
+    val m = out.localCheckpoint() // eager: computes before unpersist
+    tmp.foreach(_.unpersist(blocking = false))
+    m
+  }
+
+  /** Run `iters` PageRank steps from `init` over `edges`; returns the
+    * materialized final state with loop caches released. */
   def pagerank(edges0: DataFrame, iters: Int,
-               init: DataFrame => DataFrame = n => n): DataFrame = {
-    val edges = edges0.repartition(col("src")).persist()
-    val n = Graphs.nodes(edges).persist()
-    val dg = Graphs.deg(edges).persist()
-    var state = init(n).selectExpr("node", "CAST(10000000000 AS BIGINT) AS rs")
-    for (_ <- 1 to iters) state = prStep(n, edges, dg, state)
-    state
+               init: DataFrame => DataFrame = n => n): DataFrame =
+    noAqe(edges0.sparkSession) {
+      val edgesDeg = withDeg(edges0)
+      val n = Graphs.nodes(edgesDeg).persist()
+      var state = init(n).selectExpr("node", "CAST(10000000000 AS BIGINT) AS rs")
+      for (i <- 1 to iters) {
+        state = prStep(n, edgesDeg, state)
+        if (i % checkpointEvery == 0) state = state.localCheckpoint()
+      }
+      finish(state, edgesDeg, n)
+    }
+
+  /** Structure-side loop invariant: edges with their source outdeg,
+    * cached once for the whole loop. (No repartition: the loop joins
+    * against broadcast state, so a src-partitioning would be a wasted
+    * full shuffle.) */
+  private def withDeg(edges0: DataFrame): DataFrame =
+    edges0.join(broadcast(Graphs.deg(edges0)), "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist()
+
+  /** Run `body` with AQE off: the loop's join sides carry explicit
+    * broadcast hints and its stage shapes are static, so AQE's
+    * per-exchange re-planning is pure latency here (it helps the
+    * relational queries, which keep it on). */
+  private def noAqe[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
   }
 
   /** SQL for one unrolled PageRank stage over edge CTE `e`. */
@@ -91,13 +134,12 @@ object IterQueries {
     * `delta` is the per-edge increment (1 for SSSP, 0 for CC-on-ids). */
   private def minStep(nodes: DataFrame, edges: DataFrame, state: DataFrame,
                       valCol: String, delta: Long): DataFrame = {
-    val cand = edges.join(state, state("node") === edges("src"))
+    val cand = edges.join(broadcast(state), state("node") === edges("src"))
       .select(col("dst"), (col(valCol) + delta).as("cand"))
       .groupBy("dst").agg(min(col("cand")).as("mc"))
-    state.join(cand, state("node") === cand("dst"), "left")
+    state.join(broadcast(cand), state("node") === cand("dst"), "left")
       .select(col("node"),
         least(col(valCol), coalesce(col("mc"), lit(INF))).as(valCol))
-      .localCheckpoint()
   }
 
   val defs: Map[String, Q] = Map(
@@ -113,37 +155,43 @@ object IterQueries {
     "q_incr_iter_converge" -> ((s, d) => {
       val full = Graphs.edges(s, d)
       val converged = pagerank(full, 5)
-      val edges2 = full.filter((col("src") + col("dst")) % 17 =!= 0)
-        .repartition(col("src")).persist()
-      val n = Graphs.nodes(full).persist()
-      val dg2 = Graphs.deg(edges2)
-      var state = converged
-      for (_ <- 1 to 2) state = prStep(n, edges2, dg2, state)
-      state.selectExpr("node", "rs", "CAST(rs AS DOUBLE) / 10000000000 AS rank")
+      noAqe(s) {
+        val edges2 = withDeg(full.filter((col("src") + col("dst")) % 17 =!= 0))
+        val n = Graphs.nodes(full).persist()
+        var state = converged
+        for (_ <- 1 to 2) state = prStep(n, edges2, state)
+        finish(state, edges2, n)
+      }.selectExpr("node", "rs", "CAST(rs AS DOUBLE) / 10000000000 AS rank")
         .orderBy("node")
     }),
 
     /** q42: SSSP from the min node id, unit weights, FIXED 5 rounds;
       * unreachable = sentinel 999999999. */
-    "q_iter_sssp" -> ((s, d) => {
-      val edges = Graphs.edges(s, d).repartition(col("src")).persist()
+    "q_iter_sssp" -> ((s, d) => noAqe(s) {
+      val edges = Graphs.edges(s, d).persist()
       val n = Graphs.nodes(edges).persist()
       val src = n.agg(min("node")).head().getLong(0)
       var state = n.select(col("node"),
         when(col("node") === src, 0L).otherwise(INF).as("dist"))
-      for (_ <- 1 to 5) state = minStep(n, edges, state, "dist", 1L)
-      state.orderBy("node")
-    }),
+      for (i <- 1 to 5) {
+        state = minStep(n, edges, state, "dist", 1L)
+        if (i % checkpointEvery == 0) state = state.localCheckpoint()
+      }
+      finish(state, edges, n)
+    }.orderBy("node")),
 
     /** q43: connected components via min-label propagation (a GIM-V
       * instance [P §7]), FIXED 5 rounds. */
-    "q_iter_connected_components" -> ((s, d) => {
-      val edges = Graphs.edges(s, d).repartition(col("src")).persist()
+    "q_iter_connected_components" -> ((s, d) => noAqe(s) {
+      val edges = Graphs.edges(s, d).persist()
       val n = Graphs.nodes(edges).persist()
       var state = n.select(col("node"), col("node").as("label"))
-      for (_ <- 1 to 5) state = minStep(n, edges, state, "label", 0L)
-      state.orderBy("node")
-    })
+      for (i <- 1 to 5) {
+        state = minStep(n, edges, state, "label", 0L)
+        if (i % checkpointEvery == 0) state = state.localCheckpoint()
+      }
+      finish(state, edges, n)
+    }.orderBy("node"))
   )
 
   private def minStageSql(k: Int, valCol: String, delta: Int): String = {

@@ -39,8 +39,11 @@ object KMeans {
              cents: Array[Array[Double]]): DataFrame =
     vecs.withColumn("cluster", assignUdf(s, cents)(col("embedding")))
 
-  def run(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame = {
-    val vecs = embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
+  def run(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame =
+    runOn(s, embeddings(s, d).select(col("vec_id"), col("embedding")), k, iters)
+
+  def runOn(s: SparkSession, vecs: DataFrame,
+            k: Int = 10, iters: Int = 3): DataFrame = {
     var cents: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -59,10 +62,12 @@ object KMeans {
 
   val defs: Map[String, Q] = Map(
     "q_iter_kmeans" -> ((s, d) => {
-      run(s, d)
+      val vecs = embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
+      val out = runOn(s, vecs)
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
         .orderBy("cluster")
+      IterQueries.finish(out, vecs)
     })
   )
 

@@ -40,7 +40,9 @@ object Dedup {
       col("sz").as("sz_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
       col("sz").as("sz_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
+    // doc-set side is doc-count-sized (small next to the pair set):
+    // broadcast both probes so the candidate stream never shuffles
+    cands.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b")))
         .cast("bigint"))
       .withColumn("union_sz", (col("sz_a") + col("sz_b") - col("inter")))
@@ -58,15 +60,25 @@ object Dedup {
     }),
 
     /** q50: exact near-dup pairs, Jaccard >= 0.5, via token self-join
-      * (the exact computation MinHash approximates). */
+      * (the exact computation MinHash approximates). Intersections are
+      * counted directly in the join's groupBy — one shuffle, no
+      * intermediate candidate materialization; the per-doc set sizes
+      * are a tiny broadcast side. */
     "q_sim_jaccard_pairs" -> ((s, d) => {
       val toks = subsetTokens(s, d)
       val a = toks.select(col("doc_id").as("doc_a"), col("tok"))
       val b = toks.select(col("doc_id").as("doc_b"), col("tok"))
-      val cands = a.join(b, Seq("tok"))
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      val szB = sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      a.join(b, Seq("tok"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      verifyPairs(cands, docSets(toks)).orderBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(szA), "doc_a").join(broadcast(szB), "doc_b")
+        .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+        .filter(col("inter") * 2 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 

@@ -37,7 +37,10 @@ object MinHash {
     withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: same band-hash in any band. */
+  /** LSH candidate pairs: same band-hash in any band. Buckets are
+    * materialized as sorted doc lists and pairs generated in-place
+    * (m·(m-1)/2 per bucket) — one shuffle on the bucket key instead of
+    * a self-join that re-shuffles the banded table twice. */
   def candidates(sig: DataFrame): DataFrame = {
     val bandStructs: Seq[Column] = (0 until Bands).map { j =>
       val cols = (0 until 4).map(r => col(s"m${j * 4 + r}"))
@@ -46,11 +49,16 @@ object MinHash {
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    banded
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)),
+               y -> struct(x AS doc_a, y AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
   }
 
   val defs: Map[String, Q] = Map(
@@ -59,8 +67,9 @@ object MinHash {
     "q_dedup_minhash" -> ((s, d) => {
       val toks = Dedup.subsetTokens(s, d).persist()
       val cands = candidates(signatures(toks))
-      Dedup.verifyPairs(cands, Dedup.docSets(toks))
+      val out = Dedup.verifyPairs(cands, Dedup.docSets(toks))
         .orderBy("doc_a", "doc_b")
+      graft.iter.IterQueries.finish(out, toks)
     })
   )
 
