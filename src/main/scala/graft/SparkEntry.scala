@@ -6,6 +6,7 @@ import graft.iter.{IterQueries, KMeans, Apriori}
 import graft.incr.IncrMerge
 import graft.text.{Dedup, MinHash, Similarity, TextStats}
 import graft.stream.StreamOps
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each §2 operator registers a query here; every oracle=SQL row also
@@ -25,7 +26,7 @@ object SparkEntry {
       Joins.defs ++ Windows.defs ++ Scalars.defs ++
       IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ IncrMerge.defs ++
       Dedup.defs ++ MinHash.defs ++ Similarity.defs ++ TextStats.defs ++
-      Udaf.defs ++ StreamOps.defs
+      Udaf.defs ++ StreamOps.defs ++ Multimodal.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
@@ -35,5 +36,5 @@ object SparkEntry {
       Joins.sql ++ Windows.sql ++ Scalars.sql ++
       IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ IncrMerge.sql ++
       Dedup.sql ++ MinHash.sql ++ Similarity.sql ++ TextStats.sql ++
-      Udaf.sql ++ StreamOps.sql
+      Udaf.sql ++ StreamOps.sql ++ Multimodal.sql
 }
