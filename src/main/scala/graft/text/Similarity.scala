@@ -1,7 +1,9 @@
 package graft.text
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
+import graft.iter.KMeans
 
 /** §2 row 52 — similarity search over the embedding column [N]:
   * brute-force cosine top-k against a probe vector.
@@ -38,6 +40,42 @@ object Similarity {
         .limit(10)
     })
   )
+
+  /** IVF-style ANN, the bucketed scale path for q52: partition the
+    * corpus once by nearest centroid (the inverted-file "index" — at
+    * production scale a bucketed/partitioned table built offline),
+    * then search only the probe's `nprobe` nearest clusters. Scanning
+    * cost drops from |corpus| to ~nprobe/k of it; recall is traded
+    * via nprobe. oracle=none (approximate by construction) —
+    * SimilaritySpec measures recall against the exact q52 top-k. */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 10, nprobe: Int = 3,
+              topK: Int = 10): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < k).orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val indexed = KMeans.assign(s, emb, cents) // the IVF assignment
+    val probeVec = emb.filter(col("vec_id") === 0).collect()
+      .head.getSeq[Float](1).map(_.toDouble).toArray
+    val probeClusters = cents.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(probeVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    indexed.filter(col("cluster").isInCollection(probeClusters))
+      .crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cluster"),
+        (dot(col("embedding"), col("probe")) /
+          (sqrt(dot(col("embedding"), col("embedding")))
+            * sqrt(dot(col("probe"), col("probe"))))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(topK)
+  }
 
   val sql: Map[String, String] = Map(
     "q_sim_topk_cosine" ->

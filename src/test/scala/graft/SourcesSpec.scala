@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** CSV/JSON source round-trips (SURVEY.md §2A note: testdata is
+  * parquet-only, so the extra formats are demonstrated here), plus a
+  * parquet sink round-trip with partitioning — the layout a 100 TB
+  * table would use. */
+class SourcesSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv source round-trips the nation table") {
+    val dir = tmp("graft_csv")
+    val nation = Tables.nation(spark, sfDir)
+    nation.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(nation.schema).csv(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("json source round-trips the region table") {
+    val dir = tmp("graft_json")
+    val region = Tables.region(spark, sfDir)
+    region.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(region.schema).json(dir)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      region.orderBy("r_regionkey").collect().toSeq)
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = tmp("graft_part")
+    Tables.orders(spark, sfDir)
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("status") === "F")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ==
+      Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F").count())
+    assert(p.contains("PartitionFilters: [isnotnull(status"),
+      s"partition filter missing:\n$p")
+  }
+}
