@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import graft.incr.IncrMerge
+import graft.iter.{IterQueries, KMeans}
+import graft.text.{Dedup, MinHash, Similarity}
+import graft.stream.Streams
+
+/** The user-facing library facade: every operator the fixture-bound
+  * benchmark queries exercise, callable on YOUR DataFrames. A user of
+  * the reference framework migrates by replacing their job classes
+  * with these calls — the semantics map is documented per method and
+  * in SURVEY.md §1.2.
+  *
+  * Everything here is a plain Spark logical plan under the hood:
+  * Catalyst optimizes it together with whatever the caller composes
+  * around it. */
+object Graft {
+
+  /** One-step incremental processing (i2MapReduce's MRBGraph merge,
+    * paper [P §3]): `base` rows count as inserts; `delta` must carry
+    * an `op` column with '+' (insert) / '-' (delete); an update is
+    * delete+insert. Returns per-key signed count (`n`) and signed sum
+    * of `value` (`val_sum`). Associative: merge results can be merged
+    * again with later deltas without touching raw history. */
+  def incrMerge(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                value: Column): DataFrame =
+    IncrMerge.merge(base, delta, keys, value)
+
+  /** PageRank over a directed edge list `(src: long, dst: long)` —
+    * damping 0.85, `iters` fixed iterations, bit-exact scaled-integer
+    * arithmetic (column `rs` = rank × 1e10). */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame =
+    IterQueries.pagerank(edges, iters)
+
+  /** K-means over `(vec_id: long, embedding: array<float>)`; returns
+    * the input with a `cluster` column. Centroids seeded from the
+    * first k vec_ids. */
+  def kmeans(vecs: DataFrame, k: Int = 10, iters: Int = 3): DataFrame =
+    KMeans.runOn(vecs.sparkSession, vecs, k, iters)
+
+  /** Exact content dedup: group by md5 of `textCol`, keep min id. */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs over distinct `(doc_id, tok)`
+    * rows, exactly verified in-bucket at Jaccard >= 0.5. O(n·bands),
+    * never O(n²) — the 100 TB dedup path. */
+  def nearDupPairs(tokens: DataFrame): DataFrame =
+    Dedup.verifyPairs(MinHash.candidates(MinHash.signatures(tokens)),
+      Dedup.docSets(tokens))
+
+  /** Brute-force cosine top-k against the embedding of `probeId`. */
+  def cosineTopK(vecs: DataFrame, probeId: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val probe = vecs.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe"))
+    def dot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    vecs.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        (dot(col("embedding"), col("probe")) /
+          (sqrt(dot(col("embedding"), col("embedding")))
+            * sqrt(dot(col("probe"), col("probe"))))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-bucketed approximate top-k — see Similarity.ivfTopK. */
+  def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame =
+    Similarity.ivfTopK(s, dir, nprobe = nprobe, topK = k)
+
+  /** Streaming/batch windowed aggregations — same function builds
+    * either plan (pass a readStream or a batch DataFrame). */
+  def tumbling(ev: DataFrame, watermark: Option[String] = None): DataFrame =
+    Streams.tumbling(ev, watermark)
+  def sessions(ev: DataFrame, watermark: Option[String] = None): DataFrame =
+    Streams.sessions(ev, watermark)
+  def runningUserState(ev: DataFrame): Dataset[Streams.UserAgg] =
+    Streams.runningUserState(ev)
+}

@@ -1,7 +1,10 @@
 package graft.stream
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import graft.engine.Dec._
 
 /** Structured-Streaming forms of the §2J operators, shared by batch
@@ -41,4 +44,29 @@ object Streams {
   /** Stream ⋈ static dimension enrichment (broadcast at runtime). */
   def enrich(ev: DataFrame, dim: DataFrame, key: String): DataFrame =
     ev.join(broadcast(dim), Seq(key), "left")
+
+  case class UserAgg(user_id: Long, n: Long, last_ts: Timestamp)
+
+  /** Custom keyed state via mapGroupsWithState — the direct Spark
+    * analogue of the reference's MRBG-Store [P §5]: user-managed,
+    * group-keyed state preserved across micro-batches, incrementally
+    * merged with each batch's fresh records. Running per-user event
+    * count + last-seen timestamp; emits the updated aggregate per key
+    * per batch (update output mode). */
+  def runningUserState(ev: DataFrame): Dataset[UserAgg] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.select(col("user_id"), col("ts")).as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var (n, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          rows.foreach { case (_, ts) =>
+            n += 1
+            if (ts.getTime > last) last = ts.getTime
+          }
+          state.update((n, last))
+          UserAgg(uid, n, new Timestamp(last))
+      }
+  }
 }
