@@ -58,9 +58,7 @@ object Graft {
     import org.apache.spark.sql.functions._
     val probe = vecs.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe"))
-    def dot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+    val dot = graft.functions.FloatDot.float_dot _
     vecs.crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= probeId)
       .select(col("vec_id"),

@@ -27,9 +27,8 @@ object Similarity {
       val emb = embeddings(s, d)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("probe"))
-      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
+      // native codegen expression; bit-identical to the HOF fold
+      val dot = graft.functions.FloatDot.float_dot _
       emb.crossJoin(broadcast(probe))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
@@ -63,9 +62,7 @@ object Similarity {
       .sortBy(_._2).take(nprobe).map(_._1).toSeq
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("probe"))
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+    val dot = graft.functions.FloatDot.float_dot _
     indexed.filter(col("cluster").isInCollection(probeClusters))
       .crossJoin(broadcast(probe))
       .filter(col("vec_id") =!= 0)
