@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.ops._
 import graft.iter.{IterQueries, KMeans, Apriori}
 import graft.incr.IncrMerge
-import graft.text.{Dedup, MinHash, Similarity, TextStats}
+import graft.text.{Dedup, MinHash, SimHash, Similarity, TextStats}
 import graft.stream.StreamOps
 import graft.multimodal.Multimodal
 
@@ -25,7 +25,8 @@ object SparkEntry {
     Scans.defs ++ Filters.defs ++ Aggs.defs ++ SortsSets.defs ++
       Joins.defs ++ Windows.defs ++ Scalars.defs ++
       IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ IncrMerge.defs ++
-      Dedup.defs ++ MinHash.defs ++ Similarity.defs ++ TextStats.defs ++
+      Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
+      TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -35,6 +36,7 @@ object SparkEntry {
     Scans.sql ++ Filters.sql ++ Aggs.sql ++ SortsSets.sql ++
       Joins.sql ++ Windows.sql ++ Scalars.sql ++
       IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ IncrMerge.sql ++
-      Dedup.sql ++ MinHash.sql ++ Similarity.sql ++ TextStats.sql ++
+      Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
+      TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql
 }

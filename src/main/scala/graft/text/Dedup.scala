@@ -79,8 +79,41 @@ object Dedup {
         .filter(col("inter") * 2 >= col("union_sz"))
         .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    /** q65: n-gram (3-shingle) Jaccard pairs at J >= 0.1 — same
+      * integer-threshold machinery as q50 over contiguous shingles
+      * (stricter than token sets: order-sensitive). */
+    "q_sim_shingle_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      val szB = sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      a.join(b, Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(szA), "doc_a").join(broadcast(szB), "doc_b")
+        .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+        .filter(col("inter") * 10 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+        .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** Distinct (doc_id, 3-gram shingle) rows over the doc subset,
+    * shingles keyed by md5 (portable across engines). */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+             i -> md5(concat(element_at(toks, i), ' ',
+                             element_at(toks, i + 1), ' ',
+                             element_at(toks, i + 2))))""")).as("sh"))
+      .distinct()
 
   val sql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -104,6 +137,25 @@ object Dedup {
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE 2 * inter >= sa.sz + sb.sz - inter
+         ORDER BY doc_a, doc_b""",
+    "q_sim_shingle_jaccard" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+             i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE doc_id % 5 = 0) t
+         ),
+         sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+         SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE 10 * inter >= sa.sz + sb.sz - inter
          ORDER BY doc_a, doc_b"""
   )
 }

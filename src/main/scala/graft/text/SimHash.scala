@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** §2 row 66 — SimHash near-dup detection [N]: 64-bit signatures from
+  * per-token xxhash64 bit votes; candidate pairs from 4×16-bit band
+  * buckets (exact-match banding covers Hamming distance ≤ 3 by
+  * pigeonhole: 4 bands, ≤3 differing bits → some band is identical);
+  * verified with an exact popcount(xor) distance check.
+  *
+  * All integer arithmetic with a fixed hash — deterministic across
+  * runs — but xxhash64 is not reproducible in DuckDB, so oracle=none;
+  * SimHashSpec asserts the distance semantics. Scale shape matches
+  * MinHash: O(n·bands) bucket shuffle, exact check only in-bucket. */
+object SimHash {
+
+  val Bits = 64
+  val Bands = 4
+  val MaxHamming = 3
+
+  /** 64-bit SimHash per doc from distinct (doc_id, tok) rows. */
+  def signatures(toks: DataFrame): DataFrame = {
+    val h = xxhash64(col("tok"))
+    // per-bit vote: +1 if the token hash has the bit set, else -1
+    val votes = (0 until Bits).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val sig = (0 until Bits).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Candidate pairs: identical 16-bit band in any of 4 bands. */
+  def candidates(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("sig"), j * 16).bitwiseAND(0xFFFFL).as("bh"))
+    }
+    sig.select(col("doc_id"), col("sig"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("sig"), col("x.band").as("band"),
+        col("x.bh").as("bh"))
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds)),
+               y -> struct(x.doc_id AS doc_a, x.sig AS sig_a,
+                           y.doc_id AS doc_b, y.sig AS sig_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.sig_a"), col("p.doc_b"), col("p.sig_b"))
+      .distinct()
+  }
+
+  val defs: Map[String, Q] = Map(
+    /** q66: SimHash near-dups at Hamming ≤ 3 over the doc subset. */
+    "q_dedup_simhash" -> ((s, d) => {
+      val toks = Dedup.subsetTokens(s, d)
+      candidates(signatures(toks))
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+        .filter(col("hamming") <= MaxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  val sql: Map[String, String] = Map.empty // xxhash64 not portable to DuckDB
+}

@@ -37,6 +37,27 @@ object Similarity {
               * sqrt(dot(col("probe"), col("probe"))))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    /** q67: embedding-cosine near-dup PAIRS — all pairs with cosine
+      * >= 0.32, the exact all-pairs baseline (O(n²) by definition;
+      * the scale paths are IVF cluster pruning and LSH banding).
+      * Norms are precomputed once per vector; the threshold compares
+      * bit-identical doubles on both engines, so the cut is exact. */
+    "q_sim_cosine_pairs" -> ((s, d) => {
+      val dot = graft.functions.FloatDot.float_dot _
+      val emb = embeddings(s, d)
+        .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+      val a = emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      val b = emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+            .as("sim"))
+        .filter(col("sim") >= 0.32)
+        .orderBy("vec_a", "vec_b")
     })
   )
 
@@ -88,6 +109,22 @@ object Similarity {
          FROM embeddings, probe
          WHERE vec_id <> 0
          ORDER BY sim DESC, vec_id ASC
-         LIMIT 10"""
+         LIMIT 10""",
+    "q_sim_cosine_pairs" ->
+      """WITH n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS norm
+           FROM embeddings
+         )
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (a.norm * b.norm) AS sim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (a.norm * b.norm) >= 0.32
+         ORDER BY vec_a, vec_b"""
   )
 }
