@@ -33,6 +33,35 @@ object Graphs {
   def deg(edges: DataFrame): DataFrame =
     edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
 
+  /** Session-scoped memo for deterministic, reused structure data:
+    * the four graph queries share one cached edge table / degree join
+    * / converged base state instead of rebuilding them per query.
+    * Everything memoized is either persisted or localCheckpointed, so
+    * reuse is a cache hit, and determinism (integer arithmetic, fixed
+    * data) makes sharing semantically invisible. */
+  private val memo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
+
+  def cached(s: SparkSession, d: String, key: String)
+            (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, d, key), build)
+
+  def edgesCached(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "edges")(edges(s, d).persist())
+
+  def nodesCached(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "nodes")(nodes(edgesCached(s, d)).persist())
+
+  /** Edges with source outdeg — the PageRank loop invariant. */
+  def edgesDegCached(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "edgesDeg") {
+      val e = edgesCached(s, d)
+      e.join(broadcast(deg(e)), "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .persist()
+    }
+
   /** Shared CTE prefix for the unrolled-CTE oracles. UNION (not UNION
     * ALL) deduplicates across both directions, mirroring .distinct(). */
   val cteSql: String =
