@@ -145,16 +145,33 @@ object IterQueries {
 
   private val INF = 999999999L
 
-  /** One min-propagation step: dist' = min(dist, min_in(dist_src+1)).
-    * `delta` is the per-edge increment (1 for SSSP, 0 for CC-on-ids). */
-  private def minStep(nodes: DataFrame, edges: DataFrame, state: DataFrame,
-                      valCol: String, delta: Long): DataFrame = {
-    val cand = edges.join(broadcast(state), state("node") === edges("src"))
-      .select(col("dst"), (col(valCol) + delta).as("cand"))
-      .groupBy("dst").agg(min(col("cand")).as("mc"))
-    state.join(broadcast(cand), state("node") === cand("dst"), "left")
-      .select(col("node"),
-        least(col(valCol), coalesce(col("mc"), lit(INF))).as(valCol))
+  /** Min-propagation loop with CHANGE PROPAGATION (the reference's
+    * §6 filter [P §6]): only nodes whose value improved in the
+    * previous round emit candidates — semantically identical to the
+    * full step for monotone min-propagation (an unchanged source's
+    * candidate was already folded into the state when it last
+    * changed), but the per-iteration shuffle shrinks with the
+    * frontier. `delta` is the per-edge increment (1 = SSSP hops,
+    * 0 = label propagation). */
+  private def minLoopDelta(edges: DataFrame, state0: DataFrame,
+                           changed0: DataFrame, valCol: String,
+                           delta: Long, iters: Int): DataFrame = {
+    var state = state0
+    var changed = changed0 // columns: cnode, cval
+    for (i <- 1 to iters) {
+      val cand = edges.join(broadcast(changed), col("cnode") === edges("src"))
+        .select(col("dst"), (col("cval") + delta).as("cand"))
+        .groupBy("dst").agg(min(col("cand")).as("mc"))
+      val ns = state.join(broadcast(cand), state("node") === cand("dst"), "left")
+        .select(col("node"),
+          least(col(valCol), coalesce(col("mc"), lit(INF))).as(valCol),
+          (coalesce(col("mc"), lit(INF)) < col(valCol)).as("chg"))
+      val mat = if (i % checkpointEvery == 0) ns.localCheckpoint() else ns
+      state = mat.select("node", valCol)
+      changed = mat.filter(col("chg"))
+        .select(col("node").as("cnode"), col(valCol).as("cval"))
+    }
+    state
   }
 
   val defs: Map[String, Q] = Map(
@@ -186,13 +203,12 @@ object IterQueries {
       val edges = Graphs.edgesCached(s, d)
       val n = Graphs.nodesCached(s, d)
       val src = n.agg(min("node")).head().getLong(0)
-      var state = n.select(col("node"),
+      val state0 = n.select(col("node"),
         when(col("node") === src, 0L).otherwise(INF).as("dist"))
-      for (i <- 1 to 5) {
-        state = minStep(n, edges, state, "dist", 1L)
-        if (i % checkpointEvery == 0) state = state.localCheckpoint()
-      }
-      finish(state) // shared structure stays cached for sibling queries
+      // initial frontier: only the source has a propagatable value
+      val changed0 = state0.filter(col("dist") === 0)
+        .select(col("node").as("cnode"), col("dist").as("cval"))
+      finish(minLoopDelta(edges, state0, changed0, "dist", 1L, 5))
     }.orderBy("node")),
 
     /** q43: connected components via min-label propagation (a GIM-V
@@ -200,12 +216,10 @@ object IterQueries {
     "q_iter_connected_components" -> ((s, d) => noAqe(s) {
       val edges = Graphs.edgesCached(s, d)
       val n = Graphs.nodesCached(s, d)
-      var state = n.select(col("node"), col("node").as("label"))
-      for (i <- 1 to 5) {
-        state = minStep(n, edges, state, "label", 0L)
-        if (i % checkpointEvery == 0) state = state.localCheckpoint()
-      }
-      finish(state)
+      val state0 = n.select(col("node"), col("node").as("label"))
+      val changed0 = state0
+        .select(col("node").as("cnode"), col("label").as("cval"))
+      finish(minLoopDelta(edges, state0, changed0, "label", 0L, 5))
     }.orderBy("node"))
   )
 
