@@ -32,6 +32,29 @@ class SourcesSpec extends SparkSpecBase {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("bucketed tables join co-located, with no shuffle exchange") {
+    val sp = spark
+    Tables.orders(sp, sfDir).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.customer(sp, sfDir).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    val prevBc = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = sp.table("b_orders")
+        .join(sp.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(j.count() ==
+        Tables.orders(sp, sfDir).join(Tables.customer(sp, sfDir),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally sp.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = tmp("graft_part")
     Tables.orders(spark, sfDir)
