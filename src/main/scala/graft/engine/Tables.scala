@@ -67,6 +67,14 @@ object Tables {
   *    scale-multiply, and they can disagree at x.xxx5 boundaries.
   *    Rounding raw 2-dp columns is safe (no ties); rounding computed
   *    expressions is not.
+  *  - 2^53 BOUNDARY RULE: decimal→double is only correctly rounded
+  *    while the decimal's UNSCALED value fits in 2^53 — above that,
+  *    both engines' fast paths (unscaled long→double, then divide by
+  *    10^scale) double-round, and they can disagree by 1 ulp (caught
+  *    live on a scale-10 sum at ~4e17 unscaled). Any decimal whose
+  *    unscaled magnitude can exceed 2^53 must be re-scaled down
+  *    (e.g. CAST to DECIMAL(18,4) / ROUND(...,4) — half-up on both
+  *    engines) before the double cast.
   */
 object Dec {
   /** Exact money decimal (tie-free for the 2-dp raw columns). */

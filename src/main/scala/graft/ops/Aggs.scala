@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.engine.Tables._
 import graft.engine.Dec._
 
@@ -27,8 +28,12 @@ object Aggs {
         .agg(
           sumd2(col("l_quantity")).as("sum_qty"),
           sumd2(col("l_extendedprice")).as("sum_base_price"),
-          dbl(sum(disc)).as("sum_disc_price"),
-          dbl(sum(charge)).as("sum_charge"),
+          // high-scale decimal sums are re-scaled to 4 before the
+          // double cast: conversions are only correctly rounded while
+          // the unscaled value fits 2^53 (see Dec scaladoc), and the
+          // scale-10 charge sum would overflow that at ~4e17
+          dbl(sum(disc).cast(DecimalType(18, 4))).as("sum_disc_price"),
+          dbl(sum(charge).cast(DecimalType(18, 4))).as("sum_charge"),
           avgd(sum(dec2(col("l_quantity"))), count(lit(1))).as("avg_qty"),
           avgd(sum(dec2(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
           min(col("l_quantity")).as("min_qty"),
@@ -153,8 +158,8 @@ object Aggs {
       s"""SELECT l_returnflag, l_linestatus,
           CAST(sum($decQty) AS DOUBLE) AS sum_qty,
           CAST(sum($decExt) AS DOUBLE) AS sum_base_price,
-          CAST(sum($decExt * $decDisc) AS DOUBLE) AS sum_disc_price,
-          CAST(sum($decExt * $decDisc * $decTax) AS DOUBLE) AS sum_charge,
+          CAST(ROUND(sum($decExt * $decDisc), 4) AS DOUBLE) AS sum_disc_price,
+          CAST(ROUND(sum($decExt * $decDisc * $decTax), 4) AS DOUBLE) AS sum_charge,
           CAST(sum($decQty) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avg_qty,
           CAST(sum($decExt) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS avg_price,
           min(l_quantity) AS min_qty,

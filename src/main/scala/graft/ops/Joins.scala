@@ -50,7 +50,8 @@ object Joins {
           && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .groupBy("n_name")
         .agg(dbl(sum(dec2(col("l_extendedprice"))
-          * dec4s(lit(1) - col("l_discount")))).as("revenue"),
+          * dec4s(lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("n_name")
     }),
@@ -146,8 +147,8 @@ object Joins {
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q_join_multiway" ->
       """SELECT n_name,
-         CAST(sum(CAST(ROUND(l_extendedprice,2) AS DECIMAL(18,2))
-                  * CAST(ROUND(1 - l_discount,4) AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+         CAST(ROUND(sum(CAST(ROUND(l_extendedprice,2) AS DECIMAL(18,2))
+                  * CAST(ROUND(1 - l_discount,4) AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue,
          count(*) AS n
          FROM customer
          JOIN orders ON c_custkey = o_custkey

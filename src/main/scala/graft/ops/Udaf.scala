@@ -22,7 +22,12 @@ object WeightedAvgAgg extends Aggregator[WIn, WBuf, Double] {
   def reduce(b: WBuf, a: WIn): WBuf = WBuf(b.pq + a.p * a.q, b.q + a.q)
   def merge(b1: WBuf, b2: WBuf): WBuf = WBuf(b1.pq + b2.pq, b1.q + b2.q)
   def finish(r: WBuf): Double =
-    if (r.q.signum == 0) 0.0 else r.pq.toDouble / r.q.toDouble
+    // parse-from-string is correctly rounded for any magnitude;
+    // BigDecimal.doubleValue's fast path double-rounds past 2^53
+    // unscaled (see graft.engine.Dec scaladoc)
+    if (r.q.signum == 0) 0.0
+    else java.lang.Double.parseDouble(r.pq.bigDecimal.toPlainString) /
+      java.lang.Double.parseDouble(r.q.bigDecimal.toPlainString)
   def bufferEncoder: Encoder[WBuf] = Encoders.product[WBuf]
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
