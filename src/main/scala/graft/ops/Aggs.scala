@@ -118,6 +118,18 @@ object Aggs {
         .orderBy("l_returnflag")
     }),
 
+    /** q68: PIVOT — per-user event-type counts as columns. The value
+      * set is declared explicitly, so the plan is a single pass
+      * (no distinct-values pre-query). */
+    "q_agg_pivot" -> ((s, d) => {
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
     /** q24: Hadoop WordCount — map(split) → shuffle(word) → reduce
       * (count), expressed declaratively so the partial aggregation is
       * the combiner. */
@@ -203,6 +215,14 @@ object Aggs {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
          ORDER BY g_rf, g_ls, rf, ls""",
+    "q_agg_pivot" ->
+      """SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q_mr_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents
