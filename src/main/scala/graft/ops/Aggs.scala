@@ -108,6 +108,49 @@ object Aggs {
         ORDER BY g_rf, g_ls, rf, ls""")
     }),
 
+    /** q69: exact percentiles (median/p90) — both engines define
+      * quantiles by (n-1)*p linear interpolation; inputs are the
+      * integral l_quantity grid, so interpolated values are exact. */
+    "q_agg_percentile" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** q70: moment statistics from EXACT decimal power sums — the
+      * built-in stddev/corr accumulate doubles (shuffle-order-
+      * dependent); instead sums/sum-of-squares/cross-products are
+      * exact decimals (2-dp inputs → 4-dp products), re-scaled under
+      * the 2^53 boundary, and the variance/correlation formulas run
+      * in IEEE double with an identical expression tree on both
+      * engines. */
+    "q_agg_moments" -> ((s, d) => {
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          dbl(sum(x)).as("sx"),
+          dbl(sum(y).cast(DecimalType(18, 2))).as("sy"),
+          dbl(sum(x * x).cast(DecimalType(18, 2))).as("sxx"),
+          dbl(sum(y * y).cast(DecimalType(18, 0))).as("syy"),
+          dbl(sum(x * y).cast(DecimalType(18, 2))).as("sxy"))
+        .select(col("l_returnflag"),
+          (col("sx") / col("n")).as("mean_qty"),
+          ((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)).as("var_qty"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)).as("stddev_qty"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     /** q23: HLL approximate distinct — oracle=none (sketches are
       * engine-specific); ScalaTest bounds-checks vs exact. */
     "q_agg_approx_distinct" -> ((s, d) => {
@@ -215,6 +258,29 @@ object Aggs {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
          ORDER BY g_rf, g_ls, rf, ls""",
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS med,
+         quantile_cont(l_quantity, 0.9) AS p90,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_moments" ->
+      s"""SELECT l_returnflag,
+         sx / n AS mean_qty,
+         (sxx - sx * sx / n) / (n - 1) AS var_qty,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+         (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+         FROM (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum($decQty) AS DOUBLE) AS sx,
+             CAST(ROUND(sum($decExt), 2) AS DOUBLE) AS sy,
+             CAST(ROUND(sum($decQty * $decQty), 2) AS DOUBLE) AS sxx,
+             CAST(ROUND(sum($decExt * $decExt), 0) AS DOUBLE) AS syy,
+             CAST(ROUND(sum($decQty * $decExt), 2) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag
+         ) t ORDER BY l_returnflag""",
     "q_agg_pivot" ->
       """SELECT user_id,
          CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
