@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import graft.engine.Dec._
 
 /** Structured-Streaming forms of the §2J operators, shared by batch
@@ -67,6 +67,45 @@ object Streams {
           }
           state.update((n, last))
           UserAgg(uid, n, new Timestamp(last))
+      }
+  }
+
+  case class SessionOut(user_id: Long, n: Long, start: Timestamp, end: Timestamp)
+
+  /** Fully custom sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME timeout: gap-splits are emitted as soon as a later
+    * event proves the gap, and the final open session is flushed when
+    * the watermark passes its end+gap — user-managed state with
+    * framework-managed expiry, the full MRBG-Store analogue. */
+  def customSessions(ev: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    ev.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts")).as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val (n, st, en) = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, n, new Timestamp(st), new Timestamp(en)))
+          } else {
+            val sorted = rows.map(_._2.getTime).toSeq.sorted
+            var out = List.empty[SessionOut]
+            var (n, st, en) = state.getOption.getOrElse((0L, 0L, 0L))
+            for (t <- sorted) {
+              if (n == 0L) { n = 1; st = t; en = t }
+              else if (t - en >= gapMs) {
+                out ::= SessionOut(uid, n, new Timestamp(st), new Timestamp(en))
+                n = 1; st = t; en = t
+              } else { n += 1; en = t }
+            }
+            state.update((n, st, en))
+            state.setTimeoutTimestamp(en + gapMs)
+            out.reverse.iterator
+          }
       }
   }
 }

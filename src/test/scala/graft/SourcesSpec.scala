@@ -32,6 +32,15 @@ class SourcesSpec extends SparkSpecBase {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc source round-trips the supplier table") {
+    val dir = tmp("graft_orc")
+    val supplier = Tables.supplier(spark, sfDir)
+    supplier.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(supplier.schema).orc(dir)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      supplier.orderBy("s_suppkey").collect().toSeq)
+  }
+
   test("bucketed tables join co-located, with no shuffle exchange") {
     val sp = spark
     Tables.orders(sp, sfDir).write

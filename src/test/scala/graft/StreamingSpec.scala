@@ -91,6 +91,30 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("flatMapGroupsWithState: gap-split emitted eagerly, tail flushed on event-time timeout") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val stream = ms.toDF.toDF("ts", "user_id")
+    val q = Streams.customSessions(stream).writeStream
+      .format("memory").queryName("csess").outputMode("append").start()
+    ms.addData((ts("10:00:00"), 1L), (ts("10:05:00"), 1L))
+    q.processAllAvailable()
+    ms.addData((ts("11:30:00"), 1L)) // 85-min gap: closes session 1 eagerly
+    q.processAllAvailable()
+    ms.addData((ts("14:00:00"), 2L)) // watermark 13:50 > 12:00 → flush tail
+    q.processAllAvailable()
+    val u1 = sp.table("csess").filter(col("user_id") === 1L)
+      .orderBy("start").collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Timestamp]("start"),
+        r.getAs[Timestamp]("end")))
+    assert(u1.toSeq == Seq(
+      (2L, ts("10:00:00"), ts("10:05:00")),
+      (1L, ts("11:30:00"), ts("11:30:00"))))
+    q.stop()
+  }
+
   test("session windows close on watermark and split on 30-min gaps") {
     val sp = spark
     import sp.implicits._
