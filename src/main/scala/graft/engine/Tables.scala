@@ -18,13 +18,26 @@ object Tables {
   /** The driver contract's query shape: (session, sf-dir) => result. */
   type Q = (SparkSession, String) => DataFrame
 
-  def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects by default (SPARK-40819); read it as raw nanos.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's schema
+      // inference rejects by default (SPARK-40819). A user-supplied
+      // LongType schema reads it as raw nanos WITHOUT the session-wide
+      // spark.sql.legacy.parquet.nanosAsLong conf (verified on 4.1.2),
+      // so no session state is mutated and other nanos reads in the
+      // same session are unaffected.
+      s.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
+    else
+      s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet physical schema with ts as raw nanos-since-epoch. */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   def region(s: SparkSession, d: String): DataFrame    = tbl(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = tbl(s, d, "nation")

@@ -44,9 +44,15 @@ object KMeans {
 
   def runOn(s: SparkSession, vecs: DataFrame,
             k: Int = 10, iters: Int = 3): DataFrame = {
-    var cents: Array[Array[Double]] = vecs.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
+    // Seed from the first k rows by vec_id — works for ANY caller-
+    // supplied id space (the fixture's 0..k-1 included) — and fail
+    // fast if the input has fewer than k vectors, instead of silently
+    // collapsing every row into cluster 0.
+    var cents: Array[Array[Double]] = vecs
+      .orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(cents.length == k,
+      s"kmeans: need >= $k input vectors, got ${cents.length}")
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(s, vecs, cents)

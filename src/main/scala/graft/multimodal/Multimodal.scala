@@ -86,13 +86,20 @@ object Multimodal {
       features(mediaTable(s, d)).toDF().orderBy("doc_id"))
   )
 
+  // Oracle caveat: ascii() yields CODE POINTS, so this formulation
+  // matches decodeStub's byte math only for ASCII text — which the
+  // fixture corpus is (verified: every doc matches ^[ -~]*$). The
+  // CASEs mirror the stub's empty-input convention (head_byte=-1,
+  // byte_sum=0) where DuckDB would yield 0/NULL.
   val sql: Map[String, String] = Map(
     "q_multimodal_features" ->
       """SELECT doc_id,
          octet_length(encode(text)) AS n_bytes,
-         CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
-         CAST(list_sum(list_transform(string_split(text, ''),
-           x -> ascii(x))) AS BIGINT) AS byte_sum,
+         CASE WHEN length(text) = 0 THEN CAST(-1 AS BIGINT)
+              ELSE CAST(ascii(substr(text, 1, 1)) AS BIGINT) END AS head_byte,
+         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE coalesce(CAST(list_sum(list_transform(string_split(text, ''),
+                x -> ascii(x))) AS BIGINT), 0) END AS byte_sum,
          CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
          FROM documents ORDER BY doc_id"""
   )

@@ -109,10 +109,16 @@ object Dedup {
       .filter(col("doc_id") % 5 === 0)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 2),
-             i -> md5(concat(element_at(toks, i), ' ',
-                             element_at(toks, i + 1), ' ',
-                             element_at(toks, i + 2))))""")).as("sh"))
+        // Guard size<3: sequence(1, size-2) counts DOWN for short docs
+        // (step -1) and element_at(toks, 0) throws under ANSI. Empty
+        // array → explode drops the row, matching the oracle's empty
+        // range(1, len-1).
+        """CASE WHEN size(toks) >= 3 THEN
+             transform(sequence(1, size(toks) - 2),
+               i -> md5(concat(element_at(toks, i), ' ',
+                               element_at(toks, i + 1), ' ',
+                               element_at(toks, i + 2))))
+           ELSE array() END""")).as("sh"))
       .distinct()
 
   val sql: Map[String, String] = Map(

@@ -95,10 +95,16 @@ object TextStats {
       documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .selectExpr("doc_id",
-          """array_min(transform(sequence(1, size(toks) - 2),
-               i -> md5(concat(element_at(toks, i), ' ',
-                               element_at(toks, i + 1), ' ',
-                               element_at(toks, i + 2))))) AS fp""",
+          // < 3 tokens: no 3-grams. sequence(1, size-2) would count DOWN
+          // for size<3 (Spark infers step -1) and element_at(toks, 0)
+          // throws under ANSI — guard to NULL, matching DuckDB's
+          // list_aggregate(empty, 'min').
+          """CASE WHEN size(toks) >= 3 THEN
+               array_min(transform(sequence(1, size(toks) - 2),
+                 i -> md5(concat(element_at(toks, i), ' ',
+                                 element_at(toks, i + 1), ' ',
+                                 element_at(toks, i + 2)))))
+             END AS fp""",
           "CAST(size(toks) - 2 AS BIGINT) AS n_grams")
         .orderBy("doc_id")
     }),
