@@ -27,7 +27,7 @@ object SparkEntry {
       IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ IncrMerge.defs ++
       Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
       TextStats.defs ++
-      Udaf.defs ++ StreamOps.defs ++ Multimodal.defs
+      Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
@@ -38,5 +38,5 @@ object SparkEntry {
       IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ IncrMerge.sql ++
       Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
       TextStats.sql ++
-      Udaf.sql ++ StreamOps.sql ++ Multimodal.sql
+      Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql
 }

@@ -6,24 +6,28 @@ import graft.engine.Tables._
 /** §2 row 45 — Apriori-style frequent 2-itemset mining (paper workload
   * [P §7]); items = distinct tokens per document.
   *
-  * Scale shape: the candidate join is per-document (equi-join on
-  * doc_id) over *distinct* tokens with tok_a < tok_b — never a global
-  * cartesian. At 100 TB the doc_id join key partitions evenly and the
-  * per-doc set size is bounded by vocabulary, so the pair expansion is
-  * linear in documents. */
+  * Scale shape: ONE shuffle builds the per-doc sorted distinct token
+  * set (collect_set dedups inline — no separate distinct pass), pairs
+  * are generated in-map by two chained generators (per-doc set size is
+  * bounded by vocabulary, so the expansion is linear in documents),
+  * and the closing groupBy's map-side partial aggregation collapses
+  * them to ~|vocab|² rows before the second shuffle — never a global
+  * cartesian, never a self-join. */
 object Apriori {
 
   val minSupport = 100
 
   val defs: Map[String, Q] = Map(
     "q_apriori_pairs" -> ((s, d) => {
-      val toks = documents(s, d)
+      documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
-        .distinct()
-      val a = toks.select(col("doc_id"), col("tok").as("tok_a"))
-      val b = toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
-      a.join(b, col("doc_id") === col("doc_b") && col("tok_a") < col("tok_b"))
+        .groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("ts"))
+        .select(posexplode(col("ts")), col("ts"))
+        .withColumnRenamed("col", "tok_a")
+        // suffix after tok_a keeps tok_a < tok_b (ts is sorted asc)
+        .select(col("tok_a"), explode(
+          slice(col("ts"), col("pos") + lit(2), size(col("ts")))).as("tok_b"))
         .groupBy("tok_a", "tok_b")
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables._
+import graft.engine.Dec._
+
+/** Round-2 coverage extensions to SURVEY.md §2: distribution window
+  * functions, boolean/conditional aggregates, regexp and bitwise
+  * scalar surfaces, a snapshot-diff incremental operator [P §3], and
+  * the IVF ANN scale path promoted to a declared query.
+  *
+  * All oracle-checked rows follow D1–D7 (Tables.Dec scaladoc):
+  * integer/decimal internals, one IEEE double emission at the
+  * boundary, unique total ORDER BY. */
+object Extras {
+
+  private val cutoff = "2024-01-20"
+
+  val defs: Map[String, Q] = Map(
+    /** q71: distribution window functions — ntile/percent_rank/
+      * cume_dist. The window orders by the unique o_orderkey, so rank
+      * == row_number and both engines evaluate the same integer
+      * ratios (one IEEE division each — D3-safe). */
+    "q_win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(w).as("nt"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    /** q72: boolean + conditional aggregates per event_type —
+      * bool_and/bool_or/count_if (reduce-side predicates [H]). */
+    "q_agg_bool" -> ((s, d) => {
+      events(s, d)
+        .groupBy("event_type")
+        .agg(expr("bool_and(value > 0)").as("all_pos"),
+          expr("bool_or(value > 99)").as("any_big"),
+          expr("count_if(value > 50)").cast("bigint").as("n_over50"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    /** q73: regexp scalar surface — replace-all + first-group
+      * extract. No-match results are normalized to 'NONE' on both
+      * engines ('' in Spark, engine-dependent ''/NULL elsewhere). */
+    "q_fn_regexp" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("bigint")
+            .as("novowel_len"),
+          coalesce(nullif(regexp_extract(col("text"), "([a-z]{7,})", 1), lit("")),
+            lit("NONE")).as("first_long_word"),
+          size(split(col("text"), "[aeiou]+")).cast("bigint").as("vowel_runs"))
+        .orderBy("doc_id")
+    }),
+
+    /** q74: bitwise scalar surface over integer keys. */
+    "q_fn_bitwise" -> ((s, d) => {
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey").bitwiseAND(lit(255L))).as("k_and"),
+          (col("l_orderkey").bitwiseOR(lit(4096L))).as("k_or"),
+          (col("l_orderkey").bitwiseXOR(col("l_suppkey"))).as("k_xor"),
+          shiftleft(col("l_linenumber"), 3).cast("bigint").as("ln_shl"),
+          bit_count(col("l_orderkey")).cast("bigint").as("k_bits"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    /** q75: snapshot diff [P §3] — compare per-user aggregate state
+      * across two event windows (before/after the cutoff): the
+      * kv-store view of incremental processing. Exact decimal sums;
+      * one double emission for the delta. */
+    "q_incr_snapshot_diff" -> ((s, d) => {
+      val ev = events(s, d)
+      val cut = lit(cutoff).cast("timestamp")
+      val a = ev.filter(col("ts") < cut).groupBy("user_id")
+        .agg(sum(dec2(col("value"))).as("ta"))
+      val b = ev.filter(col("ts") >= cut).groupBy("user_id")
+        .agg(sum(dec2(col("value"))).as("tb"))
+      a.join(b, Seq("user_id"), "full")
+        .select(col("user_id"),
+          when(col("ta").isNull, lit("added"))
+            .when(col("tb").isNull, lit("removed"))
+            .otherwise(lit("changed")).as("status"),
+          dbl(coalesce(col("ta"), lit(0).cast("decimal(18,2)"))).as("before_sum"),
+          dbl(coalesce(col("tb"), lit(0).cast("decimal(18,2)"))).as("after_sum"),
+          dbl(coalesce(col("tb"), lit(0).cast("decimal(18,2)"))
+            - coalesce(col("ta"), lit(0).cast("decimal(18,2)"))).as("delta"))
+        .orderBy("user_id")
+    }),
+
+    /** q76: IVF ANN — the bucketed similarity-search scale path as a
+      * declared query (top-10 neighbors of vec 0, nprobe=3 of k=10
+      * clusters). oracle=none (approximate by construction);
+      * SimilaritySpec asserts recall vs the exact q52 top-k and
+      * nprobe=k ≡ brute force. */
+    "q_sim_ann_ivf" -> ((s, d) =>
+      graft.text.Similarity.ivfTopK(s, d).drop("cluster"))
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_win_ntile" ->
+      """SELECT o_orderkey, o_custkey,
+         ntile(4) OVER w AS nt,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+         ORDER BY o_orderkey""",
+    "q_agg_bool" ->
+      """SELECT event_type,
+         bool_and(value > 0) AS all_pos,
+         bool_or(value > 99) AS any_big,
+         CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_over50,
+         CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_fn_regexp" ->
+      """SELECT doc_id,
+         CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+           AS novowel_len,
+         coalesce(nullif(regexp_extract(text, '([a-z]{7,})', 1), ''), 'NONE')
+           AS first_long_word,
+         CAST(length(string_split_regex(text, '[aeiou]+')) AS BIGINT)
+           AS vowel_runs
+         FROM documents ORDER BY doc_id""",
+    "q_fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_orderkey & 255 AS k_and,
+         l_orderkey | 4096 AS k_or,
+         xor(l_orderkey, l_suppkey) AS k_xor,
+         CAST(l_linenumber << 3 AS BIGINT) AS ln_shl,
+         CAST(bit_count(l_orderkey) AS BIGINT) AS k_bits
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_incr_snapshot_diff" ->
+      s"""WITH a AS (
+           SELECT user_id, sum(CAST(ROUND(value,2) AS DECIMAL(18,2))) AS ta
+           FROM events WHERE ts < TIMESTAMP '$cutoff' GROUP BY user_id
+         ), b AS (
+           SELECT user_id, sum(CAST(ROUND(value,2) AS DECIMAL(18,2))) AS tb
+           FROM events WHERE ts >= TIMESTAMP '$cutoff' GROUP BY user_id
+         )
+         SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           CASE WHEN a.ta IS NULL THEN 'added'
+                WHEN b.tb IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           CAST(coalesce(a.ta, 0) AS DOUBLE) AS before_sum,
+           CAST(coalesce(b.tb, 0) AS DOUBLE) AS after_sum,
+           CAST(coalesce(b.tb, 0) - coalesce(a.ta, 0) AS DOUBLE) AS delta
+         FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+         ORDER BY user_id"""
+  )
+}

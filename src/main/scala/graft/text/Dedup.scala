@@ -105,8 +105,12 @@ object Dedup {
   /** Distinct (doc_id, 3-gram shingle) rows over the doc subset,
     * shingles keyed by md5 (portable across engines). */
   def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .filter(col("doc_id") % 5 === 0)
+    shinglesOf(documents(s, d).filter(col("doc_id") % 5 === 0))
+
+  /** Shingles over any (doc_id, text) frame — exposed for the
+    * short-document edge-case spec. */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         // Guard size<3: sequence(1, size-2) counts DOWN for short docs

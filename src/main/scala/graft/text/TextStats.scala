@@ -13,7 +13,7 @@ object TextStats {
   val normalize: String => String =
     s => s.trim.toLowerCase.replaceAll(" +", " ")
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = Map[String, Q](
     /** q53: per-language corpus stats. */
     "q_text_lang_stats" -> ((s, d) => {
       documents(s, d)
@@ -91,8 +91,14 @@ object TextStats {
 
     /** q64: document fingerprinting — winnowing-style: the minimum
       * md5 over all token 3-grams (portable rolling-window hash). */
-    "q_text_fingerprint" -> ((s, d) => {
-      documents(s, d)
+    "q_text_fingerprint" -> ((s, d) => fingerprintOf(documents(s, d)))
+  ) ++ defs2
+
+  /** Fingerprint over any (doc_id, text) frame — exposed for the
+    * short-document edge-case spec. */
+  def fingerprintOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+      docs
         .withColumn("toks", split(col("text"), " "))
         .selectExpr("doc_id",
           // < 3 tokens: no 3-grams. sequence(1, size-2) would count DOWN
@@ -107,8 +113,10 @@ object TextStats {
              END AS fp""",
           "CAST(size(toks) - 2 AS BIGINT) AS n_grams")
         .orderBy("doc_id")
-    }),
 
+  // lazy: referenced from defs' initializer above (forward reference
+  // in object init order would otherwise NPE)
+  private lazy val defs2: Map[String, Q] = Map(
     /** q56: UDTF/generator surface — token bigrams per doc via typed
       * flatMap (the Dataset-native generator), top-20. */
     "q_udtf_bigrams" -> ((s, d) => {
