@@ -17,12 +17,21 @@ import graft.engine.Tables._
   * never re-shuffles — the whole point of the reference's design. */
 object Graphs {
 
-  /** Distinct symmetric edge set (src, dst). */
+  /** Distinct symmetric edge set (src, dst). Dedup happens on the
+    * CANONICAL (least, greatest) pair — half the shuffle volume of
+    * distinct-ing the doubled union, and the symmetric set is then two
+    * narrow projections of the deduped frame (the reverse direction
+    * skips self-loops so they appear exactly once, matching the old
+    * union+distinct). */
   def edges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
-    li.select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
-      .union(li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst")))
+    val canon = li.select(
+      least(col("l_partkey"), col("l_suppkey")).as("u"),
+      greatest(col("l_partkey"), col("l_suppkey")).as("v"))
       .distinct()
+    canon.select(col("u").as("src"), col("v").as("dst"))
+      .union(canon.filter(col("u") =!= col("v"))
+        .select(col("v").as("src"), col("u").as("dst")))
   }
 
   /** All nodes (the graph is symmetric, so srcs cover everything). */

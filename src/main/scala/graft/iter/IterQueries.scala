@@ -92,15 +92,25 @@ object IterQueries {
       .select(col("src"), col("dst"), col("outdeg"))
       .persist()
 
-  /** Run `body` with AQE off: the loop's join sides carry explicit
-    * broadcast hints and its stage shapes are static, so AQE's
-    * per-exchange re-planning is pure latency here (it helps the
-    * relational queries, which keep it on). */
+  /** Run `body` with AQE off and a small shuffle-partition count: the
+    * loop's join sides carry explicit broadcast hints and its stage
+    * shapes are static, so AQE's per-exchange re-planning is pure
+    * latency, and the loop-variant frames are node-sized (~20k rows)
+    * — 32 shuffle partitions would mean 32 near-empty tasks per stage
+    * across ~15 stages, all scheduling overhead. (At cluster scale
+    * with big graphs, raise the in-loop parallelism with the data;
+    * the plan shape is unchanged.) */
   private def noAqe[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = s.conf.get(key, "true")
-    s.conf.set(key, "false")
-    try body finally s.conf.set(key, prev)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevAqe = s.conf.get(aqeKey, "true")
+    val prevPart = s.conf.get(partKey, "32")
+    s.conf.set(aqeKey, "false")
+    s.conf.set(partKey, "8")
+    try body finally {
+      s.conf.set(aqeKey, prevAqe)
+      s.conf.set(partKey, prevPart)
+    }
   }
 
   /** SQL for one unrolled PageRank stage over edge CTE `e`. */
