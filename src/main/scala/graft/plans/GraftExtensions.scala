@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import graft.functions.FloatDot
+
+/** Session-extension entry point (the PUBLIC registration path, tier
+  * (c) of the extension preference order): install with
+  *
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Injects:
+  *   - `float_dot(a, b)` as a SQL function (no manual register call)
+  *   - [[FloatDotRewrite]], an optimizer rule that turns the
+  *     declarative HOF dot product into the whole-stage-codegen'd
+  *     native expression
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getCanonicalName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => FloatDotRewrite)
+  }
+}
+
+/** Rewrite `aggregate(zip_with(x, y, (a, b) -> a * b), 0.0,
+  * (acc, v) -> acc + v)` over float arrays into [[FloatDot]].
+  *
+  * FloatDot folds left-to-right in double — the SAME IEEE op sequence
+  * as the HOF chain — so equal-length inputs are bit-identical. The
+  * one semantic gap is unequal lengths: zip_with pads the shorter
+  * array with NULLs (→ the whole sum becomes NULL) while FloatDot
+  * stops at min(len). The rewrite therefore guards with
+  * `If(size(x) = size(y), FloatDot, <original>)`: the fast path runs
+  * exactly when the two agree, and NULL/ragged inputs fall through to
+  * the original expression. */
+object FloatDotRewrite extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** strip casts, then require the expression to BE the given bound
+    * lambda variable (matched by exprId — lambda vars are
+    * NamedLambdaVariable after analysis, not AttributeReferences). */
+  private def sameVar(e: Expression, arg: NamedExpression): Boolean =
+    (stripCast(e), arg) match {
+      case (v: NamedLambdaVariable, a: NamedLambdaVariable) =>
+        v.exprId == a.exprId
+      case _ => false
+    }
+
+  /** body is (a cast/raw) * (b cast/raw) of exactly the two lambda
+    * variables in order. */
+  private def isPairwiseMul(body: Expression,
+                            args: Seq[NamedExpression]): Boolean = body match {
+    case Multiply(l, r, _) => sameVar(l, args.head) && sameVar(r, args(1))
+    case _ => false
+  }
+
+  private def isPairwiseAdd(body: Expression,
+                            args: Seq[NamedExpression]): Boolean = body match {
+    case Add(l, r, _) => sameVar(l, args.head) && sameVar(r, args(1))
+    case _ => false
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCast(c)
+    case other => other
+  }
+
+  private def isIdentity(f: Expression): Boolean = f match {
+    case LambdaFunction(body, Seq(arg), _) => sameVar(body, arg)
+    case _ => false
+  }
+
+  /** Explicit recursion instead of transformDown/Up: the rewrite
+    * embeds the original aggregate as the If's ragged-input fallback,
+    * so any traversal that revisits rule output (transformDown
+    * in-pass, or the optimizer batch's fixed-point re-runs) would
+    * re-wrap it forever. The skip case makes the rule IDEMPOTENT:
+    * an already-guarded subtree is left untouched wholesale. */
+  private def rewriteExpr(e: Expression): Expression = e match {
+    case If(EqualTo(Size(_, _), Size(_, _)), _: FloatDot, _) => e
+    case _ =>
+      e.mapChildren(rewriteExpr) match {
+        case agg @ ArrayAggregate(
+              ZipWith(x, y, LambdaFunction(mulBody, mulArgs, _)),
+              Literal(0.0, DoubleType),
+              LambdaFunction(addBody, addArgs, _),
+              finish)
+            if isFloatArray(x) && isFloatArray(y) &&
+              isPairwiseMul(mulBody, mulArgs) &&
+              isPairwiseAdd(addBody, addArgs) &&
+              isIdentity(finish) =>
+          If(EqualTo(Size(x), Size(y)), FloatDot(x, y), agg)
+        case other => other
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp { case p => p.mapExpressions(rewriteExpr) }
+}
