@@ -99,7 +99,29 @@ object Extras {
       * SimilaritySpec asserts recall vs the exact q52 top-k and
       * nprobe=k ≡ brute force. */
     "q_sim_ann_ivf" -> ((s, d) =>
-      graft.text.Similarity.ivfTopK(s, d).drop("cluster"))
+      graft.text.Similarity.ivfTopK(s, d).drop("cluster")),
+
+    /** q77: deterministic train/val/test split — the holdout
+      * mechanism of a training-data pipeline. Assignment hashes the
+      * KEY (md5, engine-portable), never a random(): reproducible
+      * across runs, engines and cluster sizes, and stable under
+      * re-partitioning. ~80/10/10 via the first hex byte
+      * (< 0xcc / < 0xe6); output = per-(lang, split) counts, i.e. the
+      * stratification report. */
+    "q_sample_split" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("h2",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+        .withColumn("split",
+          when(col("h2") < "cc", "train")
+            .when(col("h2") < "e6", "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("lang", "split")
+    })
   )
 
   val sql: Map[String, String] = Map(
@@ -151,6 +173,17 @@ object Extras {
            CAST(coalesce(b.tb, 0) AS DOUBLE) AS after_sum,
            CAST(coalesce(b.tb, 0) - coalesce(a.ta, 0) AS DOUBLE) AS delta
          FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+    "q_sample_split" ->
+      """SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         min(doc_id) AS min_doc
+         FROM documents
+         GROUP BY lang, split
+         ORDER BY lang, split"""
   )
 }
