@@ -73,6 +73,68 @@ object Graft {
   def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame =
     Similarity.ivfTopK(s, dir, nprobe = nprobe, topK = k)
 
+  /** SSSP (unit weights) from `source` over `(src: long, dst: long)`
+    * edges, fixed `iters` relaxation rounds; unreachable = 999999999. */
+  def sssp(edges: DataFrame, source: Long, iters: Int): DataFrame =
+    IterQueries.sssp(edges, source, iters)
+
+  /** Connected components by min-label propagation; pass a
+    * symmetrized edge list for undirected semantics. */
+  def connectedComponents(edges: DataFrame, iters: Int): DataFrame =
+    IterQueries.connectedComponents(edges, iters)
+
+  /** Last-write-wins current state per key from a change log
+    * (kv-pair-level update = delete+insert, paper [P §3]): keeps the
+    * first row per key under `ordering` (pass `.desc` columns for
+    * latest-wins). */
+  def upsertLatest(changeLog: DataFrame, keys: Seq[String],
+                   ordering: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    changeLog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Snapshot diff of two keyed aggregate states: full outer join on
+    * `key`, status = added/removed/changed, delta = after - before
+    * (both value columns must be exact-decimal per Dec). */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   key: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = before.select(col(key), col(valueCol).as("__a"))
+    val b = after.select(col(key), col(valueCol).as("__b"))
+    a.join(b, Seq(key), "full")
+      .select(col(key),
+        when(col("__a").isNull, lit("added"))
+          .when(col("__b").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("__b"), lit(0)) - coalesce(col("__a"), lit(0)))
+          .as("delta"))
+  }
+
+  /** Deterministic train/val/test assignment (~80/10/10) keyed on
+    * `keyCol` — reproducible across runs, engines and partitionings
+    * (md5 of the key, never random()). Adds a `split` column. */
+  def sampleSplit(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h2 = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 2)
+    df.withColumn("split",
+      when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test"))
+  }
+
+  /** SimHash near-dup pairs over distinct `(doc_id, tok)` rows:
+    * 64-bit signatures, 4×16-bit band candidates (pigeonhole-complete
+    * for Hamming <= 3), exact popcount verify. */
+  def simhashPairs(tokens: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.text.SimHash.candidates(graft.text.SimHash.signatures(tokens))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Streaming/batch windowed aggregations — same function builds
     * either plan (pass a readStream or a batch DataFrame). */
   def tumbling(ev: DataFrame, watermark: Option[String] = None): DataFrame =

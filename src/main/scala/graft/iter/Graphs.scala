@@ -38,6 +38,13 @@ object Graphs {
   def nodes(edges: DataFrame): DataFrame =
     edges.select(col("src").as("node")).distinct()
 
+  /** Node set of an ARBITRARY directed edge list (src ∪ dst) — for
+    * the generic facade entry points, where symmetry isn't given. */
+  def allNodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+
   /** Out-degree per node. */
   def deg(edges: DataFrame): DataFrame =
     edges.groupBy("src").agg(count(lit(1)).as("outdeg"))

@@ -184,6 +184,35 @@ object IterQueries {
     state
   }
 
+  /** Generic SSSP over an arbitrary directed `(src, dst)` edge list:
+    * unit weights, `iters` relaxation rounds from `source`;
+    * unreachable nodes keep the 999999999 sentinel. Facade entry. */
+  def sssp(edges0: DataFrame, source: Long, iters: Int): DataFrame =
+    noAqe(edges0.sparkSession) {
+      val edges = edges0.persist()
+      val n = Graphs.allNodes(edges).persist()
+      val state0 = n.select(col("node"),
+        when(col("node") === source, 0L).otherwise(INF).as("dist"))
+      val changed0 = state0.filter(col("dist") === 0)
+        .select(col("node").as("cnode"), col("dist").as("cval"))
+      finish(minLoopDelta(edges, state0, changed0, "dist", 1L, iters),
+        edges, n)
+    }
+
+  /** Generic connected components (min-label propagation) over an
+    * arbitrary directed edge list; labels flow along edge direction,
+    * so pass a symmetrized list for undirected semantics. */
+  def connectedComponents(edges0: DataFrame, iters: Int): DataFrame =
+    noAqe(edges0.sparkSession) {
+      val edges = edges0.persist()
+      val n = Graphs.allNodes(edges).persist()
+      val state0 = n.select(col("node"), col("node").as("label"))
+      val changed0 = state0
+        .select(col("node").as("cnode"), col("label").as("cval"))
+      finish(minLoopDelta(edges, state0, changed0, "label", 0L, iters),
+        edges, n)
+    }
+
   val defs: Map[String, Q] = Map(
     /** q41: PageRank, damping 0.85, FIXED 5 iterations. */
     "q_iter_pagerank" -> ((s, d) => {

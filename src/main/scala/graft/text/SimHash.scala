@@ -49,12 +49,18 @@ object SimHash {
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds)),
-               y -> struct(x.doc_id AS doc_a, x.sig AS sig_a,
-                           y.doc_id AS doc_b, y.sig AS sig_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.sig_a"), col("p.doc_b"), col("p.sig_b"))
+      // Two chained generators with a repartition between them — same
+      // anti-skew shape as MinHash.candidates: O(bucket) memory per
+      // row, mega-bucket pair generation spread across cores (the
+      // previous flatten(transform(transform(...))) built the whole
+      // O(bucket²) pair array inside one row).
+      .select(col("ds"), posexplode(col("ds")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      .repartition(col("i"), col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.sig").as("sig_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("y"))
+      .select(col("doc_a"), col("sig_a"),
+        col("y.doc_id").as("doc_b"), col("y.sig").as("sig_b"))
       .distinct()
   }
 
