@@ -121,6 +121,40 @@ object Extras {
           sum(col("n_chars")).as("n_chars"),
           min(col("doc_id")).as("min_doc"))
         .orderBy("lang", "split")
+    }),
+
+    /** q78: range/interval join — events bucketed into static value
+      * intervals [lo, hi). The bucket table broadcasts, so the range
+      * condition evaluates in a broadcast nested-loop with NO shuffle
+      * of the fact side — the scale shape for dim-sized interval
+      * tables. (Interval tables that are themselves fact-sized need a
+      * bucketing/binning pre-join instead.) */
+    "q_join_range" -> ((s, d) => {
+      import s.implicits._
+      val buckets = (0 until 10)
+        .map(i => (i.toLong, i * 10.0, (i + 1) * 10.0))
+        .toDF("bucket", "lo", "hi")
+      events(s, d)
+        .join(broadcast(buckets),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("bucket")
+    }),
+
+    /** q79: RANGE window frame over event TIME (not row counts) —
+      * per-user rolling 1-hour event count and exact-decimal sum.
+      * The frame bound is integer µs on both engines. */
+    "q_win_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          dbl(sum(dec2(col("value"))).over(w)).as("sum_1h"))
+        .orderBy("event_id")
     })
   )
 
@@ -174,6 +208,23 @@ object Extras {
            CAST(coalesce(b.tb, 0) - coalesce(a.ta, 0) AS DOUBLE) AS delta
          FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
          ORDER BY user_id""",
+    "q_join_range" ->
+      """WITH buckets AS (
+           SELECT i AS bucket, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+           FROM range(0, 10) t(i)
+         )
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+         GROUP BY bucket ORDER BY bucket""",
+    "q_win_range_frame" ->
+      """SELECT event_id, user_id,
+         CAST(count(*) OVER w AS BIGINT) AS n_1h,
+         CAST(sum(CAST(ROUND(value,2) AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "q_sample_split" ->
       """SELECT lang,
          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
