@@ -70,6 +70,47 @@ object Streams {
       }
   }
 
+  /** Spark 4's arbitrary-stateful-processing API (transformWithState
+    * + StatefulProcessor): the successor of mapGroupsWithState, with
+    * typed per-key state handles (ValueState/ListState/MapState),
+    * TTL, and timers. Same running per-user count+last-seen as
+    * [[runningUserState]] so the spec can assert the two APIs agree.
+    * Requires the RocksDB state store provider. */
+  class UserAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Timestamp), UserAgg] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("agg",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Timestamp)],
+                                 timerValues: TimerValues): Iterator[UserAgg] = {
+      var (n, last) = if (st.exists()) st.get() else (0L, Long.MinValue)
+      rows.foreach { case (_, ts) =>
+        n += 1
+        if (ts.getTime > last) last = ts.getTime
+      }
+      st.update((n, last))
+      Iterator.single(UserAgg(uid, n, new Timestamp(last)))
+    }
+  }
+
+  /** runningUserState on the transformWithState API. */
+  def runningUserStateTws(ev: DataFrame): Dataset[UserAgg] = {
+    val sp = ev.sparkSession
+    import sp.implicits._
+    ev.select(col("user_id"), col("ts")).as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new UserAggProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   case class SessionOut(user_id: Long, n: Long, start: Timestamp, end: Timestamp)
 
   /** Fully custom sessionization via flatMapGroupsWithState with an

@@ -64,4 +64,34 @@ class FacadeSpec extends SparkSpecBase {
     assert(last.getAs[Timestamp]("last_ts") == ts("10:03:00"))
     q.stop()
   }
+
+  test("transformWithState (Spark 4 API) matches mapGroupsWithState semantics") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(s: String) = Timestamp.from(Instant.parse(s"2024-01-01T${s}Z"))
+      val ms = MemoryStream[(Timestamp, Long)]
+      val stream = ms.toDF.toDF("ts", "user_id")
+      val q = Streams.runningUserStateTws(stream).writeStream
+        .format("memory").queryName("ustate_tws").outputMode("update").start()
+      ms.addData((ts("10:00:00"), 1L), (ts("10:01:00"), 1L), (ts("10:02:00"), 2L))
+      q.processAllAvailable()
+      ms.addData((ts("10:03:00"), 1L))
+      q.processAllAvailable()
+      val last = sp.table("ustate_tws").filter(col("user_id") === 1L)
+        .orderBy(col("n").desc).head()
+      assert(last.getAs[Long]("n") == 3L, "ValueState not preserved across batches")
+      assert(last.getAs[Timestamp]("last_ts") == ts("10:03:00"))
+      q.stop()
+    } finally prev match {
+      case Some(v) => sp.conf.set(key, v)
+      case None => sp.conf.unset(key)
+    }
+  }
 }
