@@ -44,4 +44,22 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
+
+  test("q_join_range: interval table broadcasts, fact side never shuffles for the join") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range join should be a broadcast nested-loop on the dim-sized intervals:\n$p")
+  }
+
+  test("q_apriori_pairs: no self-join — exactly the set-build and pair-count aggregates") {
+    val p = plan("q_apriori_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"apriori must not join:\n$p")
+    assert(p.contains("collect_set"), "per-doc token sets must build in the agg")
+  }
+
+  test("q_win_range_frame: RANGE frame window, single partition-key exchange") {
+    val p = plan("q_win_range_frame")
+    assert(p.contains("RangeFrame"), s"not a RANGE frame:\n$p")
+  }
 }
