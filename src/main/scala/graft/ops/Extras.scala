@@ -143,6 +143,17 @@ object Extras {
         .orderBy("bucket")
     }),
 
+    /** q80: UNPIVOT (inverse of q68's PIVOT) — wide numeric columns
+      * to (key, metric, value) long form via the stack() generator;
+      * map-only, no shuffle until the output sort. */
+    "q_agg_unpivot" -> ((s, d) => {
+      orders(s, d)
+        .selectExpr("o_orderkey",
+          """stack(2, 'custkey', CAST(o_custkey AS DOUBLE),
+                      'price', o_totalprice) AS (metric, value)""")
+        .orderBy("o_orderkey", "metric")
+    }),
+
     /** q79: RANGE window frame over event TIME (not row counts) —
       * per-user rolling 1-hour event count and exact-decimal sum.
       * The frame bound is integer µs on both engines. */
@@ -208,6 +219,13 @@ object Extras {
            CAST(coalesce(b.tb, 0) - coalesce(a.ta, 0) AS DOUBLE) AS delta
          FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
          ORDER BY user_id""",
+    "q_agg_unpivot" ->
+      """SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey, 'price' AS metric, o_totalprice AS value
+         FROM orders
+         ORDER BY o_orderkey, metric""",
     "q_join_range" ->
       """WITH buckets AS (
            SELECT i AS bucket, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
