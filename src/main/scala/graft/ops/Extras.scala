@@ -143,6 +143,20 @@ object Extras {
         .orderBy("bucket")
     }),
 
+    /** q81: approximate percentiles — the sketch companion to q69's
+      * exact percentiles (t-digest-style; at 100 TB the exact sort
+      * per group is what you avoid). oracle=none (sketches differ
+      * across engines); the spec bounds it against the exact values. */
+    "q_agg_approx_percentile" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     /** q80: UNPIVOT (inverse of q68's PIVOT) — wide numeric columns
       * to (key, metric, value) long form via the stack() generator;
       * map-only, no shuffle until the output sort. */

@@ -66,6 +66,22 @@ class InvariantSpec extends SparkSpecBase {
     assert(base != incr, "edge delta must perturb some ranks")
   }
 
+  test("approx_percentile brackets the exact per-group percentiles") {
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr("percentile(l_quantity, 0.5)").as("p50"),
+        org.apache.spark.sql.functions.expr("percentile(l_quantity, 0.9)").as("p90"),
+        org.apache.spark.sql.functions.expr("max(l_quantity) - min(l_quantity)").as("range"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    exact.foreach { case (k, (p50, p90, range)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) <= 0.05 * range + 1e-9, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= 0.05 * range + 1e-9, s"$k p90: $a90 vs $p90")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val approx = graft.ops.Aggs.defs("q_agg_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
