@@ -143,6 +143,24 @@ object Extras {
         .orderBy("bucket")
     }),
 
+    /** q82: LATERAL join — correlated subquery in FROM (top-2 orders
+      * per customer for a deterministic customer subset): per-row
+      * parameterized subplans, the join surface that window-rank
+      * rewrites don't literally express. Catalyst decorrelates it
+      * into a ranked join under the hood. */
+    "q_join_lateral" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("cust_q82")
+      orders(s, d).createOrReplaceTempView("ord_q82")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM cust_q82 c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM ord_q82
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey % 10 = 0
+        ORDER BY c.c_custkey, o.o_orderkey""")
+    }),
+
     /** q81: approximate percentiles — the sketch companion to q69's
       * exact percentiles (t-digest-style; at 100 TB the exact sort
       * per group is what you avoid). oracle=none (sketches differ
@@ -233,6 +251,14 @@ object Extras {
            CAST(coalesce(b.tb, 0) - coalesce(a.ta, 0) AS DOUBLE) AS delta
          FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
          ORDER BY user_id""",
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey % 10 = 0
+         ORDER BY c.c_custkey, o.o_orderkey""",
     "q_agg_unpivot" ->
       """SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
          FROM orders
