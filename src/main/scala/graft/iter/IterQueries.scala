@@ -117,13 +117,20 @@ object IterQueries {
   private def noAqe[T](s: SparkSession)(body: => T): T = {
     val aqeKey = "spark.sql.adaptive.enabled"
     val partKey = "spark.sql.shuffle.partitions"
-    val prevAqe = s.conf.get(aqeKey, "true")
-    val prevPart = s.conf.get(partKey, "32")
+    // getOption, not get-with-default: restoring a default the caller
+    // never set would permanently pin their session (e.g. a stock
+    // session's 200 shuffle partitions silently becoming 32).
+    val prevAqe = s.conf.getOption(aqeKey)
+    val prevPart = s.conf.getOption(partKey)
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
     s.conf.set(aqeKey, "false")
     s.conf.set(partKey, "8")
     try body finally {
-      s.conf.set(aqeKey, prevAqe)
-      s.conf.set(partKey, prevPart)
+      restore(aqeKey, prevAqe)
+      restore(partKey, prevPart)
     }
   }
 

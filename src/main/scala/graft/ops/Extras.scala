@@ -149,12 +149,14 @@ object Extras {
       * rewrites don't literally express. Catalyst decorrelates it
       * into a ranked join under the hood. */
     "q_join_lateral" -> ((s, d) => {
-      customer(s, d).createOrReplaceTempView("cust_q82")
-      orders(s, d).createOrReplaceTempView("ord_q82")
-      s.sql("""
+      // Path-based table refs (`parquet.`...``), NOT temp views: a
+      // createOrReplaceTempView here would mutate the session catalog
+      // at plan-build time, so two plans built in one session against
+      // different data dirs would silently cross-contaminate.
+      s.sql(s"""
         SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-        FROM cust_q82 c, LATERAL (
-          SELECT o_orderkey, o_totalprice FROM ord_q82
+        FROM parquet.`$d/customer.parquet` c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM parquet.`$d/orders.parquet`
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         WHERE c.c_custkey % 10 = 0

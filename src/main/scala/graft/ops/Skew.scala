@@ -22,13 +22,22 @@ object Skew {
 
   /** Inner-join `fact ⋈ dim` on `key`, fact side salted by a hash of
     * `saltBy` columns. Semantically identical to
-    * `fact.join(dim, key)` for any `nSalts >= 1`. */
+    * `fact.join(dim, key)` for any `nSalts >= 1`.
+    *
+    * `saltBy` must include at least one column with per-row variance
+    * BEYOND the join key: if it is only the key, every row of the hot
+    * key hashes to one salt and the mitigation is a no-op. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBy: Seq[Column], nSalts: Int): DataFrame = {
     require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
-    val salted = fact.withColumn("__salt", pmod(hash(saltBy: _*), lit(nSalts)))
+    // Collision-free temp name: withColumn silently REPLACES an
+    // existing column, which would make a user's same-named column
+    // vanish from the output instead of failing.
+    val salt = Iterator.from(0).map(i => s"__graft_salt_$i")
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val salted = fact.withColumn(salt, pmod(hash(saltBy: _*), lit(nSalts)))
     val replicated = dim
-      .withColumn("__salt", explode(array((0 until nSalts).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+      .withColumn(salt, explode(array((0 until nSalts).map(lit): _*)))
+    salted.join(replicated, Seq(key, salt)).drop(salt)
   }
 }

@@ -34,18 +34,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * (acc, v) -> acc + v)` over float arrays into [[FloatDot]].
   *
   * FloatDot folds left-to-right in double — the SAME IEEE op sequence
-  * as the HOF chain — so equal-length inputs are bit-identical. The
-  * one semantic gap is unequal lengths: zip_with pads the shorter
-  * array with NULLs (→ the whole sum becomes NULL) while FloatDot
-  * stops at min(len). The rewrite therefore guards with
-  * `If(size(x) = size(y), FloatDot, <original>)`: the fast path runs
-  * exactly when the two agree, and NULL/ragged inputs fall through to
-  * the original expression. */
+  * as the HOF chain — so equal-length all-non-null inputs are
+  * bit-identical. Two semantic gaps are guarded at RUNTIME:
+  * unequal lengths (zip_with pads with NULLs → whole sum NULL, while
+  * FloatDot stops at min(len)) via `size(x) = size(y)`, and — only
+  * when the array type admits null elements — a null slot (HOF sum
+  * becomes NULL, FloatDot reads 0.0) via `NOT exists(arr, isnull)`.
+  * Rows failing the guard fall through to the original expression.
+  * The STATIC requirement is that the zip lambda multiplies in
+  * double (see [[isPairwiseMul]]); a raw-float multiply rounds each
+  * product to float before widening and is not bit-equivalent. */
 object FloatDotRewrite extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  /** `NOT exists(arr, e -> isnull(e))` — the runtime guard for
+    * nullable-element arrays (parquet list elements are nullable by
+    * default even when no null ever occurs, so a static containsNull
+    * check would kill the rewrite on every real table). */
+  private def noNullElem(arr: Expression): Expression = {
+    val lv = NamedLambdaVariable("gx", FloatType, nullable = true)
+    Not(ArrayExists(arr, LambdaFunction(IsNull(lv), Seq(lv))))
   }
 
   /** strip casts, then require the expression to BE the given bound
@@ -59,10 +76,15 @@ object FloatDotRewrite extends Rule[LogicalPlan] {
     }
 
   /** body is (a cast/raw) * (b cast/raw) of exactly the two lambda
-    * variables in order. */
+    * variables in order, AND the multiply itself evaluates in double.
+    * Without the dataType check a raw-float `(a, b) -> a * b` (where
+    * the analyzer only casts at the outer Add) would match, but there
+    * each product rounds to float before widening while FloatDot
+    * multiplies widened doubles — low-order bits differ. */
   private def isPairwiseMul(body: Expression,
                             args: Seq[NamedExpression]): Boolean = body match {
-    case Multiply(l, r, _) => sameVar(l, args.head) && sameVar(r, args(1))
+    case m @ Multiply(l, r, _) if m.dataType == DoubleType =>
+      sameVar(l, args.head) && sameVar(r, args(1))
     case _ => false
   }
 
@@ -89,7 +111,7 @@ object FloatDotRewrite extends Rule[LogicalPlan] {
     * re-wrap it forever. The skip case makes the rule IDEMPOTENT:
     * an already-guarded subtree is left untouched wholesale. */
   private def rewriteExpr(e: Expression): Expression = e match {
-    case If(EqualTo(Size(_, _), Size(_, _)), _: FloatDot, _) => e
+    case If(_, _: FloatDot, _) => e
     case _ =>
       e.mapChildren(rewriteExpr) match {
         case agg @ ArrayAggregate(
@@ -101,7 +123,10 @@ object FloatDotRewrite extends Rule[LogicalPlan] {
               isPairwiseMul(mulBody, mulArgs) &&
               isPairwiseAdd(addBody, addArgs) &&
               isIdentity(finish) =>
-          If(EqualTo(Size(x), Size(y)), FloatDot(x, y), agg)
+          val guards = Seq(EqualTo(Size(x), Size(y))) ++
+            (if (elemNullable(x)) Seq(noNullElem(x)) else Nil) ++
+            (if (elemNullable(y)) Seq(noNullElem(y)) else Nil)
+          If(guards.reduce(And), FloatDot(x, y), agg)
         case other => other
       }
   }

@@ -69,6 +69,45 @@ class ExtensionsSpec extends SparkSpecBase {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rule does NOT fire on a raw-float multiply (not bit-equivalent)") {
+    // (x, y) -> x * y on floats: each product rounds to float before
+    // the Add widens it, while FloatDot multiplies widened doubles.
+    import spark.implicits._
+    val df = Seq((1L, Array(1.1f, 2.2f), Array(3.3f, 4.4f))).toDF("id", "a", "b")
+      .select(aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    val rewritten = FloatDotRewrite(df.queryExecution.analyzed)
+    assert(!rewritten.toString.toLowerCase.contains("floatdot"),
+      s"rule must not fire on float-typed multiply:\n$rewritten")
+  }
+
+  test("nullable-element arrays: null slot stays NULL under the rewrite") {
+    // parquet list elements are containsNull=true; the rewrite must
+    // still fire (runtime guard) and a genuine null element must fall
+    // through to the HOF's NULL, not FloatDot's 0.0 treatment.
+    val df = spark.range(2).select(
+      col("id"),
+      when(col("id") === 0, array(lit(1.0f), lit(null).cast("float")))
+        .otherwise(array(lit(1.0f), lit(2.0f))).as("a"),
+      array(lit(2.0f), lit(3.0f)).as("b"))
+    val hof = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ FloatDotRewrite
+    try {
+      val q = df.select(col("id"), hof.as("d"))
+      assert(q.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("floatdot"), "rule must fire on nullable-element arrays")
+      val got = q.collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      assert(got == Map(0L -> None, 1L -> Some(8.0)))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("GraftExtensions class wires function + rule (smoke)") {
     // The builder-time path needs a fresh session; here we assert the
     // extension object is constructible and injects without error into

@@ -22,6 +22,27 @@ class FacadeSpec extends SparkSpecBase {
     assert(ranks.forall(_.getAs[Long]("rs") == 10000000000L))
   }
 
+  test("iterative facade leaves caller session conf exactly as found") {
+    // noAqe must restore-or-UNSET: restoring a literal fallback would
+    // pin a never-set key (e.g. stock 200 partitions becoming 32).
+    val sp = spark
+    import sp.implicits._
+    val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> sp.conf.getOption(k))
+    try {
+      keys.foreach(sp.conf.unset)
+      val before = keys.map(sp.conf.getOption)
+      val ring = (0L until 4L).map(i => (i, (i + 1) % 4)).toDF("src", "dst")
+      Graft.sssp(ring, 0L, 3).collect()
+      val after = keys.map(sp.conf.getOption)
+      assert(after == before,
+        s"facade mutated session conf: before=$before after=$after")
+    } finally saved.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None)    => sp.conf.unset(k)
+    }
+  }
+
   test("incrMerge applies inserts and deletes per key") {
     val sp = spark
     import sp.implicits._

@@ -27,6 +27,21 @@ class SkewSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("a user column named like the salt column survives the join") {
+    // withColumn silently replaces same-named columns; the temp salt
+    // name must dodge whatever the caller's frames already contain.
+    val fact = (0 until 100).map(i => (i.toLong, i % 5L, s"keep_$i"))
+      .toDF("row_id", "k", "__graft_salt_0")
+    val dim = (0L until 5L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val out = Skew.saltedJoin(fact, dim, "k", Seq(col("row_id")), nSalts = 4)
+    assert(out.columns.contains("__graft_salt_0"),
+      s"user column dropped: ${out.columns.mkString(",")}")
+    val vals = out.select("row_id", "__graft_salt_0").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vals(7L) == "keep_7")
+    assert(out.count() == 100)
+  }
+
   test("the hot key spreads across all salt buckets") {
     val fact = (0 until 4000).map(i => (i.toLong, 1L)).toDF("row_id", "k")
     val buckets = fact
