@@ -27,7 +27,8 @@ object SparkEntry {
       IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ IncrMerge.defs ++
       Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
       TextStats.defs ++
-      Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs
+      Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
+      Round3.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
@@ -38,5 +39,6 @@ object SparkEntry {
       IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ IncrMerge.sql ++
       Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
       TextStats.sql ++
-      Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql
+      Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++
+      Round3.sql
 }
