@@ -189,6 +189,46 @@ object Round3 {
         .orderBy("lang")
     }),
 
+    /** q92: incremental maintenance of an AGGREGATED JOIN VIEW — the
+      * MRBGraph view-maintenance semantics [P §3] one level up from
+      * q46's flat merge: revenue-per-nation over lineitem⋈supplier⋈
+      * nation is kept as a stored aggregate; a shipdate-delta arrives
+      * and only the DELTA is joined and aggregated, then merged into
+      * the base view by re-summing the partial aggregates (count and
+      * decimal sum are associative, so merge == full recompute — the
+      * oracle IS the full recompute). At 100 TB the base branch is a
+      * read of the materialized view, not a recompute; the plan shape
+      * of the incremental branch (delta ⋈ broadcast dim → partial
+      * agg → merge) is what scales. */
+    "q_incr_join_view" -> ((s, d) => {
+      val cut = lit("1999-01-01").cast("timestamp")
+      val dim = supplier(s, d)
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      def view(rows: DataFrame): DataFrame = rows
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).as("rev"))
+      val li = lineitem(s, d)
+      val base = view(li.filter(col("l_shipdate") < cut))
+      val delta = view(li.filter(col("l_shipdate") >= cut))
+      base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(sum(col("n")).as("n"), dbl(sum(col("rev"))).as("rev"))
+        .orderBy("n_name")
+    }),
+
+    /** q93: degree distribution of the symmetrized part↔supplier
+      * graph — the standard first look at any large graph, and a
+      * two-level aggregation (node degree, then nodes per degree)
+      * whose second shuffle is degree-cardinality-sized (tiny). */
+    "q_graph_degree_dist" -> ((s, d) => {
+      graft.iter.Graphs.deg(graft.iter.Graphs.edgesCached(s, d))
+        .groupBy("outdeg")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("outdeg")
+    }),
+
     /** q91: batch K-nearest-neighbour search — top-3 cosine
       * neighbours for each of 5 probe vectors in ONE pass: probes
       * broadcast to the corpus (never the reverse), similarity via
@@ -290,6 +330,18 @@ object Round3 {
            CAST(mad(n_chars) AS DOUBLE) AS mad,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q_incr_join_view" ->
+      """SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_graph_degree_dist" ->
+      s"""WITH ${graft.iter.Graphs.cteSql}
+         SELECT outdeg, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY outdeg ORDER BY outdeg""",
     "q_sim_knn_batch" ->
       """WITH probes AS (
            SELECT vec_id AS probe_id, embedding AS p

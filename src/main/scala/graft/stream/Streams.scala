@@ -45,6 +45,21 @@ object Streams {
   def enrich(ev: DataFrame, dim: DataFrame, key: String): DataFrame =
     ev.join(broadcast(dim), Seq(key), "left")
 
+  /** STREAM-STREAM interval join: left events matched to right events
+    * for the same user within [lt, lt + window]. Both sides carry
+    * watermarks, and the join condition time-bounds the match, so
+    * Spark can expire buffered state — the unbounded-state hazard of
+    * naive stream joins is structurally excluded. Column names are
+    * fixed (lt/rt, user_id) to keep the time-bound expression exact;
+    * callers rename on the way in. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   watermark: String = "10 minutes",
+                   window: String = "15 minutes"): DataFrame =
+    left.withWatermark("lt", watermark)
+      .join(right.withWatermark("rt", watermark),
+        expr(s"""l_user = r_user AND
+                 rt >= lt AND rt <= lt + INTERVAL $window"""))
+
   case class UserAgg(user_id: Long, n: Long, last_ts: Timestamp)
 
   /** Custom keyed state via mapGroupsWithState — the direct Spark

@@ -56,6 +56,34 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("stream-stream interval join matches within the window only") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = sp.sqlContext
+    val views = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val joined = graft.stream.Streams.intervalJoin(
+      views.toDF.toDF("lt", "l_user"),
+      buys.toDF.toDF("rt", "r_user"))
+    val q = joined.writeStream
+      .format("memory").queryName("ssj").outputMode("append").start()
+    views.addData((ts("10:00:00"), 1L), (ts("10:00:00"), 2L))
+    buys.addData(
+      (ts("10:10:00"), 1L),  // in window for user 1
+      (ts("10:40:00"), 2L),  // outside 15-min window for user 2
+      (ts("10:05:00"), 3L))  // no matching view
+    q.processAllAvailable()
+    // advance both watermarks so in-window results are emitted
+    views.addData((ts("12:00:00"), 99L))
+    buys.addData((ts("12:00:00"), 98L))
+    q.processAllAvailable()
+    val rows = sp.table("ssj").collect()
+      .map(r => (r.getAs[Long]("l_user"), r.getAs[Timestamp]("rt")))
+    assert(rows.toSet == Set((1L, ts("10:10:00"))),
+      s"expected only the in-window match, got ${rows.toSeq}")
+    q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes stream duplicates") {
     val sp = spark
     import sp.implicits._
