@@ -28,7 +28,7 @@ object SparkEntry {
       Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
       TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
-      Round3.defs
+      Round3.defs ++ BloomPrune.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
@@ -40,5 +40,5 @@ object SparkEntry {
       Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
       TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++
-      Round3.sql
+      Round3.sql ++ BloomPrune.sql
 }

