@@ -78,6 +78,19 @@ object Graphs {
         .persist()
     }
 
+  /** Force-build the shared structure caches at the CALLER's session
+    * conf. The iterative loops run under noAqe's 8 shuffle
+    * partitions (sized for node-sized loop state), but the builds
+    * behind these caches are EDGE-sized shuffles (the canon-pair
+    * distinct, the degree groupBy) that want full parallelism —
+    * so every declared iterative query materializes them here,
+    * before entering the loop conf. Memoized: later calls inside the
+    * loop are cache hits. */
+  def materialize(s: SparkSession, d: String): Unit = {
+    edgesDegCached(s, d).count()
+    nodesCached(s, d).count()
+  }
+
   /** Shared CTE prefix for the unrolled-CTE oracles. UNION (not UNION
     * ALL) deduplicates across both directions, mirroring .distinct(). */
   val cteSql: String =

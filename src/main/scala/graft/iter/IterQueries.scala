@@ -91,11 +91,14 @@ object IterQueries {
   /** q41's converged 5-iteration state, shared with q48 (identical
     * deterministic computation — memoized per session+dir). */
   private def converged5(s: SparkSession, d: String): DataFrame =
-    Graphs.cached(s, d, "pr5")(noAqe(s) {
-      // the fixture graph is symmetrized -> every node has in-edges
-      pagerankOn(Graphs.nodesCached(s, d), Graphs.edgesDegCached(s, d), 5,
-        allInDeg = true)
-    })
+    Graphs.cached(s, d, "pr5") {
+      Graphs.materialize(s, d) // edge-sized builds at full parallelism
+      noAqe(s) {
+        // the fixture graph is symmetrized -> every node has in-edges
+        pagerankOn(Graphs.nodesCached(s, d), Graphs.edgesDegCached(s, d), 5,
+          allInDeg = true)
+      }
+    }
 
   /** Structure-side loop invariant: edges with their source outdeg,
     * cached once for the whole loop. (No repartition: the loop joins
@@ -246,10 +249,14 @@ object IterQueries {
       * after an edge-delta, 2 refinement iterations. */
     "q_incr_iter_converge" -> ((s, d) => {
       val base = converged5(s, d)
+      // the delta graph's degree build is an edge-sized shuffle:
+      // materialize it BEFORE the loop conf (same reason as
+      // Graphs.materialize)
+      val edges2 = withDeg(
+        Graphs.edgesCached(s, d)
+          .filter((col("src") + col("dst")) % 17 =!= 0))
+      edges2.count()
       noAqe(s) {
-        val edges2 = withDeg(
-          Graphs.edgesCached(s, d)
-            .filter((col("src") + col("dst")) % 17 =!= 0))
         var state = base
         for (_ <- 1 to 2) state = prStep(Graphs.nodesCached(s, d), edges2, state)
         finish(state, edges2)
@@ -259,28 +266,34 @@ object IterQueries {
 
     /** q42: SSSP from the min node id, unit weights, FIXED 5 rounds;
       * unreachable = sentinel 999999999. */
-    "q_iter_sssp" -> ((s, d) => noAqe(s) {
-      val edges = Graphs.edgesCached(s, d)
-      val n = Graphs.nodesCached(s, d)
-      val src = n.agg(min("node")).head().getLong(0)
-      val state0 = n.select(col("node"),
-        when(col("node") === src, 0L).otherwise(INF).as("dist"))
-      // initial frontier: only the source has a propagatable value
-      val changed0 = state0.filter(col("dist") === 0)
-        .select(col("node").as("cnode"), col("dist").as("cval"))
-      finish(minLoopDelta(edges, state0, changed0, "dist", 1L, 5))
-    }.orderBy("node")),
+    "q_iter_sssp" -> ((s, d) => {
+      Graphs.materialize(s, d)
+      noAqe(s) {
+        val edges = Graphs.edgesCached(s, d)
+        val n = Graphs.nodesCached(s, d)
+        val src = n.agg(min("node")).head().getLong(0)
+        val state0 = n.select(col("node"),
+          when(col("node") === src, 0L).otherwise(INF).as("dist"))
+        // initial frontier: only the source has a propagatable value
+        val changed0 = state0.filter(col("dist") === 0)
+          .select(col("node").as("cnode"), col("dist").as("cval"))
+        finish(minLoopDelta(edges, state0, changed0, "dist", 1L, 5))
+      }.orderBy("node")
+    }),
 
     /** q43: connected components via min-label propagation (a GIM-V
       * instance [P §7]), FIXED 5 rounds. */
-    "q_iter_connected_components" -> ((s, d) => noAqe(s) {
-      val edges = Graphs.edgesCached(s, d)
-      val n = Graphs.nodesCached(s, d)
-      val state0 = n.select(col("node"), col("node").as("label"))
-      val changed0 = state0
-        .select(col("node").as("cnode"), col("label").as("cval"))
-      finish(minLoopDelta(edges, state0, changed0, "label", 0L, 5))
-    }.orderBy("node"))
+    "q_iter_connected_components" -> ((s, d) => {
+      Graphs.materialize(s, d)
+      noAqe(s) {
+        val edges = Graphs.edgesCached(s, d)
+        val n = Graphs.nodesCached(s, d)
+        val state0 = n.select(col("node"), col("node").as("label"))
+        val changed0 = state0
+          .select(col("node").as("cnode"), col("label").as("cval"))
+        finish(minLoopDelta(edges, state0, changed0, "label", 0L, 5))
+      }.orderBy("node")
+    })
   )
 
   private def minStageSql(k: Int, valCol: String, delta: Int): String = {
