@@ -143,4 +143,44 @@ object Graft {
     Streams.sessions(ev, watermark)
   def runningUserState(ev: DataFrame): Dataset[Streams.UserAgg] =
     Streams.runningUserState(ev)
+
+  /** Salted fact⋈dim inner join for hot-key skew — deterministic
+    * content-derived salt; identical results to the plain join. See
+    * [[graft.ops.Skew.saltedJoin]]. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBy: Seq[Column], nSalts: Int): DataFrame =
+    graft.ops.Skew.saltedJoin(fact, dim, key, saltBy, nSalts)
+
+  /** Bloom-pruned selective fact⋈dim join: dim-side Bloom filter
+    * drops non-matching fact rows before the join shuffle; exact join
+    * after, so results equal the plain join. See
+    * [[graft.ops.BloomPrune.bloomPrunedJoin]]. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String): DataFrame =
+    graft.ops.BloomPrune.bloomPrunedJoin(fact, dim, factKey, dimKey)
+
+  /** Watermarked STREAM-STREAM interval join (columns lt/l_user vs
+    * rt/r_user); the time-bounded condition lets buffered state
+    * expire. See [[graft.stream.Streams.intervalJoin]]. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   watermark: String = "10 minutes",
+                   window: String = "15 minutes"): DataFrame =
+    Streams.intervalJoin(left, right, watermark, window)
+
+  /** TF-IDF scores over `(idCol, textCol)` documents: one row per
+    * (doc, term) with tf, df and tfidf = tf * ln(N/df). Space-split
+    * tokenization; vocabulary-sized df side is broadcast. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val nDocs = docs.count().toDouble
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(lit(nDocs) / col("df").cast("double"))).as("tfidf"))
+  }
 }

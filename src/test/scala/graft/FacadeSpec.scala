@@ -55,6 +55,20 @@ class FacadeSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(("a", 2L, 50.0), ("b", 1L, 5.0), ("c", 1L, 1.0)))
   }
 
+  test("tfidf scores match the hand-computed values") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Graft.tfidf(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      (1L, "a") -> ((2L, 1L, 2.0 * math.log(2.0))),
+      (1L, "b") -> ((1L, 2L, 0.0)),
+      (2L, "b") -> ((1L, 2L, 0.0)),
+      (2L, "c") -> ((1L, 1L, math.log(2.0)))))
+  }
+
   test("dedupExact keeps the lowest id per identical content") {
     val sp = spark
     import sp.implicits._
