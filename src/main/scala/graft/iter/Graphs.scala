@@ -78,18 +78,15 @@ object Graphs {
         .persist()
     }
 
-  /** Force-build the shared structure caches at the CALLER's session
-    * conf. The iterative loops run under noAqe's 8 shuffle
-    * partitions (sized for node-sized loop state), but the builds
-    * behind these caches are EDGE-sized shuffles (the canon-pair
-    * distinct, the degree groupBy) that want full parallelism —
-    * so every declared iterative query materializes them here,
-    * before entering the loop conf. Memoized: later calls inside the
-    * loop are cache hits. */
-  def materialize(s: SparkSession, d: String): Unit = {
-    edgesDegCached(s, d).count()
-    nodesCached(s, d).count()
-  }
+  /** Note on build parallelism (measured 2026-08-12): the structure
+    * caches are built under the loops' noAqe(8) conf on purpose. An
+    * experiment that force-built them first at the session's full 32
+    * partitions with AQE on was consistently ~4-7 s SLOWER in the
+    * benchmark — at this graph size (1.2M edges) AQE's per-stage
+    * re-planning and 32-task stages cost more than they recover. At
+    * cluster scale with fact-sized edge lists the balance flips:
+    * there the answer is raising the in-loop partition count with
+    * the data (see IterQueries.noAqe), not a separate build conf. */
 
   /** Shared CTE prefix for the unrolled-CTE oracles. UNION (not UNION
     * ALL) deduplicates across both directions, mirroring .distinct(). */

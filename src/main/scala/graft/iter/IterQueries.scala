@@ -91,14 +91,11 @@ object IterQueries {
   /** q41's converged 5-iteration state, shared with q48 (identical
     * deterministic computation — memoized per session+dir). */
   private def converged5(s: SparkSession, d: String): DataFrame =
-    Graphs.cached(s, d, "pr5") {
-      Graphs.materialize(s, d) // edge-sized builds at full parallelism
-      noAqe(s) {
-        // the fixture graph is symmetrized -> every node has in-edges
-        pagerankOn(Graphs.nodesCached(s, d), Graphs.edgesDegCached(s, d), 5,
-          allInDeg = true)
-      }
-    }
+    Graphs.cached(s, d, "pr5")(noAqe(s) {
+      // the fixture graph is symmetrized -> every node has in-edges
+      pagerankOn(Graphs.nodesCached(s, d), Graphs.edgesDegCached(s, d), 5,
+        allInDeg = true)
+    })
 
   /** Structure-side loop invariant: edges with their source outdeg,
     * cached once for the whole loop. (No repartition: the loop joins
@@ -249,16 +246,17 @@ object IterQueries {
       * after an edge-delta, 2 refinement iterations. */
     "q_incr_iter_converge" -> ((s, d) => {
       val base = converged5(s, d)
-      // delta-graph degrees: edge-sized shuffle, built BEFORE the
-      // loop conf (same reason as Graphs.materialize) and memoized —
-      // deterministic per dir, so repeat calls are cache hits.
-      val edges2 = Graphs.cached(s, d, "edges2deg") {
+      // delta-graph degrees, memoized — deterministic per dir, so
+      // repeat calls are cache hits (built under the loop conf like
+      // the other structure caches; see the noAqe scaladoc for the
+      // measured local-size tradeoff).
+      val edges2 = Graphs.cached(s, d, "edges2deg")(noAqe(s) {
         val e2 = withDeg(
           Graphs.edgesCached(s, d)
             .filter((col("src") + col("dst")) % 17 =!= 0))
         e2.count()
         e2
-      }
+      })
       noAqe(s) {
         var state = base
         for (_ <- 1 to 2) state = prStep(Graphs.nodesCached(s, d), edges2, state)
@@ -270,7 +268,6 @@ object IterQueries {
     /** q42: SSSP from the min node id, unit weights, FIXED 5 rounds;
       * unreachable = sentinel 999999999. */
     "q_iter_sssp" -> ((s, d) => {
-      Graphs.materialize(s, d)
       noAqe(s) {
         val edges = Graphs.edgesCached(s, d)
         val n = Graphs.nodesCached(s, d)
@@ -287,7 +284,6 @@ object IterQueries {
     /** q43: connected components via min-label propagation (a GIM-V
       * instance [P §7]), FIXED 5 rounds. */
     "q_iter_connected_components" -> ((s, d) => {
-      Graphs.materialize(s, d)
       noAqe(s) {
         val edges = Graphs.edgesCached(s, d)
         val n = Graphs.nodesCached(s, d)
