@@ -229,6 +229,39 @@ object Round3 {
         .orderBy("outdeg")
     }),
 
+    /** q96: per-group MODE with a DETERMINISTIC tiebreak — built-in
+      * mode() leaves ties engine-defined, so both sides compute
+      * (max count, then min value) explicitly: count per (user,
+      * type), per-user top-1 window. */
+    "q_agg_mode" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy("user_id")
+    }),
+
+    /** q97: null-handling scalar surface — coalesce / nullif /
+      * null-safe equality (Spark `<=>` ↔ SQL IS NOT DISTINCT FROM) /
+      * null-aware counting. The fixture tables are fully non-null, so
+      * nulls are manufactured deterministically with nullif. */
+    "q_fn_null" -> ((s, d) => {
+      val v1 = nullif(floor(col("value")).cast("bigint"), lit(50L))
+      val v2 = nullif(floor(col("value") / 2).cast("bigint"), lit(25L))
+      events(s, d)
+        .select(col("event_id"), v1.as("v1"), v2.as("v2"))
+        .select(col("event_id"),
+          coalesce(col("v1"), lit(-1L)).as("v1_or_neg1"),
+          (col("v1") <=> col("v2")).as("null_safe_eq"),
+          (col("v1") === col("v2")).as("plain_eq"),
+          when(col("v1").isNull, lit("NULL")).otherwise(lit("VAL")).as("tag"))
+        .orderBy("event_id")
+    }),
+
     /** q95: TF-IDF term scoring — the canonical text-relevance
       * weight: tf(doc,term) * ln(N/df(term)), top-20 by score.
       * Numeric note (D3 extension, empirically validated): Java's
@@ -368,6 +401,29 @@ object Round3 {
       s"""WITH ${graft.iter.Graphs.cteSql}
          SELECT outdeg, CAST(count(*) AS BIGINT) AS n_nodes
          FROM deg GROUP BY outdeg ORDER BY outdeg""",
+    "q_agg_mode" ->
+      """WITH c AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type
+         )
+         SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+         FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+           FROM c)
+         WHERE rn = 1 ORDER BY user_id""",
+    "q_fn_null" ->
+      """SELECT event_id,
+           coalesce(v1, -1) AS v1_or_neg1,
+           v1 IS NOT DISTINCT FROM v2 AS null_safe_eq,
+           v1 = v2 AS plain_eq,
+           CASE WHEN v1 IS NULL THEN 'NULL' ELSE 'VAL' END AS tag
+         FROM (
+           SELECT event_id,
+             nullif(CAST(floor(value) AS BIGINT), 50) AS v1,
+             nullif(CAST(floor(value / 2) AS BIGINT), 25) AS v2
+           FROM events)
+         ORDER BY event_id""",
     "q_text_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term
