@@ -33,6 +33,27 @@ object IncrMerge {
           .otherwise(-dec2(value)))).as("val_sum"))
   }
 
+  /** Incrementally-maintainable DISTINCT COUNT state: per-key HLL
+    * sketches (`hll_sketch_agg`) that MERGE associatively
+    * (`hll_union_agg`) — the sketch analogue of q92's associative
+    * decimal partials. At 100 TB "distinct users per day, updated
+    * hourly" never re-reads history: each delta contributes a sketch,
+    * and the stored per-day sketch is unioned with it. Returns one
+    * row per key with the merged estimate.
+    *
+    * `partials` rows are (key, sketch-binary); build them with
+    * [[distinctSketch]]. Estimates carry standard HLL error (~1.6%
+    * at lgK=12) — `IncrSketchSpec` bounds them against exact. */
+  def mergeDistinct(partials: DataFrame, keys: Seq[String]): DataFrame =
+    partials.groupBy(keys.map(col): _*)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("n_distinct"))
+
+  /** Per-key HLL sketch of `valueCol` for one batch/delta. */
+  def distinctSketch(batch: DataFrame, keys: Seq[String],
+                     valueCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol)").as("sketch"))
+
   private val cutoff = "2024-01-20"
 
   val defs: Map[String, Q] = Map(
