@@ -46,13 +46,13 @@ object IncrMerge {
     * at lgK=12) — `IncrSketchSpec` bounds them against exact. */
   def mergeDistinct(partials: DataFrame, keys: Seq[String]): DataFrame =
     partials.groupBy(keys.map(col): _*)
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("n_distinct"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct"))
 
   /** Per-key HLL sketch of `valueCol` for one batch/delta. */
   def distinctSketch(batch: DataFrame, keys: Seq[String],
                      valueCol: String): DataFrame =
     batch.groupBy(keys.map(col): _*)
-      .agg(expr(s"hll_sketch_agg($valueCol)").as("sketch"))
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
 
   private val cutoff = "2024-01-20"
 

@@ -117,11 +117,14 @@ object IterQueries {
   private def noAqe[T](s: SparkSession)(body: => T): T = {
     val aqeKey = "spark.sql.adaptive.enabled"
     val partKey = "spark.sql.shuffle.partitions"
-    // getOption, not get-with-default: restoring a default the caller
-    // never set would permanently pin their session (e.g. a stock
-    // session's 200 shuffle partitions silently becoming 32).
-    val prevAqe = s.conf.getOption(aqeKey)
-    val prevPart = s.conf.getOption(partKey)
+    // Capture the EXPLICIT setting only: getOption answers Some(...)
+    // even for never-set registered entries (it falls through to the
+    // entry default), so restoring it would pin the caller's session
+    // to a value they never chose. get(key, null) bypasses entry
+    // defaults — null means "was not explicitly set" → unset after.
+    def explicit(key: String): Option[String] = Option(s.conf.get(key, null))
+    val prevAqe = explicit(aqeKey)
+    val prevPart = explicit(partKey)
     def restore(key: String, prev: Option[String]): Unit = prev match {
       case Some(v) => s.conf.set(key, v)
       case None    => s.conf.unset(key)

@@ -34,23 +34,27 @@ object BloomPrune {
 
   /** Inner-join fact ⋈ dim on `factKey = dimKey`, with the fact side
     * pre-pruned by a Bloom filter built from dim's keys. Exactly
-    * equal to the plain join (the exact join runs after the prune). */
+    * equal to the plain join (the exact join runs after the prune).
+    * When the two key names are EQUAL the join uses the USING form
+    * (one key column in the output); an unattached col==col condition
+    * would be an ambiguous reference. */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       expectedDimKeys: Long = 100000L,
                       fpp: Double = 0.03): DataFrame = {
+    def joined(f: DataFrame): DataFrame =
+      if (factKey == dimKey) f.join(dim, Seq(factKey))
+      else f.join(dim, f(factKey) === dim(dimKey))
     // Spark's bloom_filter_agg yields NULL over zero rows and
     // stat.bloomFilter NPEs on it; an empty dim means an empty join.
-    if (dim.isEmpty)
-      return fact.join(dim, col(factKey) === col(dimKey))
+    if (dim.isEmpty) return joined(fact)
     val bf = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val sp = fact.sparkSession
     val bcast = sp.sparkContext.broadcast(bos.toByteArray)
     val mightContain = udf(new MightContain(bcast))
-    fact.filter(mightContain(col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+    joined(fact.filter(mightContain(col(factKey))))
   }
 
   val defs: Map[String, Q] = Map(

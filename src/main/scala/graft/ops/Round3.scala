@@ -272,21 +272,13 @@ object Round3 {
       * IEEE-exact-rounded — so scores are bit-identical and the
       * top-20 cut is stable. df-per-term is vocabulary-sized →
       * broadcast join; tf is one shuffle on (doc, term). */
-    "q_text_tfidf" -> ((s, d) => {
-      val docs = documents(s, d)
-      val nDocs = docs.count().toDouble
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(length(col("term")) > 0)
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), "term")
-        .select(col("doc_id"), col("term"),
-          (col("tf").cast("double") *
-            log(lit(nDocs) / col("df").cast("double"))).as("tfidf"))
+    "q_text_tfidf" -> ((s, d) =>
+      // single source of truth for the op chain: the facade pipeline
+      // (the oracle depends on its exact IEEE op sequence)
+      graft.Graft.tfidf(documents(s, d), "doc_id", "text")
+        .select("doc_id", "term", "tfidf")
         .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     /** q91: batch K-nearest-neighbour search — top-3 cosine
       * neighbours for each of 5 probe vectors in ONE pass: probes

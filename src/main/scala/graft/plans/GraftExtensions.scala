@@ -33,36 +33,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Rewrite `aggregate(zip_with(x, y, (a, b) -> a * b), 0.0,
   * (acc, v) -> acc + v)` over float arrays into [[FloatDot]].
   *
-  * FloatDot folds left-to-right in double — the SAME IEEE op sequence
-  * as the HOF chain — so equal-length all-non-null inputs are
-  * bit-identical. Two semantic gaps are guarded at RUNTIME:
-  * unequal lengths (zip_with pads with NULLs → whole sum NULL, while
-  * FloatDot stops at min(len)) via `size(x) = size(y)`, and — only
-  * when the array type admits null elements — a null slot (HOF sum
-  * becomes NULL, FloatDot reads 0.0) via `NOT exists(arr, isnull)`.
-  * Rows failing the guard fall through to the original expression.
-  * The STATIC requirement is that the zip lambda multiplies in
-  * double (see [[isPairwiseMul]]); a raw-float multiply rounds each
-  * product to float before widening and is not bit-equivalent. */
+  * The rewrite is TOTAL: FloatDot folds left-to-right in double — the
+  * SAME IEEE op sequence as the HOF chain — and implements the full
+  * HOF null semantics natively (null array, unequal lengths, or a
+  * null element all yield NULL, one branch per element inside the
+  * generated loop), so no runtime guard expression is needed. The
+  * STATIC requirement is that the zip lambda multiplies in double
+  * (see [[isPairwiseMul]]); a raw-float multiply rounds each product
+  * to float before widening and is not bit-equivalent. */
 object FloatDotRewrite extends Rule[LogicalPlan] {
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
-  }
-
-  private def elemNullable(e: Expression): Boolean = e.dataType match {
-    case ArrayType(_, containsNull) => containsNull
-    case _ => true
-  }
-
-  /** `NOT exists(arr, e -> isnull(e))` — the runtime guard for
-    * nullable-element arrays (parquet list elements are nullable by
-    * default even when no null ever occurs, so a static containsNull
-    * check would kill the rewrite on every real table). */
-  private def noNullElem(arr: Expression): Expression = {
-    val lv = NamedLambdaVariable("gx", FloatType, nullable = true)
-    Not(ArrayExists(arr, LambdaFunction(IsNull(lv), Seq(lv))))
   }
 
   /** strip casts, then require the expression to BE the given bound
@@ -104,32 +87,23 @@ object FloatDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Explicit recursion instead of transformDown/Up: the rewrite
-    * embeds the original aggregate as the If's ragged-input fallback,
-    * so any traversal that revisits rule output (transformDown
-    * in-pass, or the optimizer batch's fixed-point re-runs) would
-    * re-wrap it forever. The skip case makes the rule IDEMPOTENT:
-    * an already-guarded subtree is left untouched wholesale. */
-  private def rewriteExpr(e: Expression): Expression = e match {
-    case If(_, _: FloatDot, _) => e
-    case _ =>
-      e.mapChildren(rewriteExpr) match {
-        case agg @ ArrayAggregate(
-              ZipWith(x, y, LambdaFunction(mulBody, mulArgs, _)),
-              Literal(0.0, DoubleType),
-              LambdaFunction(addBody, addArgs, _),
-              finish)
-            if isFloatArray(x) && isFloatArray(y) &&
-              isPairwiseMul(mulBody, mulArgs) &&
-              isPairwiseAdd(addBody, addArgs) &&
-              isIdentity(finish) =>
-          val guards = Seq(EqualTo(Size(x), Size(y))) ++
-            (if (elemNullable(x)) Seq(noNullElem(x)) else Nil) ++
-            (if (elemNullable(y)) Seq(noNullElem(y)) else Nil)
-          If(guards.reduce(And), FloatDot(x, y), agg)
-        case other => other
-      }
-  }
+  /** Bottom-up recursion; the output (FloatDot) can never re-match
+    * the ArrayAggregate pattern, so the rule is trivially idempotent
+    * under the optimizer batch's fixed-point re-runs. */
+  private def rewriteExpr(e: Expression): Expression =
+    e.mapChildren(rewriteExpr) match {
+      case ArrayAggregate(
+            ZipWith(x, y, LambdaFunction(mulBody, mulArgs, _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(addBody, addArgs, _),
+            finish)
+          if isFloatArray(x) && isFloatArray(y) &&
+            isPairwiseMul(mulBody, mulArgs) &&
+            isPairwiseAdd(addBody, addArgs) &&
+            isIdentity(finish) =>
+        FloatDot(x, y)
+      case other => other
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp { case p => p.mapExpressions(rewriteExpr) }

@@ -50,8 +50,8 @@ object Streams {
     * watermarks, and the join condition time-bounds the match, so
     * Spark can expire buffered state — the unbounded-state hazard of
     * naive stream joins is structurally excluded. Column names are
-    * fixed (lt/rt, user_id) to keep the time-bound expression exact;
-    * callers rename on the way in. */
+    * fixed — left: (lt, l_user); right: (rt, r_user) — to keep the
+    * time-bound expression exact; callers rename on the way in. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    watermark: String = "10 minutes",
                    window: String = "15 minutes"): DataFrame =

@@ -39,6 +39,16 @@ class BloomPruneSpec extends SparkSpecBase {
     assert(joined == 100, s"expected 100 exact matches, got $joined")
   }
 
+  test("same-named join keys use the USING form, no ambiguity") {
+    val sp = spark
+    import sp.implicits._
+    val fact = (0L until 100L).map(i => (i, i % 10)).toDF("row_id", "k")
+    val dim = (0L until 10L).map(k => (k, s"d$k")).toDF("k", "name")
+    val out = BloomPrune.bloomPrunedJoin(fact, dim, "k", "k")
+    assert(out.count() == 100)
+    assert(out.columns.count(_ == "k") == 1, out.columns.mkString(","))
+  }
+
   test("empty dimension yields an empty join, not an NPE") {
     val sp = spark
     import sp.implicits._

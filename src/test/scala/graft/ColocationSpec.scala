@@ -13,7 +13,8 @@ import graft.engine.Tables
 class ColocationSpec extends SparkSpecBase {
 
   test("bucketed tables join WITHOUT a shuffle exchange") {
-    val tmp = Files.createTempDirectory("graft_bucketed").toString
+    val tmpPath = Files.createTempDirectory("graft_bucketed")
+    val tmp = tmpPath.toString
     val sp = spark
     sp.sql("DROP TABLE IF EXISTS g_ord_b")
     sp.sql("DROP TABLE IF EXISTS g_cust_b")
@@ -44,6 +45,7 @@ class ColocationSpec extends SparkSpecBase {
     } finally {
       sp.sql("DROP TABLE IF EXISTS g_ord_b")
       sp.sql("DROP TABLE IF EXISTS g_cust_b")
+      deleteRecursively(tmpPath)
     }
   }
 

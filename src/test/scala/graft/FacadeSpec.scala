@@ -28,15 +28,20 @@ class FacadeSpec extends SparkSpecBase {
     val sp = spark
     import sp.implicits._
     val keys = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
-    val saved = keys.map(k => k -> sp.conf.getOption(k))
+    // get(key, null) sees only EXPLICIT settings (getOption falls
+    // through to entry defaults and cannot distinguish set-to-default
+    // from never-set)
+    def explicit(k: String): Option[String] = Option(sp.conf.get(k, null))
+    val saved = keys.map(k => k -> explicit(k))
     try {
       keys.foreach(sp.conf.unset)
-      val before = keys.map(sp.conf.getOption)
+      assert(keys.forall(k => explicit(k).isEmpty),
+        "precondition: keys must be unset")
       val ring = (0L until 4L).map(i => (i, (i + 1) % 4)).toDF("src", "dst")
       Graft.sssp(ring, 0L, 3).collect()
-      val after = keys.map(sp.conf.getOption)
-      assert(after == before,
-        s"facade mutated session conf: before=$before after=$after")
+      val after = keys.map(k => k -> explicit(k))
+      assert(after.forall(_._2.isEmpty),
+        s"facade left conf explicitly pinned: $after")
     } finally saved.foreach {
       case (k, Some(v)) => sp.conf.set(k, v)
       case (k, None)    => sp.conf.unset(k)

@@ -12,7 +12,9 @@ import graft.engine.Tables
 class PartitionPruneSpec extends SparkSpecBase {
 
   test("partitionBy write → filtered read-back prunes partitions at the scan") {
-    val tmp = Files.createTempDirectory("graft_part").toString
+    val tmpPath = Files.createTempDirectory("graft_part")
+    val tmp = tmpPath.toString
+    try {
     val ev = Tables.events(spark, sfDir)
       .withColumn("day", to_date(col("ts")))
     ev.write.partitionBy("day").parquet(s"$tmp/ev_by_day")
@@ -31,6 +33,7 @@ class PartitionPruneSpec extends SparkSpecBase {
     val dirs = new java.io.File(s"$tmp/ev_by_day").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("day=")), dirs.mkString(","))
+    } finally deleteRecursively(tmpPath)
   }
 
   test("count-min sketch brackets exact event_type frequencies") {
