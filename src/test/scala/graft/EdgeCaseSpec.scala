@@ -31,6 +31,53 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(out.map(_.getLong(0)).distinct.toSeq == Seq(3L))
   }
 
+  test("intervalJoin with no right events emits nothing and terminates") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("lt", "l_user")
+    val right = Seq.empty[(java.sql.Timestamp, Long)].toDF("rt", "r_user")
+    // batch mode: the same plan shape runs without a stream
+    assert(graft.stream.Streams.intervalJoin(left, right).count() == 0)
+  }
+
+  test("tfidf of a single document has idf 0 everywhere (ln 1)") {
+    val sp = spark
+    import sp.implicits._
+    val one = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val rows = Graft.tfidf(one, "doc_id", "text").collect()
+      .map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(rows == Map("a" -> 0.0, "b" -> 0.0))
+  }
+
+  test("saltedJoin with nSalts=1 degenerates to the plain join") {
+    val sp = spark
+    import sp.implicits._
+    val fact = (0L until 50L).map(i => (i, i % 5)).toDF("row_id", "k")
+    val dim = (0L until 5L).map(k => (k, s"d$k")).toDF("k", "name")
+    val one = Graft.saltedJoin(fact, dim, "k",
+      Seq(org.apache.spark.sql.functions.col("row_id")), nSalts = 1)
+    assert(one.count() == 50)
+  }
+
+  test("mode tiebreak picks the lexicographically smallest type") {
+    val sp = spark
+    import sp.implicits._
+    // user 1: two 'b', two 'a' -> tie broken to 'a'
+    val ev = Seq((1L, "b"), (1L, "b"), (1L, "a"), (1L, "a"))
+      .toDF("user_id", "event_type")
+    val counts = ev.groupBy("user_id", "event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(org.apache.spark.sql.functions.col("n").desc,
+        org.apache.spark.sql.functions.col("event_type"))
+    val top = counts.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("rn") === 1).collect()
+    assert(top.length == 1 && top.head.getString(1) == "a")
+  }
+
   test("kmeans seeds from first k rows of any id space, rejects n < k") {
     // ids 100..119 (not 0..k-1): must still produce k real centroids
     val vecs = (100 until 120).map(i =>
