@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, FloatDotSafe}
 
 /** Session-extension entry point (the PUBLIC registration path, tier
   * (c) of the extension preference order): install with
@@ -31,13 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 /** Rewrite `aggregate(zip_with(x, y, (a, b) -> a * b), 0.0,
-  * (acc, v) -> acc + v)` over float arrays into [[FloatDot]].
+  * (acc, v) -> acc + v)` over float arrays into [[FloatDotSafe]].
   *
-  * The rewrite is TOTAL: FloatDot folds left-to-right in double — the
-  * SAME IEEE op sequence as the HOF chain — and implements the full
-  * HOF null semantics natively (null array, unequal lengths, or a
-  * null element all yield NULL, one branch per element inside the
-  * generated loop), so no runtime guard expression is needed. The
+  * The rewrite is TOTAL: FloatDotSafe folds left-to-right in double —
+  * the SAME IEEE op sequence as the HOF chain — and implements the
+  * full HOF null semantics natively (null array, unequal lengths, or
+  * a null element all yield NULL, via a separate null-scan pass that
+  * keeps the FP loop clean), so no runtime guard expression is
+  * needed. User call sites that can GUARANTEE equal-length non-null
+  * inputs should call float_dot directly for the fast variant. The
   * STATIC requirement is that the zip lambda multiplies in double
   * (see [[isPairwiseMul]]); a raw-float multiply rounds each product
   * to float before widening and is not bit-equivalent. */
@@ -87,7 +89,7 @@ object FloatDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Bottom-up recursion; the output (FloatDot) can never re-match
+  /** Bottom-up recursion; the output (FloatDotSafe) can never re-match
     * the ArrayAggregate pattern, so the rule is trivially idempotent
     * under the optimizer batch's fixed-point re-runs. */
   private def rewriteExpr(e: Expression): Expression =
@@ -101,7 +103,7 @@ object FloatDotRewrite extends Rule[LogicalPlan] {
             isPairwiseMul(mulBody, mulArgs) &&
             isPairwiseAdd(addBody, addArgs) &&
             isIdentity(finish) =>
-        FloatDot(x, y)
+        FloatDotSafe(x, y)
       case other => other
     }
 
