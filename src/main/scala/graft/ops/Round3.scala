@@ -262,6 +262,41 @@ object Round3 {
         .orderBy("event_id")
     }),
 
+    /** q98: correlated EXISTS subquery — the declarative form of the
+      * semi join (q12 is the explicit DataFrame form): Catalyst
+      * decorrelates the subquery into a LeftSemi join, which is the
+      * point — users write the predicate, the engine picks the join. */
+    "q_join_exists_subquery" -> ((s, d) =>
+      s.sql(s"""
+        SELECT c_custkey, c_name
+        FROM parquet.`$d/customer.parquet` c
+        WHERE EXISTS (
+          SELECT 1 FROM parquet.`$d/orders.parquet` o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        ORDER BY c_custkey""")),
+
+    /** q99/q100: MULTISET set ops — INTERSECT ALL / EXCEPT ALL keep
+      * duplicate cardinalities (min / left-minus-right per value),
+      * a genuinely different operator from q33/q34's distinct-set
+      * forms. Aggregated per key so the output is deterministic
+      * without relying on row order. */
+    "q_set_intersect_all" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "view").select("user_id")
+        .intersectAll(
+          ev.filter(col("event_type") === "click").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+    "q_set_except_all" -> ((s, d) => {
+      val ev = events(s, d)
+      ev.filter(col("event_type") === "view").select("user_id")
+        .exceptAll(
+          ev.filter(col("event_type") === "click").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
     /** q95: TF-IDF term scoring — the canonical text-relevance
       * weight: tf(doc,term) * ln(N/df(term)), top-20 by score.
       * Numeric note (D3 extension, empirically validated): Java's
@@ -416,6 +451,25 @@ object Round3 {
              nullif(CAST(floor(value / 2) AS BIGINT), 25) AS v2
            FROM events)
          ORDER BY event_id""",
+    "q_join_exists_subquery" ->
+      """SELECT c_custkey, c_name
+         FROM customer c
+         WHERE EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "q_set_intersect_all" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT user_id FROM events WHERE event_type = 'view'
+           INTERSECT ALL
+           SELECT user_id FROM events WHERE event_type = 'click')
+         GROUP BY user_id ORDER BY user_id""",
+    "q_set_except_all" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT user_id FROM events WHERE event_type = 'view'
+           EXCEPT ALL
+           SELECT user_id FROM events WHERE event_type = 'click')
+         GROUP BY user_id ORDER BY user_id""",
     "q_text_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term

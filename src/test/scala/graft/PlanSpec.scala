@@ -40,6 +40,11 @@ class PlanSpec extends SparkSpecBase {
     assert(spark.conf.get("spark.sql.codegen.wholeStage", "true") == "true")
   }
 
+  test("q_join_exists_subquery decorrelates to a semi join") {
+    val p = plan("q_join_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate:\n$p")
+  }
+
   test("q_join_semi and q_join_anti plan as semi/anti joins") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
