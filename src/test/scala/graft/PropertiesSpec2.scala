@@ -30,6 +30,48 @@ class PropertiesSpec2 extends SparkSpecBase {
     }
   }
 
+  test("saltedJoin == plain join for arbitrary data and salt counts") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1L to 4L) {
+      val n = 40 + (seed * 17 % 60).toInt
+      val hot = seed % 5 // one over-represented key
+      val fact = (0 until n)
+        .map(i => (i.toLong, if (i % 3 == 0) hot else (i % 7).toLong))
+        .toDF("row_id", "k")
+      val dim = (0L until 7L).map(k => (k, s"d$k")).toDF("k", "name")
+      val plain = fact.join(dim, Seq("k"))
+        .select("row_id", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      for (nSalts <- Seq(1, 3, 8)) {
+        val salted = Graft.saltedJoin(fact, dim, "k",
+            Seq(col("row_id")), nSalts)
+          .select("row_id", "name").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(salted == plain, s"seed=$seed nSalts=$nSalts")
+      }
+    }
+  }
+
+  test("bloomPrunedJoin == plain join for arbitrary key overlaps") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1L to 3L) {
+      val fact = (0 until 200)
+        .map(i => (i.toLong, ((i * seed) % 50).toLong)).toDF("row_id", "k")
+      val dim = (0L until 50L).filter(_ % (seed + 2) == 0)
+        .map(k => (k, s"d$k")).toDF("dk", "name")
+      val plain = fact.join(dim, fact("k") === dim("dk"))
+        .select("row_id", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val pruned = Graft.bloomPrunedJoin(fact, dim, "k", "dk")
+        .select("row_id", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(pruned == plain, s"seed=$seed")
+    }
+  }
+
   test("snapshotDiff deltas reconcile the snapshot totals") {
     val sp = spark
     import sp.implicits._
