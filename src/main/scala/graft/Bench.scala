@@ -7,6 +7,13 @@ object Bench {
     // and does not always export SPARK_GRAFT_CPUS).
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
+    // Per-query repeats: the host carries external load (loadavg swings
+    // 2→10 with zero local processes — BASELINE.md), so a single sample
+    // can charge a query 3x its warm cost. Each query runs `repeats`
+    // times back-to-back; the JSON reports the per-query MEDIAN (and
+    // min), total = Σ medians. Contract unchanged: one JSON line,
+    // "queries" maps name → seconds.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,15 +24,22 @@ object Bench {
     // first timed query measures the query, not the cold start.
     try SparkEntry.queries.get("q_scan_project").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val samples = (1 to repeats).map(_ => timeOnce(fn)).sorted
+      val median = samples(samples.length / 2)
+      name -> (median, samples.head)
+    }
+    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qmins = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -172,15 +172,22 @@ object Graft {
     * tokenization; vocabulary-sized df side is broadcast. */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val nDocs = docs.count().toDouble
+    // N is computed INSIDE the plan (single-row count aggregate,
+    // broadcast into a literal-like cross join) so the facade stays
+    // lazily plan-building like every other method and never snapshots
+    // a stale count if the docs source changes before execution. Same
+    // IEEE op chain as a baked-in literal: exact long→double cast,
+    // one divide, one log.
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
       .select(col(idCol), col("term"), col("tf"), col("df"),
         (col("tf").cast("double") *
-          log(lit(nDocs) / col("df").cast("double"))).as("tfidf"))
+          log(col("n_docs") / col("df").cast("double"))).as("tfidf"))
   }
 }

@@ -147,12 +147,16 @@ case class FloatDotSafe(left: Expression, right: Expression)
 
 object FloatDot {
   /** Column-API entry point (fast variant — see class doc for its
-    * input assumptions). */
+    * input assumptions; internal call sites control their inputs). */
   def float_dot(a: Column, b: Column): Column =
     Bridge.column(FloatDot(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `float_dot(a, b)` for SQL-text queries on `spark`. */
+  /** Register `float_dot(a, b)` for SQL-text queries on `spark`.
+    * SQL text is ARBITRARY USER INPUT, so this builds the null-safe
+    * variant: ragged or null-element arrays yield NULL (full HOF
+    * semantics) instead of the fast variant's silent truncation /
+    * null-as-0.0 reads. The fast variant stays Column-API-only. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Bridge.registerFunction(spark, "float_dot",
-      exprs => FloatDot(exprs.head, exprs(1)))
+      exprs => FloatDotSafe(exprs.head, exprs(1)))
 }

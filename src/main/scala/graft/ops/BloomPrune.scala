@@ -42,13 +42,20 @@ object BloomPrune {
                       factKey: String, dimKey: String,
                       expectedDimKeys: Long = 100000L,
                       fpp: Double = 0.03): DataFrame = {
+    // Materialize dim ONCE: it is referenced three times (emptiness
+    // guard, filter build, the join itself), and for a non-trivial
+    // dim pipeline re-evaluation would triple its cost. localCheckpoint
+    // is eager, so the guard and filter build read computed blocks, and
+    // the lazily-returned join does too (blocks are cleaned when the
+    // checkpointed RDD is GC'd).
+    val dimM = dim.localCheckpoint()
     def joined(f: DataFrame): DataFrame =
-      if (factKey == dimKey) f.join(dim, Seq(factKey))
-      else f.join(dim, f(factKey) === dim(dimKey))
+      if (factKey == dimKey) f.join(dimM, Seq(factKey))
+      else f.join(dimM, dimM(dimKey) === f(factKey))
     // Spark's bloom_filter_agg yields NULL over zero rows and
     // stat.bloomFilter NPEs on it; an empty dim means an empty join.
-    if (dim.isEmpty) return joined(fact)
-    val bf = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
+    if (dimM.isEmpty) return joined(fact)
+    val bf = dimM.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val sp = fact.sparkSession

@@ -21,6 +21,23 @@ object Round3 {
   private def floatDot(a: Column, b: Column): Column =
     graft.functions.FloatDot.float_dot(a, b)
 
+  /** q83's strong co-purchase edges in canonical `a < b` form: parts
+    * sharing >= 2 distinct orders. One shuffle builds per-order sorted
+    * part sets; ordered pairs expand in-row via two chained generators
+    * and partial agg collapses them — never a fact self-join. */
+  def strongEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(posexplode(col("ps")), col("ps"))
+      .withColumnRenamed("col", "a")
+      // suffix after a keeps a < b (ps is sorted asc, distinct)
+      .select(col("a"), explode(
+        slice(col("ps"), col("pos") + lit(2), size(col("ps")))).as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("a", "b")
+
   val defs: Map[String, Q] = Map(
     /** q83: triangle counting on the co-purchase graph — parts are
       * connected when they appear together in >= 2 distinct orders
@@ -29,29 +46,14 @@ object Round3 {
       * into a sorted distinct part set, expand ordered pairs with two
       * chained generators (per-order set size is bounded, so the
       * expansion is linear in orders), and let map-side partial agg
-      * collapse them — never a fact self-join. The strong-edge filter
-      * collapses the edge list to dim size, so both triangle joins
-      * broadcast. (For fact-sized edge sets the standard scale path
-      * is degree-ordered node iteration; out of scope here.) */
-    "q_graph_triangles" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("ps"))
-        .select(posexplode(col("ps")), col("ps"))
-        .withColumnRenamed("col", "pa")
-        // suffix after pa keeps pa < pb (ps is sorted asc, distinct)
-        .select(col("pa"), explode(
-          slice(col("ps"), col("pos") + lit(2), size(col("ps")))).as("pb"))
-        .groupBy("pa", "pb")
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
-        .select("pa", "pb")
-      e.select(col("pa").as("x"), col("pb").as("y"))
-        .join(broadcast(e.select(col("pa").as("y2"), col("pb").as("z"))),
-          col("y") === col("y2"))
-        .join(broadcast(e.select(col("pa").as("x3"), col("pb").as("z3"))),
-          col("x") === col("x3") && col("z") === col("z3"))
-        .agg(count(lit(1)).as("n_tri"))
-    }),
+      * collapse them — never a fact self-join. Counting goes through
+      * [[Triangles.count]]: the strong-edge list is materialized ONCE
+      * (it feeds every join input), then the guard picks the
+      * broadcast path while the list is dim-sized and the
+      * degree-ordered node-iterator fallback beyond that —
+      * `Round4Spec` proves both paths equal. */
+    "q_graph_triangles" -> ((s, d) =>
+      Triangles.count(strongEdges(s, d))),
 
     /** q84: the [[Skew]] salted-join skew mitigation as a DECLARED
       * query: lineitem ⋈ part with an 8-way salt on the fact side,

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Triangle counting over an undirected, deduplicated edge list in
+  * CANONICAL form (columns `a < b`, no self-loops), with a scale
+  * guard: the dim-sized broadcast path and the fact-sized
+  * degree-ordered node-iterator path, selected by edge count.
+  *
+  * Node-iterator shape (the standard scale algorithm): orient every
+  * edge from its lower-(degree, id) endpoint to the higher one — the
+  * orientation is acyclic and bounds out-degree at O(√m) — then emit
+  * each node's out-neighbor pairs (wedges) and close them against the
+  * oriented edge list. Every triangle has exactly ONE vertex with two
+  * out-edges under a total order, and the closing edge is oriented
+  * low→high by transitivity, so each triangle is counted exactly once.
+  * Cost: Σ outdeg² wedge rows + one shuffle join — never a broadcast,
+  * never all-pairs. */
+object Triangles {
+
+  /** Broadcast path: two broadcast self-joins. Correct and fastest
+    * while the edge list is dim-sized; the guard keeps it off
+    * fact-sized graphs. */
+  def countBroadcast(e: DataFrame): DataFrame =
+    e.select(col("a").as("x"), col("b").as("y"))
+      .join(broadcast(e.select(col("a").as("y2"), col("b").as("z"))),
+        col("y") === col("y2"))
+      .join(broadcast(e.select(col("a").as("x3"), col("b").as("z3"))),
+        col("x") === col("x3") && col("z") === col("z3"))
+      .agg(F.count(lit(1)).as("n_tri"))
+
+  /** Degree-ordered node-iterator path — no broadcast of the edge
+    * list anywhere; both the wedge expansion and the closing join are
+    * plain co-partitioned shuffles, so the plan survives fact-sized
+    * graphs. The total order is the (degree, node) struct — struct
+    * comparison and `sort_array` agree on it, so wedge pairs come out
+    * ordered exactly like the oriented edges they must close against. */
+  def countNodeIterator(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("n"))
+      .unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(F.count(lit(1)).as("dg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+    val aLow = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // Oriented edge as (src node, dst (deg, node) struct): referenced
+    // twice below (wedge generation + closing join) → materialize once.
+    val oriented = withDeg.select(
+      when(aLow, col("a")).otherwise(col("b")).as("src"),
+      when(aLow, struct(col("db").as("dg"), col("b").as("n")))
+        .otherwise(struct(col("da").as("dg"), col("a").as("n"))).as("dk"))
+      .localCheckpoint()
+    // Wedges via the in-row expansion shape (one shuffle): sorted
+    // out-neighbor struct list, ordered pairs from two chained
+    // generators. Orientation bounds per-src list size at O(√m).
+    val wedges = oriented
+      .groupBy("src").agg(sort_array(collect_list(col("dk"))).as("ns"))
+      .select(posexplode(col("ns")), col("ns"))
+      .withColumnRenamed("col", "w1")
+      .select(col("w1"), explode(
+        slice(col("ns"), col("pos") + lit(2), size(col("ns")))).as("w2"))
+    // Close the wedge: (w1 → w2) must be an oriented edge. w1 < w2 in
+    // the total order, and the closing edge is oriented low→high, so
+    // matching on (src struct-node, dst struct) is exact.
+    wedges.join(oriented,
+        wedges("w1").getField("n") === oriented("src") &&
+          wedges("w2") === oriented("dk"))
+      .agg(F.count(lit(1)).as("n_tri"))
+  }
+
+  /** Guarded entry point: `e` is materialized once (it feeds the count
+    * and every join input), then the path is picked by edge count.
+    * `broadcastMaxEdges` defaults well under executor-memory scale:
+    * beyond it the broadcast of the edge list is the scale-killer and
+    * the node-iterator takes over. */
+  def count(e0: DataFrame, broadcastMaxEdges: Long = 2000000L): DataFrame = {
+    val e = e0.localCheckpoint()
+    if (e.count() <= broadcastMaxEdges) countBroadcast(e)
+    else countNodeIterator(e)
+  }
+}

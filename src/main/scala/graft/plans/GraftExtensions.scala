@@ -22,10 +22,14 @@ import graft.functions.{FloatDot, FloatDotSafe}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL-text call sites are arbitrary user expressions → the
+    // null-safe variant (ragged/null-element input gives NULL, not a
+    // silently-wrong value). The fast FloatDot stays reserved for
+    // internal Column-API call sites that control their inputs.
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
-      new ExpressionInfo(classOf[FloatDot].getCanonicalName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDot(exprs.head, exprs(1))))
+      new ExpressionInfo(classOf[FloatDotSafe].getCanonicalName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDotSafe(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => FloatDotRewrite)
   }
 }
