@@ -186,10 +186,27 @@ object IterQueries {
     * candidate was already folded into the state when it last
     * changed), but the per-iteration shuffle shrinks with the
     * frontier. `delta` is the per-edge increment (1 = SSSP hops,
-    * 0 = label propagation). */
-  private def minLoopDelta(edges: DataFrame, state0: DataFrame,
-                           changed0: DataFrame, valCol: String,
-                           delta: Long, iters: Int): DataFrame = {
+    * 0 = label propagation).
+    *
+    * The per-iteration equality with the full step rests on the loop
+    * invariant *"for every edge (u,v): state(v) <= state(u)+delta, OR
+    * u is in the frontier"* — a non-frontier source's offer can never
+    * improve its neighbor, so dropping it changes nothing. The
+    * invariant is established by any frontier covering all
+    * non-sentinel nodes (cold start: the source) and is preserved
+    * because improved nodes re-enter the frontier. It also holds at
+    * EVERY intermediate state, which is what makes warm RESTART sound
+    * ([[iterateIncremental]]): the final (state, frontier) pair of one
+    * run is a valid starting pair for the next.
+    *
+    * Returns the final state WITH its frontier flag: (node, valCol,
+    * chg) — `chg` marks nodes improved in the last iteration, i.e.
+    * the restart frontier. */
+  def minPropagate(edges: DataFrame, state0: DataFrame,
+                   changed0: DataFrame, valCol: String,
+                   delta: Long, iters: Int): DataFrame = {
+    require(iters >= 1, "minPropagate needs at least one iteration")
+    var last: DataFrame = null
     var state = state0
     var changed = changed0 // columns: cnode, cval
     for (i <- 1 to iters) {
@@ -201,12 +218,70 @@ object IterQueries {
           least(col(valCol), coalesce(col("mc"), lit(INF))).as(valCol),
           (coalesce(col("mc"), lit(INF)) < col(valCol)).as("chg"))
       val mat = if (i % checkpointEvery == 0) ns.localCheckpoint() else ns
+      last = mat
       state = mat.select("node", valCol)
       changed = mat.filter(col("chg"))
         .select(col("node").as("cnode"), col(valCol).as("cval"))
     }
+    last
+  }
+
+  /** FRONTIER-BOUNDED INCREMENTAL ITERATION — the reference's central
+    * incremental-iterative mechanism [P §6]: after a structure delta,
+    * re-converge FROM the prior state touching only frontier-adjacent
+    * nodes instead of re-running full iterations over all nodes.
+    *
+    * The restart frontier must cover (a) nodes still in flight when
+    * the prior run stopped (`priorFrontier` — their latest values were
+    * never offered) and (b) sources of NEW edges (their values were
+    * never offered along those edges). Everything else is stable by
+    * the [[minPropagate]] invariant, so the frontier run is exactly
+    * equal to full re-iteration — `Round4Spec` proves it — while the
+    * per-iteration join volume is frontier-sized, not graph-sized.
+    * Monotone-min semantics admit edge ADDITIONS only (deletions can
+    * raise values; those re-run from scratch or from a checkpointed
+    * pre-delta state).
+    *
+    * `state` is (node, valCol); `priorFrontier` is (cnode, cval) —
+    * pass `minPropagate`'s chg-filtered output. Returns (node, valCol,
+    * chg) like [[minPropagate]], so restarts chain. */
+  def iterateIncremental(edgesNew: DataFrame, deltaEdges: DataFrame,
+                         state: DataFrame, priorFrontier: DataFrame,
+                         valCol: String, delta: Long,
+                         iters: Int): DataFrame = {
+    val deltaSeeds = deltaEdges.select(col("src")).distinct()
+      .join(state, col("src") === state("node"))
+      // sentinel-valued sources can never improve a neighbor
+      .filter(col(valCol) < INF)
+      .select(col("node").as("cnode"), col(valCol).as("cval"))
+    val seeds = priorFrontier.unionByName(deltaSeeds).distinct()
+    minPropagate(edgesNew, state, seeds, valCol, delta, iters)
+  }
+
+  /** Reference implementation for the frontier equality proofs: the
+    * same min-propagation with NO change filter — every node offers
+    * every iteration. O(edges) per iteration regardless of progress;
+    * exists for spec comparison, not production use. */
+  def minFullLoop(edges: DataFrame, state0: DataFrame, valCol: String,
+                  delta: Long, iters: Int): DataFrame = {
+    var state = state0
+    for (i <- 1 to iters) {
+      val cand = edges.join(broadcast(state), state("node") === edges("src"))
+        .select(col("dst"), (col(valCol) + delta).as("cand"))
+        .groupBy("dst").agg(min(col("cand")).as("mc"))
+      val ns = state.join(broadcast(cand), state("node") === cand("dst"), "left")
+        .select(col("node"),
+          least(col(valCol), coalesce(col("mc"), lit(INF))).as(valCol))
+      state = if (i % checkpointEvery == 0) ns.localCheckpoint() else ns
+    }
     state
   }
+
+  private def minLoopDelta(edges: DataFrame, state0: DataFrame,
+                           changed0: DataFrame, valCol: String,
+                           delta: Long, iters: Int): DataFrame =
+    minPropagate(edges, state0, changed0, valCol, delta, iters)
+      .select("node", valCol)
 
   /** Generic SSSP over an arbitrary directed `(src, dst)` edge list:
     * unit weights, `iters` relaxation rounds from `source`;
@@ -284,6 +359,39 @@ object IterQueries {
       }.orderBy("node")
     }),
 
+    /** q101: FRONTIER-BOUNDED INCREMENTAL ITERATION [P §6] as a
+      * declared query — SSSP edge-delta re-convergence: 5 rounds on
+      * the base graph (edges with (src+dst)%17 <> 0 — the q48 delta
+      * pattern inverted: the delta ADDS the held-out edges, keeping
+      * min-propagation monotone), then 3 FRONTIER rounds on the full
+      * graph restarting from the converged state. The oracle is the
+      * FULL unrolled 5+3-stage loop: the frontier run must be exactly
+      * equal to full re-iteration (the minPropagate invariant), only
+      * cheaper — per-iteration join volume is frontier-sized. */
+    "q_incr_frontier" -> ((s, d) => {
+      noAqe(s) {
+        val full = Graphs.edgesCached(s, d)
+        val baseE = Graphs.cached(s, d, "edgesBase")(
+          full.filter((col("src") + col("dst")) % 17 =!= 0).persist())
+        val deltaE = full.filter((col("src") + col("dst")) % 17 === 0)
+        val n = Graphs.nodesCached(s, d) // FULL node set; isolated-in-base stay INF
+        val src = n.agg(min("node")).head().getLong(0)
+        val state0 = n.select(col("node"),
+          when(col("node") === src, 0L).otherwise(INF).as("dist"))
+        val changed0 = state0.filter(col("dist") === 0)
+          .select(col("node").as("cnode"), col("dist").as("cval"))
+        val baseRun = Graphs.cached(s, d, "ssspBase5")(
+          minPropagate(baseE, state0, changed0, "dist", 1L, 5)
+            .localCheckpoint())
+        val res = iterateIncremental(full, deltaE,
+          baseRun.select("node", "dist"),
+          baseRun.filter(col("chg"))
+            .select(col("node").as("cnode"), col("dist").as("cval")),
+          "dist", 1L, 3)
+        finish(res.select("node", "dist"))
+      }.orderBy("node")
+    }),
+
     /** q43: connected components via min-label propagation (a GIM-V
       * instance [P §7]), FIXED 5 rounds. */
     "q_iter_connected_components" -> ((s, d) => {
@@ -298,14 +406,15 @@ object IterQueries {
     })
   )
 
-  private def minStageSql(k: Int, valCol: String, delta: Int): String = {
+  private def minStageSql(k: Int, valCol: String, delta: Int,
+                          edgeCte: String = "edges"): String = {
     val prev = if (k == 1) s"${valCol}0" else s"$valCol${k - 1}"
     s"""$valCol$k AS (
         SELECT p.node,
                least(p.$valCol, coalesce(s.mc, $INF)) AS $valCol
         FROM $prev p LEFT JOIN (
           SELECT e.dst AS node, MIN(p2.$valCol + $delta) AS mc
-          FROM edges e JOIN $prev p2 ON p2.node = e.src
+          FROM $edgeCte e JOIN $prev p2 ON p2.node = e.src
           GROUP BY e.dst
         ) s ON s.node = p.node
       )"""
@@ -329,6 +438,20 @@ object IterQueries {
          label0 AS (SELECT node, node AS label FROM nodes),
          ${stages.mkString(",\n")}
          SELECT node, label FROM label5 ORDER BY node"""
+    },
+    /** q101 oracle: full (unfiltered) re-iteration — 5 stages on the
+      * base edge set, 3 on the full set. Frontier bounding must be
+      * result-invisible. */
+    "q_incr_frontier" -> {
+      val base = (1 to 5).map(minStageSql(_, "dist", 1, "edges_b"))
+      val incr = (6 to 8).map(minStageSql(_, "dist", 1, "edges"))
+      s"""WITH ${Graphs.cteSql},
+         edges_b AS (SELECT src, dst FROM edges WHERE (src + dst) % 17 <> 0),
+         dist0 AS (SELECT node,
+           CAST(CASE WHEN node = (SELECT min(node) FROM nodes)
+                THEN 0 ELSE $INF END AS BIGINT) AS dist FROM nodes),
+         ${(base ++ incr).mkString(",\n")}
+         SELECT node, dist FROM dist8 ORDER BY node"""
     }
   )
 }

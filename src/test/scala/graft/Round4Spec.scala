@@ -2,9 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Round3, Triangles}
+import graft.iter.{Graphs, IterQueries}
 
 /** Round-4 depth items: triangle-counting scale guard (broadcast path
-  * ≡ degree-ordered node-iterator fallback). */
+  * ≡ degree-ordered node-iterator fallback) and frontier-bounded
+  * incremental iteration (frontier run ≡ full re-iteration, with
+  * shrinking per-iteration touched rows). */
 class Round4Spec extends SparkSpecBase {
   import spark.implicits._
 
@@ -34,5 +37,62 @@ class Round4Spec extends SparkSpecBase {
       (8L, 9L), (8L, 10L), (9L, 10L)).toDF("a", "b")
     assert(Triangles.countBroadcast(edges).head().getLong(0) === 5L)
     assert(Triangles.countNodeIterator(edges).head().getLong(0) === 5L)
+  }
+
+  private val INF = 999999999L
+
+  /** The q101 fixture pieces on sf0.001. */
+  private def frontierFixture = {
+    val full = Graphs.edgesCached(spark, sfDir)
+    val baseE = full.filter((col("src") + col("dst")) % 17 =!= 0)
+    val deltaE = full.filter((col("src") + col("dst")) % 17 === 0)
+    val n = Graphs.nodesCached(spark, sfDir)
+    val src = n.agg(min("node")).head().getLong(0)
+    val state0 = n.select(col("node"),
+      when(col("node") === src, 0L).otherwise(INF).as("dist"))
+    (full, baseE, deltaE, state0)
+  }
+
+  test("frontier incremental restart == full re-iteration, exactly") {
+    val (full, baseE, deltaE, state0) = frontierFixture
+    val changed0 = state0.filter(col("dist") === 0)
+      .select(col("node").as("cnode"), col("dist").as("cval"))
+    val baseRun = IterQueries
+      .minPropagate(baseE, state0, changed0, "dist", 1L, 5).localCheckpoint()
+    val frontier = IterQueries.iterateIncremental(full, deltaE,
+        baseRun.select("node", "dist"),
+        baseRun.filter(col("chg"))
+          .select(col("node").as("cnode"), col("dist").as("cval")),
+        "dist", 1L, 3)
+      .select("node", "dist")
+    // reference: the SAME schedule with NO change filter anywhere
+    val fullBase = IterQueries.minFullLoop(baseE, state0, "dist", 1L, 5)
+    val fullRun = IterQueries.minFullLoop(full, fullBase, "dist", 1L, 3)
+    assert(frontier.exceptAll(fullRun).isEmpty
+      && fullRun.exceptAll(frontier).isEmpty)
+  }
+
+  test("restart frontier shrinks: touched rows per iteration < node count") {
+    val (full, baseE, deltaE, state0) = frontierFixture
+    val nNodes = state0.count()
+    val changed0 = state0.filter(col("dist") === 0)
+      .select(col("node").as("cnode"), col("dist").as("cval"))
+    var run = IterQueries
+      .minPropagate(baseE, state0, changed0, "dist", 1L, 5).localCheckpoint()
+    var delta = deltaE
+    val sizes = (1 to 3).map { _ =>
+      run = IterQueries.iterateIncremental(full, delta,
+          run.select("node", "dist"),
+          run.filter(col("chg"))
+            .select(col("node").as("cnode"), col("dist").as("cval")),
+          "dist", 1L, 1)
+        .localCheckpoint()
+      delta = delta.limit(0) // delta edges are already in the graph after round 1
+      run.filter(col("chg")).count()
+    }
+    // every restart round touches a strict subset of the graph, and the
+    // frontier drains monotonically as the delta's effect propagates out
+    assert(sizes.forall(_ < nNodes), s"frontier sizes $sizes vs $nNodes nodes")
+    assert(sizes.sliding(2).forall { case Seq(a, b) => b <= a }, sizes.toString)
   }
 }
