@@ -1,6 +1,6 @@
 package graft.iter
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
 
@@ -87,6 +87,32 @@ object Graphs {
     * cluster scale with fact-sized edge lists the balance flips:
     * there the answer is raising the in-loop partition count with
     * the data (see IterQueries.noAqe), not a separate build conf. */
+
+  /** GIM-V — the reference's GENERALIZED iterative-matrix-vector
+    * operator [P §7], of which PageRank, SSSP and connected
+    * components are the three canonical instantiations. One step:
+    *
+    *   messages m = combine2 over (edge, state value) joined on src
+    *   M(dst)    = combineAll(m) grouped by dst
+    *   state'(n) = assign(old value, M(n))   (left join: M may be null)
+    *
+    * Contract: the state value is exposed to `combine2`/`assign` as
+    * column `v`, the aggregated message as `M` (so instantiations may
+    * use either the passed Columns or `expr` over those names); edge
+    * attribute columns (e.g. `outdeg`) pass through to `combine2`.
+    * The loop-variant state is broadcast both times, identical to the
+    * hand-written loops — `Round4Spec` proves the PR/SSSP/CC
+    * instantiations BIT-EQUAL to them. */
+  def gimvStep(edges: DataFrame, state: DataFrame, valCol: String)
+              (combine2: Column, combineAll: Column => Column,
+               assign: (Column, Column) => Column): DataFrame = {
+    val st = state.select(col("node"), col(valCol).as("v"))
+    val msgs = edges.join(broadcast(st), st("node") === edges("src"))
+      .select(col("dst"), combine2.as("m"))
+      .groupBy("dst").agg(combineAll(col("m")).as("M"))
+    st.join(broadcast(msgs), st("node") === msgs("dst"), "left")
+      .select(col("node"), assign(col("v"), col("M")).as(valCol))
+  }
 
   /** Shared CTE prefix for the unrolled-CTE oracles. UNION (not UNION
     * ALL) deduplicates across both directions, mirroring .distinct(). */

@@ -77,6 +77,58 @@ object IterQueries {
     state.localCheckpoint()
   }
 
+  /** CONVERGENCE-BASED TERMINATION (the reference's distance() +
+    * threshold loop control [P §4]): iterate `step` from `init` until
+    * `distance(prev, next) <= eps` or `maxIter` steps. Every declared
+    * query keeps FIXED iteration counts (oracle determinism — see
+    * SURVEY §2 group H), but a user running to convergence uses this
+    * surface. Each state localCheckpoints: the distance is an action
+    * per iteration anyway, so materializing costs nothing extra and
+    * keeps lineage flat for unbounded iteration counts. Returns
+    * (final state, iterations actually run). */
+  def iterateUntil(init: DataFrame, step: DataFrame => DataFrame,
+                   distance: (DataFrame, DataFrame) => Double,
+                   eps: Double, maxIter: Int): (DataFrame, Int) = {
+    var state = init.localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = step(state).localCheckpoint()
+      i += 1
+      converged = distance(state, next) <= eps
+      state = next
+    }
+    (state, i)
+  }
+
+  /** Canonical distance for node-keyed numeric state: max |Δ valCol|
+    * (L∞). One k-row action per iteration. */
+  def maxAbsDelta(valCol: String): (DataFrame, DataFrame) => Double =
+    (a, b) => {
+      val bb = b.select(col("node").as("bn"), col(valCol).as("bv"))
+      a.join(bb, col("node") === col("bn"))
+        .agg(max(abs(col(valCol) - col("bv"))).as("d"))
+        .head().get(0) match {
+          case null => 0.0
+          case x: Long => x.toDouble
+          case x: java.lang.Number => x.doubleValue()
+        }
+    }
+
+  /** PageRank run to CONVERGENCE: scaled-integer ranks, stop when the
+    * largest per-node change is <= eps scaled units (1e10 = rank 1.0).
+    * The [[iterateUntil]] instantiation of the declared q41 loop. */
+  def pagerankUntil(edges0: DataFrame, eps: Double,
+                    maxIter: Int): (DataFrame, Int) =
+    noAqe(edges0.sparkSession) {
+      val edgesDeg = withDeg(edges0)
+      val n = Graphs.nodes(edgesDeg).persist()
+      val init = n.selectExpr("node", "CAST(10000000000 AS BIGINT) AS rs")
+      val (state, iters) = iterateUntil(init,
+        prStep(n, edgesDeg, _), maxAbsDelta("rs"), eps, maxIter)
+      (finish(state, edgesDeg, n), iters)
+    }
+
   /** Self-contained PageRank over an arbitrary edge list (the facade
     * entry point): builds, caches and releases its own structure. */
   def pagerank(edges0: DataFrame, iters: Int,

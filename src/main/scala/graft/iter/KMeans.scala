@@ -66,6 +66,43 @@ object KMeans {
     assigned
   }
 
+  /** K-means to CONVERGENCE — the [[IterQueries.iterateUntil]]
+    * instantiation [P §4]: the loop state is the centroid table
+    * (k·dims rows keyed as node = cluster·dims + pos, so the shared
+    * L∞ distance applies), and the loop stops when the largest
+    * per-dimension centroid move is <= eps. Centroid collect() is
+    * k·dims rows — the same k-sized driver constant the fixed loop
+    * broadcasts. Returns (assignment under the converged centroids,
+    * iterations run). Assumes no cluster empties out (true for
+    * data-seeded centroids; an empty cluster would need re-seeding). */
+  def runUntil(s: SparkSession, vecs: DataFrame, k: Int, eps: Double,
+               maxIter: Int): (DataFrame, Int) = {
+    import s.implicits._
+    val seed = vecs.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(seed.length == k, s"kmeans: need >= $k input vectors")
+    val dims = seed.head.length
+    def toDf(cents: Array[Array[Double]]): DataFrame =
+      cents.zipWithIndex.flatMap { case (c, ci) =>
+        c.zipWithIndex.map { case (m, p) => (ci.toLong * dims + p, m) }
+      }.toSeq.toDF("node", "m")
+    def toArrays(df: DataFrame): Array[Array[Double]] = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      require(rows.length == k * dims, "kmeans: a cluster emptied out")
+      rows.map(_._2).grouped(dims).toArray
+    }
+    val (centsDf, iters) = IterQueries.iterateUntil(toDf(seed),
+      st => {
+        val assigned = assign(s, vecs, toArrays(st))
+        assigned.select(col("cluster"), posexplode(col("embedding")))
+          .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
+          .select((col("cluster").cast("long") * dims + col("pos")).as("node"),
+            col("m"))
+      },
+      IterQueries.maxAbsDelta("m"), eps, maxIter)
+    (assign(s, vecs, toArrays(centsDf)), iters)
+  }
+
   val defs: Map[String, Q] = Map(
     "q_iter_kmeans" -> ((s, d) => {
       val vecs = embeddings(s, d).select(col("vec_id"), col("embedding")).persist()
