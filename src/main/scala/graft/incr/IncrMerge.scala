@@ -54,6 +54,29 @@ object IncrMerge {
     batch.groupBy(keys.map(col): _*)
       .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
 
+  /** Associative per-key PARTIALS (count + exact decimal sum) — the
+    * persistable state unit of the MRBG-Store analogue [P §5]: write
+    * them to Parquet with [[writePartials]], and a LATER session
+    * warm-restarts by reading them back and [[mergePartials]]-ing a
+    * delta's partials — history is never re-read. Decimal sums are
+    * exact and order-independent, so partial-of-partials equals the
+    * one-shot aggregate bit-for-bit. */
+  def partials(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(dec2(value)).as("psum"))
+
+  /** Persist partials for cross-session restart (overwrite = the
+    * stored view's new version). Parquet keeps the exact decimal. */
+  def writePartials(parts: DataFrame, path: String): Unit =
+    parts.write.mode("overwrite").parquet(path)
+
+  /** Merge any number of partial sets by re-aggregating the
+    * associative components. */
+  def mergePartials(keys: Seq[String], parts: DataFrame*): DataFrame =
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("psum")).as("psum"))
+
   private val cutoff = "2024-01-20"
 
   val defs: Map[String, Q] = Map(
@@ -69,6 +92,36 @@ object IncrMerge {
         .withColumn("op", lit("-"))
       merge(base, ins.unionByName(del), Seq("event_type"), col("value"))
         .orderBy("event_type")
+    }),
+
+    /** q103: PERSISTED-STATE WARM RESTART (the MRBG-Store's actual
+      * job [P §5]) as a declared query: base partials are written to
+      * Parquet, read BACK from disk (the plan below the merge is a
+      * genuine parquet scan, not the in-memory lineage), merged with
+      * the delta's partials, finalized. The oracle is the full
+      * recompute over all of history — restart must be value-identical
+      * while reading only |keys| + |delta| rows. The scratch dir is
+      * deleted after the result materializes. */
+    "q_incr_restart" -> ((s, d) => {
+      val ev = events(s, d)
+      val cut = lit(cutoff).cast("timestamp")
+      val dir = java.nio.file.Files.createTempDirectory("graft_mrbg")
+      try {
+        writePartials(
+          partials(ev.filter(col("ts") < cut), Seq("event_type"), col("value")),
+          s"$dir/base")
+        val stored = s.read.parquet(s"$dir/base")
+        val delta =
+          partials(ev.filter(col("ts") >= cut), Seq("event_type"), col("value"))
+        mergePartials(Seq("event_type"), stored, delta)
+          .select(col("event_type"), col("n"), dbl(col("psum")).as("val_sum"))
+          .orderBy("event_type")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }),
 
     /** q47: kv-level upsert = delete+insert [P §3]: last-write-wins
@@ -110,6 +163,13 @@ object IncrMerge {
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
            FROM events
-         ) t WHERE rn = 1 ORDER BY user_id"""
+         ) t WHERE rn = 1 ORDER BY user_id""",
+    /** q103 oracle: the FULL recompute — two-level exact-decimal
+      * partial sums equal the one-shot sum bit-for-bit. */
+    "q_incr_restart" ->
+      """SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

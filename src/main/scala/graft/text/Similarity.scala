@@ -95,6 +95,74 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Build an IVF index over `vecs` (vec_id, embedding): assignment of
+    * every vector to its nearest centroid. `k = 0` (default) sizes the
+    * centroid count at ~√n — the standard IVF balance point where
+    * centroid scan and cluster scan cost the same — so the index keeps
+    * its sub-linear search as the corpus grows; pass k explicitly to
+    * override. Centroids are deterministically seeded from the first k
+    * vectors by id (at production scale: k-means-train offline, store
+    * the assignment as a bucketed table). Returns (indexed corpus,
+    * centroids). */
+  def ivfIndex(s: SparkSession, vecs: DataFrame,
+               k: Int = 0): (DataFrame, Array[Array[Double]]) = {
+    val kk = if (k > 0) k
+      else math.max(1, math.ceil(math.sqrt(vecs.count().toDouble)).toInt)
+    val cents = vecs.orderBy("vec_id").limit(kk).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(cents.length == kk, s"ivfIndex: need >= $kk vectors")
+    (KMeans.assign(s, vecs, cents), cents)
+  }
+
+  /** BATCH IVF search: top-`topK` cosine neighbours for EVERY probe in
+    * `probes` (probe_id, probe: array<float>). Probe→cluster
+    * assignment runs IN-PLAN (map-only UDF over broadcast centroids —
+    * no driver collect of probes), and probes are processed in
+    * `chunkSize`-bounded chunks: each chunk is a dim-sized broadcast
+    * against the cluster-pruned corpus, so the corpus is never
+    * re-shuffled and the broadcast never outgrows memory no matter how
+    * many probes arrive. Per-probe results are exact within the probed
+    * clusters; recall is traded via `nprobe` (nprobe = k ≡ brute
+    * force — `SimilaritySpec` proves it). */
+  def ivfSearchBatch(s: SparkSession, indexed: DataFrame,
+                     cents: Array[Array[Double]], probes: DataFrame,
+                     nprobe: Int, topK: Int,
+                     chunkSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = s.sparkContext.broadcast(cents)
+    val np = nprobe
+    val nearClusters = udf { (p: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map { i =>
+        val c = cs(i); var d2 = 0.0; var j = 0
+        while (j < c.length) { val df = p(j) - c(j); d2 += df * df; j += 1 }
+        (d2, i)
+      }.sortBy(identity).take(np).map(_._2)
+    }
+    val nProbes = probes.count()
+    val nChunks = math.max(1, math.ceil(nProbes.toDouble / chunkSize).toInt)
+    val withChunk = probes
+      .select(col("probe_id"), col("probe"),
+        explode(nearClusters(col("probe"))).as("cluster"),
+        pmod(abs(hash(col("probe_id"))), lit(nChunks)).as("chunk"))
+    val dot = graft.functions.FloatDot.float_dot _
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val perChunk = (0 until nChunks).map { c =>
+      indexed.join(broadcast(withChunk.filter(col("chunk") === c)
+          .select("probe_id", "probe", "cluster")), Seq("cluster"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          (dot(col("embedding"), col("probe")) /
+            (sqrt(dot(col("embedding"), col("embedding")))
+              * sqrt(dot(col("probe"), col("probe"))))).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topK)
+        .select("probe_id", "vec_id", "sim", "rn")
+    }
+    perChunk.reduce(_.unionByName(_))
+  }
+
   val sql: Map[String, String] = Map(
     "q_sim_topk_cosine" ->
       """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)

@@ -158,6 +158,34 @@ class Round4Spec extends SparkSpecBase {
     assert(iters === 1)
   }
 
+  test("persisted partials warm-restart across sessions == full recompute") {
+    import graft.incr.IncrMerge
+    import graft.engine.Dec.{dbl, dec2}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrbg_spec")
+    try {
+      val cut = lit("2024-01-20").cast("timestamp")
+      // SESSION A computes and persists the base partials, then ends
+      val evA = graft.engine.Tables.events(spark, sfDir)
+      IncrMerge.writePartials(
+        IncrMerge.partials(evA.filter(col("ts") < cut),
+          Seq("event_type"), col("value")),
+        s"$dir/base")
+      // SESSION B (fresh session state, no shared temp views/conf)
+      // warm-restarts: reads the store, merges only the delta
+      val s2 = spark.newSession()
+      val evB = graft.engine.Tables.events(s2, sfDir)
+      val stored = s2.read.parquet(s"$dir/base")
+      val merged = IncrMerge.mergePartials(Seq("event_type"),
+          stored,
+          IncrMerge.partials(evB.filter(col("ts") >= cut),
+            Seq("event_type"), col("value")))
+        .select(col("event_type"), col("n"), dbl(col("psum")).as("v"))
+      val full = evB.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dbl(sum(dec2(col("value")))).as("v"))
+      assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    } finally deleteRecursively(dir)
+  }
+
   test("kmeans runUntil converges and matches the fixed loop at same depth") {
     val vecs = graft.engine.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
