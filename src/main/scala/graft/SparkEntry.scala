@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.ops._
-import graft.iter.{IterQueries, KMeans, Apriori}
+import graft.iter.{IterQueries, KMeans, Apriori, MrbgPagerank}
 import graft.incr.IncrMerge
 import graft.text.{Dedup, MinHash, SimHash, Similarity, TextStats}
 import graft.stream.StreamOps
@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.defs ++ Filters.defs ++ Aggs.defs ++ SortsSets.defs ++
       Joins.defs ++ Windows.defs ++ Scalars.defs ++
-      IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ IncrMerge.defs ++
+      IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ MrbgPagerank.defs ++
+      IncrMerge.defs ++
       Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
       TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
@@ -36,7 +37,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Scans.sql ++ Filters.sql ++ Aggs.sql ++ SortsSets.sql ++
       Joins.sql ++ Windows.sql ++ Scalars.sql ++
-      IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ IncrMerge.sql ++
+      IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ MrbgPagerank.sql ++
+      IncrMerge.sql ++
       Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
       TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++

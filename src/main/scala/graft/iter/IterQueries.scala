@@ -140,6 +140,16 @@ object IterQueries {
       finish(state, edgesDeg, n)
     }
 
+  /** Run `body` under the iterative-loop conf (AQE off, loop-sized
+    * shuffle partitions) — the public handle for sibling iterative
+    * operators (e.g. [[MrbgPagerank]]); see [[noAqe]] for rationale. */
+  def loopConf[T](s: SparkSession)(body: => T): T = noAqe(s)(body)
+
+  /** q41's converged 5-iteration state — shared with q48 and the MRBG
+    * incremental path (identical deterministic computation). */
+  def converged5Shared(s: SparkSession, d: String): DataFrame =
+    converged5(s, d)
+
   /** q41's converged 5-iteration state, shared with q48 (identical
     * deterministic computation — memoized per session+dir). */
   private def converged5(s: SparkSession, d: String): DataFrame =

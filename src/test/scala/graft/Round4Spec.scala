@@ -158,6 +158,69 @@ class Round4Spec extends SparkSpecBase {
     assert(iters === 1)
   }
 
+  test("MRBG delta path (threshold 0) is bit-equal to full re-iteration") {
+    // q48 computes the same restart by running FULL prSteps; q_incr_mrbg
+    // computes it via preserved contributions + delta accumulation —
+    // identical oracle, and they must agree bit-for-bit in-session too
+    val full = SparkEntry.queries("q_incr_iter_converge")(spark, sfDir)
+    val mrbg = SparkEntry.queries("q_incr_mrbg")(spark, sfDir)
+    assert(bitEqual(full, mrbg))
+  }
+
+  test("MRBG threshold > 0 shrinks the frontier with bounded rank error") {
+    import graft.iter.{Graphs, IterQueries, MrbgPagerank}
+    val s = spark
+    val nodes = Graphs.nodesCached(s, sfDir)
+    val edgesDegOld = Graphs.edgesDegCached(s, sfDir)
+    val base = IterQueries.converged5Shared(s, sfDir).select("node", "rs")
+    val removed = (col("src") + col("dst")) % 17 === 0
+    val edgesNew = Graphs.edgesCached(s, sfDir).filter(!removed)
+    val degNew = edgesNew.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDegNew = edgesNew.join(broadcast(degNew), "src")
+      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+    val allSrcs = nodes.select(col("node").as("src"))
+    val c0 = MrbgPagerank.contribsFor(edgesDegOld, base, allSrcs)
+      .localCheckpoint()
+    val s0s = nodes.join(c0.groupBy("dst").agg(sum(col("c")).as("S")),
+        nodes("node") === col("dst"), "left")
+      .select(col("node"), coalesce(col("S"), lit(0L)).as("S"))
+    val frontier0 = Graphs.edgesCached(s, sfDir).filter(removed)
+      .select("src").distinct().localCheckpoint()
+    // pick the threshold FROM the observed iteration-1 moves (their
+    // 10th percentile), so the small tail is suppressed and the bulk
+    // kept — the paper's intended regime (filter out negligible change)
+    val one0 = MrbgPagerank
+      .incrRun(edgesDegNew, base, c0, s0s, frontier0, 0L, 1)
+      .localCheckpoint()
+    val moves = one0.join(base.select(col("node").as("bn"),
+        col("rs").as("brs")), col("node") === col("bn"))
+      .select(abs(col("rs") - col("brs")).as("d")).filter(col("d") > 0)
+      .localCheckpoint()
+    val movedExact = moves.count()
+    val thr = moves.selectExpr("CAST(percentile(d, 0.1) AS BIGINT)")
+      .head().getLong(0)
+    val movedThr = moves.filter(col("d") > thr).count()
+    assert(movedThr < movedExact,
+      s"threshold frontier $movedThr !< exact frontier $movedExact")
+    val exact = MrbgPagerank
+      .incrRun(edgesDegNew, base, c0, s0s, frontier0, 0L, 2)
+    val approx = MrbgPagerank
+      .incrRun(edgesDegNew, base, c0, s0s, frontier0, thr, 2)
+    val err = exact.join(
+        approx.select(col("node").as("an"), col("rs").as("ars")),
+        col("node") === col("an"))
+      .agg(max(abs(col("rs") - col("ars")))).head().getLong(0)
+    // Provable bound: a suppressed node's stale contribution is off by
+    // at most its |Δrs| (the div by outdeg only shrinks it), so any
+    // sum's error <= Σ suppressed |Δrs| (the suppressed MASS), damped
+    // by 0.85 per round; 2 rounds of compounding stay under 2x mass.
+    val mass = moves.filter(col("d") <= thr).agg(sum(col("d")))
+      .head().getLong(0)
+    assert(err <= 2 * mass, s"approximation error $err vs 2x mass $mass")
+    assert(err < 2633883365L, // the observed median move: the error
+      "suppressing the small tail must stay below the typical move")
+  }
+
   test("persisted partials warm-restart across sessions == full recompute") {
     import graft.incr.IncrMerge
     import graft.engine.Dec.{dbl, dec2}
