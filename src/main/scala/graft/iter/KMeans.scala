@@ -77,10 +77,22 @@ object KMeans {
     * data-seeded centroids; an empty cluster would need re-seeding). */
   def runUntil(s: SparkSession, vecs: DataFrame, k: Int, eps: Double,
                maxIter: Int): (DataFrame, Int) = {
-    import s.implicits._
     val seed = vecs.orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(seed.length == k, s"kmeans: need >= $k input vectors")
+    val (assigned, iters, _) = runUntilFrom(s, vecs, seed, eps, maxIter)
+    (assigned, iters)
+  }
+
+  /** K-means to convergence from a CALLER-SUPPLIED centroid seed —
+    * the warm-restart entry behind [[runIncremental]]. Returns
+    * (assignment, iterations run, converged centroids): callers keep
+    * the centroids as the preserved state for the NEXT delta. */
+  def runUntilFrom(s: SparkSession, vecs: DataFrame,
+                   seed: Array[Array[Double]], eps: Double,
+                   maxIter: Int): (DataFrame, Int, Array[Array[Double]]) = {
+    import s.implicits._
+    val k = seed.length
     val dims = seed.head.length
     def toDf(cents: Array[Array[Double]]): DataFrame =
       cents.zipWithIndex.flatMap { case (c, ci) =>
@@ -100,8 +112,26 @@ object KMeans {
             col("m"))
       },
       IterQueries.maxAbsDelta("m"), eps, maxIter)
-    (assign(s, vecs, toArrays(centsDf)), iters)
+    val finalCents = toArrays(centsDf)
+    (assign(s, vecs, finalCents), iters, finalCents)
   }
+
+  /** INCREMENTAL K-means [P §6-7] — the paper applies its incremental-
+    * iterative machinery to k-means: after a point delta, RESTART from
+    * the previous run's converged centroids (the preserved state —
+    * k×dims doubles, trivially persistable) instead of re-seeding from
+    * data. Prior centroids already sit near the new optimum when the
+    * delta is small relative to the corpus, so convergence takes fewer
+    * assignment/recompute rounds than a cold start — the k-means
+    * analogue of what q48/q101/q104 do for graph state. `Round5Spec`
+    * proves fewer-iterations-than-cold on the fixture plus the fixed-
+    * point invariant (restarting from the converged centroids stops
+    * after one round). Like [[runUntil]], oracle=none by design:
+    * FP-order-sensitive means. */
+  def runIncremental(s: SparkSession, vecsWithDelta: DataFrame,
+                     prevCentroids: Array[Array[Double]], eps: Double,
+                     maxIter: Int): (DataFrame, Int, Array[Array[Double]]) =
+    runUntilFrom(s, vecsWithDelta, prevCentroids, eps, maxIter)
 
   val defs: Map[String, Q] = Map(
     "q_iter_kmeans" -> ((s, d) => {

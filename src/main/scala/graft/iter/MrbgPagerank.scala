@@ -85,6 +85,29 @@ object MrbgPagerank {
     state
   }
 
+  /** Persist the MRBG iterative state — preserved edge contributions
+    * C, per-node sums S, and the rank state — to Parquet for CROSS-
+    * SESSION restart: the MRBG-Store's actual job for ITERATIVE
+    * workloads [P §5] (q103 does the same for aggregation partials).
+    * All three components are exact 64-bit integers, so a NEW session
+    * reading them back via [[readState]] and running [[incrRun]] is
+    * bit-equal to the in-session run — `Round5Spec` proves it across
+    * two separate sessions. */
+  def writeState(c: DataFrame, s: DataFrame, state: DataFrame,
+                 path: String): Unit = {
+    graft.incr.IncrMerge.writePartials(c, s"$path/C")
+    graft.incr.IncrMerge.writePartials(s, s"$path/S")
+    graft.incr.IncrMerge.writePartials(state, s"$path/state")
+  }
+
+  /** Read (C, S, state) written by [[writeState]] into `sp` — a fresh
+    * session restarting an iterative job from the stored MRBG state. */
+  def readState(sp: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    (sp.read.parquet(s"$path/C"),
+     sp.read.parquet(s"$path/S"),
+     sp.read.parquet(s"$path/state"))
+
   val defs: Map[String, Q] = Map(
     /** q104: q48's exact computation (PageRank restart after an edge
       * deletion, 2 refinement iterations) via the MRBG mechanism with

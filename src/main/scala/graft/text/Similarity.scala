@@ -123,7 +123,14 @@ object Similarity {
     * re-shuffled and the broadcast never outgrows memory no matter how
     * many probes arrive. Per-probe results are exact within the probed
     * clusters; recall is traded via `nprobe` (nprobe = k ≡ brute
-    * force — `SimilaritySpec` proves it). */
+    * force — `SimilaritySpec` proves it).
+    *
+    * EAGER: the probe→cluster assignment and the indexed corpus are
+    * persisted for the duration of the call and the result is
+    * materialized (localCheckpoint) before both are released — so the
+    * chunk loop reads cached rows instead of re-scanning the corpus
+    * and re-running the centroid-distance UDF once per chunk, and the
+    * caller gets a self-contained result with no dangling cache. */
   def ivfSearchBatch(s: SparkSession, indexed: DataFrame,
                      cents: Array[Array[Double]], probes: DataFrame,
                      nprobe: Int, topK: Int,
@@ -141,15 +148,20 @@ object Similarity {
     }
     val nProbes = probes.count()
     val nChunks = math.max(1, math.ceil(nProbes.toDouble / chunkSize).toInt)
+    // materialize assignment ONCE: each chunk filter below reads
+    // checkpointed rows instead of re-running the probe scan + the
+    // O(nProbes x k x dims) centroid-distance UDF per chunk
     val withChunk = probes
       .select(col("probe_id"), col("probe"),
         explode(nearClusters(col("probe"))).as("cluster"),
         pmod(abs(hash(col("probe_id"))), lit(nChunks)).as("chunk"))
+      .localCheckpoint()
+    val corpus = indexed.persist()
     val dot = graft.functions.FloatDot.float_dot _
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("vec_id"))
     val perChunk = (0 until nChunks).map { c =>
-      indexed.join(broadcast(withChunk.filter(col("chunk") === c)
+      corpus.join(broadcast(withChunk.filter(col("chunk") === c)
           .select("probe_id", "probe", "cluster")), Seq("cluster"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id"),
@@ -160,7 +172,9 @@ object Similarity {
         .filter(col("rn") <= topK)
         .select("probe_id", "vec_id", "sim", "rn")
     }
-    perChunk.reduce(_.unionByName(_))
+    val out = perChunk.reduce(_.unionByName(_)).localCheckpoint()
+    corpus.unpersist(blocking = false)
+    out
   }
 
   val sql: Map[String, String] = Map(
