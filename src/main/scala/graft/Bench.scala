@@ -44,15 +44,24 @@ object Bench {
       val median = sortedS(sortedS.length / 2)
       name -> (median, sortedS.head, samples.head, runs.forall(_._2))
     }
-    val qs = results.map { case (k, (med, _, _, _)) => s"\"" + k + "\":" + med }
+    // 3-decimal rounding halves the line length (ms resolution is
+    // below this host's noise floor anyway)
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val qs = results.map { case (k, (med, _, _, _)) => s"\"" + k + "\":" + r3(med) }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, (_, mn, _, _)) => s"\"" + k + "\":" + mn }
+    val qmins = results.map { case (k, (_, mn, _, _)) => s"\"" + k + "\":" + r3(mn) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, _, _, false)) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val totalFirst = if (results.nonEmpty) results.values.map(_._3).sum else 0.0
+    val total = r3(if (results.nonEmpty) results.values.map(_._1).sum else 0.0)
+    val totalFirst = r3(if (results.nonEmpty) results.values.map(_._3).sum else 0.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
+    // The per-query map above makes the full line long, and the
+    // driver's tail-capture of bench stdout has truncated its HEAD in
+    // past rounds (BENCH_r04/r05 parsed: null). Re-emit the headline
+    // numbers WITHOUT the maps on their own short line LAST, so any
+    // tail capture always contains one complete parseable total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -320,6 +320,98 @@ object IterQueries {
     minPropagate(edgesNew, state, seeds, valCol, delta, iters)
   }
 
+  /** Run [[minPropagate]] one round at a time until a round moves
+    * nothing (or maxIter) — convergence-based termination for the
+    * min-propagate family. The per-round count() is on the frontier
+    * (shrinking, node-bounded), the standard emptiness test of
+    * frontier algorithms. Returns (state(node, valCol), rounds). */
+  def minPropagateUntilStable(edges: DataFrame, state0: DataFrame,
+                              changed0: DataFrame, valCol: String,
+                              delta: Long, maxIter: Int)
+      : (DataFrame, Int) = {
+    var state = state0
+    var changed = changed0
+    var i = 0
+    var moving = true
+    while (moving && i < maxIter) {
+      val res = minPropagate(edges, state, changed, valCol, delta, 1)
+        .localCheckpoint()
+      i += 1
+      moving = res.filter(col("chg")).limit(1).count() > 0
+      state = res.select("node", valCol)
+      changed = res.filter(col("chg"))
+        .select(col("node").as("cnode"), col(valCol).as("cval"))
+    }
+    (state, i)
+  }
+
+  /** EDGE-DELETION restart for the min-propagate family [P §6] — the
+    * piece monotone additions (q101 / [[iterateIncremental]]) cannot
+    * cover, done with the MRBG preserved-state idea: identify the
+    * AFFECTED SUBTREE (nodes whose converged value may have depended
+    * on a deleted edge), re-initialize ONLY those to the sentinel, and
+    * re-converge from the unaffected boundary.
+    *
+    * Affected closure (over-approximation is sound — a re-initialized
+    * node just gets recomputed): seeds are deletion targets whose old
+    * value was SUPPORTED by the deleted edge (old(v) = old(u)+delta,
+    * u finite); the closure then follows surviving edges (u,v) with
+    * old(v) = old(u)+delta from affected u — any node whose every
+    * shortest support chains through the deleted edges lands in the
+    * set, so every UNAFFECTED node's old value is still achieved by
+    * some surviving path and deletions only remove paths, making
+    * unaffected values exactly final. Re-seeding min-propagation from
+    * the unaffected boundary (finite nodes with a surviving edge into
+    * the affected set) therefore re-converges to the exact from-
+    * scratch answer — the q_incr_sssp_delete oracle checks it — while
+    * touching only affected-adjacent state: closure and re-run are
+    * frontier-sized, never graph-sized.
+    *
+    * `state` is the CONVERGED pre-deletion state (node, valCol);
+    * `edgesNew` the surviving edges; `deleted` the removed ones.
+    * Returns (final state, affected node set, re-run rounds). */
+  def deleteRestart(edgesNew: DataFrame, deleted: DataFrame,
+                    state: DataFrame, valCol: String, delta: Long,
+                    maxIter: Int = 50): (DataFrame, DataFrame, Int) = {
+    val su = state.select(col("node").as("un"), col(valCol).as("ud"))
+    val sv = state.select(col("node").as("vn"), col(valCol).as("vd"))
+    def supported(e: DataFrame): DataFrame = e
+      .join(broadcast(su), e("src") === col("un"))
+      .join(broadcast(sv), e("dst") === col("vn"))
+      .filter(col("ud") < INF && col("vd") === col("ud") + delta)
+      .select(col("vn").as("node"))
+      .distinct()
+    var frontier = supported(deleted).localCheckpoint()
+    var affected = frontier
+    while (frontier.limit(1).count() > 0) {
+      val next = supported(
+          edgesNew.join(broadcast(frontier), col("node") === edgesNew("src"))
+            .select("src", "dst"))
+        .join(affected, Seq("node"), "left_anti")
+        .localCheckpoint()
+      affected = affected.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    // re-init: unaffected keep their (exactly final) values, affected
+    // fall back to the sentinel and get recomputed
+    val reset = state.join(affected, Seq("node"), "left_anti")
+      .unionByName(affected.select(col("node"), lit(INF).as(valCol)))
+      .localCheckpoint()
+    // boundary seeds: finite unaffected nodes with a surviving edge
+    // into the affected set — the only offers that can rebuild it
+    val seeds = edgesNew
+      .join(broadcast(affected.select(col("node").as("an"))),
+        edgesNew("dst") === col("an"))
+      .select(col("src").as("node")).distinct()
+      .join(affected, Seq("node"), "left_anti")
+      .join(reset, Seq("node"))
+      .filter(col(valCol) < INF)
+      .select(col("node").as("cnode"), col(valCol).as("cval"))
+    val (fin, rounds) =
+      minPropagateUntilStable(edgesNew, reset, seeds, valCol, delta, maxIter)
+    (fin, affected, rounds)
+  }
+
   /** Reference implementation for the frontier equality proofs: the
     * same min-propagation with NO change filter — every node offers
     * every iteration. O(edges) per iteration regardless of progress;
@@ -461,6 +553,61 @@ object IterQueries {
       }).orderBy("node")
     }),
 
+    /** q106: GIM-V ITSELF as a declared query [P §7] — the paper's
+      * generalized iterative matrix-vector operator instantiated to
+      * PageRank (combine2 = contribution, combineAll = sum, assign =
+      * damped update), FIXED 5 iterations. Round4Spec proves the
+      * generalization bit-equal to the hand-written loops; this puts
+      * the generic operator itself under the DuckDB oracle (the same
+      * unrolled 5-stage CTE as q41 — GIM-V must be result-invisible
+      * relative to the specialized loop). */
+    "q_gimv_pagerank" -> ((s, d) => {
+      Graphs.cached(s, d, "gimvPrResult")(noAqe(s) {
+        val edgesDeg = Graphs.edgesDegCached(s, d)
+        val n = Graphs.nodesCached(s, d)
+        var state = n.selectExpr("node", "CAST(10000000000 AS BIGINT) AS rs")
+        for (i <- 1 to 5) {
+          state = Graphs.gimvStep(edgesDeg, state, "rs")(
+            expr("v DIV outdeg"), sum,
+            (_, _) => expr(
+              "CAST(1500000000 + (85 * coalesce(M, 0)) DIV 100 AS BIGINT)"))
+          if (i % checkpointEvery == 0) state = state.localCheckpoint()
+        }
+        finish(state)
+      }).selectExpr("node", "rs", "CAST(rs AS DOUBLE) / 10000000000 AS rank")
+        .orderBy("node")
+    }),
+
+    /** q107: EDGE-DELETION incremental SSSP [P §6] — the change-
+      * propagation story beyond monotone additions: converge SSSP on
+      * the full graph, delete the (src+dst)%17=0 edges, re-initialize
+      * ONLY the affected subtree ([[deleteRestart]]) and re-converge
+      * from the unaffected boundary. Oracle = from-scratch converged
+      * re-iteration on the post-deletion graph: the affected-set
+      * bounding must be result-invisible. */
+    "q_incr_sssp_delete" -> ((s, d) => {
+      Graphs.cached(s, d, "ssspDeleteResult")(noAqe(s) {
+        val full = Graphs.edgesCached(s, d)
+        val deleted = full.filter((col("src") + col("dst")) % 17 === 0)
+        val newE = Graphs.cached(s, d, "edgesBase")(
+          full.filter((col("src") + col("dst")) % 17 =!= 0).persist())
+        val n = Graphs.nodesCached(s, d)
+        val srcNode = n.agg(min("node")).head().getLong(0)
+        // deletion restart requires a fully CONVERGED base state (a
+        // mid-flight base could under-approximate the affected set)
+        val base = Graphs.cached(s, d, "ssspConverged") {
+          val state0 = n.select(col("node"),
+            when(col("node") === srcNode, 0L).otherwise(INF).as("dist"))
+          val changed0 = state0.filter(col("dist") === 0)
+            .select(col("node").as("cnode"), col("dist").as("cval"))
+          minPropagateUntilStable(full, state0, changed0, "dist", 1L, 50)
+            ._1.localCheckpoint()
+        }
+        val (fin, _, _) = deleteRestart(newE, deleted, base, "dist", 1L)
+        finish(fin)
+      }).orderBy("node")
+    }),
+
     /** q43: connected components via min-label propagation (a GIM-V
       * instance [P §7]), FIXED 5 rounds. */
     "q_iter_connected_components" -> ((s, d) => {
@@ -491,6 +638,9 @@ object IterQueries {
 
   val sql: Map[String, String] = Map(
     "q_iter_pagerank" -> pagerankSql(5),
+    // q106: the generic GIM-V run must match the SAME unrolled oracle
+    // as the specialized q41 loop
+    "q_gimv_pagerank" -> pagerankSql(5),
     "q_incr_iter_converge" -> pagerankIncrSql(5, 2),
     "q_iter_sssp" -> {
       val stages = (1 to 5).map(minStageSql(_, "dist", 1))
@@ -508,6 +658,22 @@ object IterQueries {
          ${stages.mkString(",\n")}
          SELECT node, label FROM label5 ORDER BY node"""
     },
+    /** q107 oracle: from-scratch re-iteration on the POST-DELETION
+      * graph, 5 unrolled stages (the fixture converges in 2 — see the
+      * round-6 probe — so 5 is converged with margin, matching the
+      * engine's run-until-stable result). Node set and source come
+      * from the FULL pre-deletion graph, like the engine's. */
+    "q_incr_sssp_delete" -> {
+      val stages = (1 to 5).map(minStageSql(_, "dist", 1, "edges_b"))
+      s"""WITH ${Graphs.cteSql},
+         edges_b AS (SELECT src, dst FROM edges WHERE (src + dst) % 17 <> 0),
+         dist0 AS (SELECT node,
+           CAST(CASE WHEN node = (SELECT min(node) FROM nodes)
+                THEN 0 ELSE $INF END AS BIGINT) AS dist FROM nodes),
+         ${stages.mkString(",\n")}
+         SELECT node, dist FROM dist5 ORDER BY node"""
+    },
+
     /** q101 oracle: full (unfiltered) re-iteration — 5 stages on the
       * base edge set, 3 on the full set. Frontier bounding must be
       * result-invisible. */

@@ -16,7 +16,9 @@ import graft.engine.Tables._
   * (k*64 groups). No cross join, no collect of the vectors. */
 object KMeans {
 
-  private def assignUdf(s: SparkSession, cents: Array[Array[Double]]) = {
+  /** Reference UDF assignment — the codegen expression's bit-equality
+    * baseline (`Round6Spec`); not on the hot path anymore. */
+  private[graft] def assignUdf(s: SparkSession, cents: Array[Array[Double]]) = {
     val bc = s.sparkContext.broadcast(cents)
     udf { (emb: Seq[Float]) =>
       val cs = bc.value
@@ -34,10 +36,14 @@ object KMeans {
   }
 
   /** Assign each vector to its nearest of `cents`; returns (vec_id,
-    * embedding, cluster). */
+    * embedding, cluster). Nearest-centroid search runs as the native
+    * codegen expression [[graft.functions.FloatL2Argmin]] — same IEEE
+    * op sequence and tie-break as [[assignUdf]], bit-identical
+    * assignments, no per-row Seq boxing/serialization. */
   def assign(s: SparkSession, vecs: DataFrame,
              cents: Array[Array[Double]]): DataFrame =
-    vecs.withColumn("cluster", assignUdf(s, cents)(col("embedding")))
+    vecs.withColumn("cluster",
+      graft.functions.FloatL2Argmin.float_l2_argmin(col("embedding"), cents))
 
   def run(s: SparkSession, d: String, k: Int = 10, iters: Int = 3): DataFrame =
     runOn(s, embeddings(s, d).select(col("vec_id"), col("embedding")), k, iters)
@@ -132,6 +138,34 @@ object KMeans {
                      prevCentroids: Array[Array[Double]], eps: Double,
                      maxIter: Int): (DataFrame, Int, Array[Array[Double]]) =
     runUntilFrom(s, vecsWithDelta, prevCentroids, eps, maxIter)
+
+  /** Persist converged centroids to Parquet for CROSS-SESSION restart
+    * — the k-means analogue of [[MrbgPagerank.writeState]] (the
+    * MRBG-Store's preserved state [P §5]): k×dims doubles as
+    * (cluster, pos, m) rows. Parquet stores IEEE doubles verbatim, so
+    * [[readCentroids]] in a NEW session returns bit-identical arrays
+    * and `runIncremental` from them is exactly the in-session warm
+    * restart — `Round6Spec` proves it across two sessions. */
+  def writeCentroids(s: SparkSession, cents: Array[Array[Double]],
+                     path: String): Unit = {
+    import s.implicits._
+    cents.zipWithIndex.flatMap { case (c, ci) =>
+      c.zipWithIndex.map { case (m, p) => (ci, p, m) }
+    }.toSeq.toDF("cluster", "pos", "m")
+      .coalesce(1) // k·dims rows — one footer beats 32 task files
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read centroids written by [[writeCentroids]] back into dense
+    * arrays (row order is immaterial — (cluster, pos) keys it). */
+  def readCentroids(s: SparkSession, path: String): Array[Array[Double]] = {
+    val rows = s.read.parquet(path).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path")
+    val dims = rows.map(_._1._2).max + 1
+    require(rows.length % dims == 0, s"ragged centroid store at $path")
+    rows.map(_._2).grouped(dims).toArray
+  }
 
   val defs: Map[String, Q] = Map(
     "q_iter_kmeans" -> ((s, d) => {

@@ -37,7 +37,14 @@ object BloomPrune {
     * equal to the plain join (the exact join runs after the prune).
     * When the two key names are EQUAL the join uses the USING form
     * (one key column in the output); an unattached col==col condition
-    * would be an ambiguous reference. */
+    * would be an ambiguous reference.
+    *
+    * EAGERNESS NOTE: `dim` is materialized (localCheckpoint) AT CALL
+    * TIME — the emptiness guard and the Bloom build are actions, and
+    * sharing one materialization with the returned join is what keeps
+    * a non-trivial dim pipeline from running three times. A caller
+    * that builds this join but never executes it still pays dim's
+    * computation once. */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       expectedDimKeys: Long = 100000L,

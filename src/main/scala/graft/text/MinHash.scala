@@ -37,36 +37,73 @@ object MinHash {
     withH.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: same band-hash in any band. Buckets are
-    * materialized as sorted doc lists, then the m·(m-1)/2 pairs of a
-    * bucket are generated by TWO chained generators — posexplode picks
-    * the left element, a second explode over the remaining suffix
-    * emits the partners — with a repartition in between. Memory per
-    * row stays O(bucket), never O(bucket²), and a mega-bucket's pair
-    * generation is spread across every core instead of pinned to the
-    * one task that owns the bucket row. (A previous single-expression
-    * flatten(transform(transform(...))) built the entire quadratic
-    * pair array of a bucket inside one row — with skewed buckets that
-    * serializes the whole query onto one GC-bound task.) */
-  def candidates(sig: DataFrame): DataFrame = {
+  /** Bucket-size cap — the PRODUCTION GUARD for degenerate corpora
+    * (SURVEY §8): a band bucket holding m near-identical boilerplate
+    * docs (the common web-crawl failure mode) would otherwise emit
+    * m·(m-1)/2 pairs no matter how the generation is spread. Buckets
+    * larger than this are EXCLUDED from pair generation and routed to
+    * [[quarantine]] instead (count + sample), bounding the pair count
+    * at Bands · n/2 · (MaxBucket-1) — linear in the corpus. 64 keeps
+    * a capped bucket's own pair cost at <= 2016 pairs. */
+  val MaxBucket = 64
+
+  /** Docs sampled per quarantined bucket (enough to eyeball the
+    * boilerplate; the full membership is recoverable by re-hashing). */
+  val QuarantineSample = 16
+
+  /** Per-(band, band-hash) sorted doc lists of size >= 2 — the shared
+    * bucket relation behind [[candidates]] and [[quarantine]]. */
+  def buckets(sig: DataFrame): DataFrame = {
     val bandStructs: Seq[Column] = (0 until Bands).map { j =>
       val cols = (0 until 4).map(r => col(s"m${j * 4 + r}"))
       struct(lit(j).as("band"), hash(cols: _*).as("bh"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
-    banded
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
+  }
+
+  /** LSH candidate pairs: same band-hash in any band, bucket size
+    * capped at `maxBucket` (oversized buckets are quarantined — see
+    * [[MaxBucket]]). Within a bucket the m·(m-1)/2 pairs are generated
+    * by TWO chained generators — posexplode picks the left element, a
+    * second explode over the remaining suffix emits the partners —
+    * with a repartition in between. Memory per row stays O(bucket),
+    * never O(bucket²), and a large bucket's pair generation is spread
+    * across every core instead of pinned to the one task that owns the
+    * bucket row. (A previous single-expression
+    * flatten(transform(transform(...))) built the entire quadratic
+    * pair array of a bucket inside one row — with skewed buckets that
+    * serializes the whole query onto one GC-bound task.) */
+  def candidates(sig: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    candidatesFromBuckets(buckets(sig), maxBucket)
+
+  /** Pair generation over a prebuilt [[buckets]] frame — callers that
+    * also consume [[quarantine]] build the buckets once (persist or
+    * localCheckpoint) and feed both from it. */
+  def candidatesFromBuckets(bk: DataFrame,
+                            maxBucket: Int = MaxBucket): DataFrame =
+    bk.filter(size(col("ds")) <= maxBucket)
       .select(col("ds"), posexplode(col("ds")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
       .repartition(col("i"), col("doc_a"))
       .select(col("doc_a"), explode(
         slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("doc_b"))
       .distinct()
-  }
+
+  /** Oversized buckets, one row per (band, bh): how many docs
+    * collided and a bounded sample of them. A production pipeline
+    * handles these out-of-band (exact dedup inside the bucket —
+    * they're near-identical boilerplate by construction — or manual
+    * triage); what they must NEVER do is silently expand to m²/2
+    * pairs inside the LSH join. */
+  def quarantine(bk: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    bk.filter(size(col("ds")) > maxBucket)
+      .select(col("band"), col("bh"), size(col("ds")).as("n_docs"),
+        slice(col("ds"), 1, QuarantineSample).as("sample"))
 
   val defs: Map[String, Q] = Map(
     /** q51: LSH candidates, exactly verified (so output ⊆ q50's exact

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.MinHash
+
+/** Round-6 hardening items: the LSH bucket-size cap + quarantine
+  * (bounded pair count on a degenerate mega-bucket corpus, no effect
+  * on the normal fixture). */
+class Round6Spec extends SparkSpecBase {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH bucket cap bounds a degenerate mega-bucket's pair count") {
+    val sp = spark
+    import sp.implicits._
+    // 300 boilerplate docs sharing one token set -> every band hashes
+    // them into the same bucket; plus a small normal tail
+    val boiler = (0L until 300L).flatMap(id =>
+      Seq("lorem", "ipsum", "dolor", "sit", "amet").map(t => (id, t)))
+    val normal = (1000L until 1010L).flatMap(id =>
+      Seq(s"tok_$id", s"tok_${id + 1}", s"tok_${id + 2}").map(t => (id, t)))
+    val toks = (boiler ++ normal).toDF("doc_id", "tok")
+    val sig = MinHash.signatures(toks)
+    val bk = MinHash.buckets(sig).localCheckpoint()
+    // uncapped would emit the full 300*299/2 = 44850 boilerplate pairs
+    val uncapped = MinHash.candidatesFromBuckets(bk, Int.MaxValue).count()
+    assert(uncapped >= 44850L, s"fixture is not degenerate enough: $uncapped")
+    // capped: the mega-buckets are excluded entirely, so pairs come
+    // only from buckets of size <= 64 (here: the normal tail's, if any)
+    val capped = MinHash.candidatesFromBuckets(bk).count()
+    assert(capped <= 300L * (MinHash.MaxBucket - 1) / 2 * MinHash.Bands,
+      s"capped pair count $capped exceeds the linear bound")
+    assert(capped < uncapped)
+    // quarantine reports each oversized (band, bh) with count + sample
+    val q = MinHash.quarantine(bk).collect()
+    assert(q.nonEmpty, "mega-buckets must be quarantined, not dropped")
+    assert(q.forall(_.getInt(2) == 300), "every mega-bucket holds the 300 docs")
+    assert(q.forall(_.getSeq[Long](3).size == MinHash.QuarantineSample))
+    // no boilerplate doc appears in the capped pairs: they were routed
+    // to quarantine, not silently half-expanded
+    val cappedPairs = pairSet(MinHash.candidatesFromBuckets(bk))
+    assert(cappedPairs.forall { case (a, b) => a >= 1000L && b >= 1000L })
+  }
+
+  test("LSH bucket cap is a no-op on the normal fixture (recall unchanged)") {
+    val toks = graft.text.Dedup.subsetTokens(spark, sfDir).localCheckpoint()
+    val bk = MinHash.buckets(MinHash.signatures(toks)).localCheckpoint()
+    val capped = pairSet(MinHash.candidatesFromBuckets(bk))
+    val uncapped = pairSet(MinHash.candidatesFromBuckets(bk, Int.MaxValue))
+    assert(capped == uncapped,
+      "the fixture corpus has no mega-buckets; the cap must not change results")
+  }
+
+  private def bitEqual(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean = {
+    val ca = a.columns.sorted.toSeq
+    a.selectExpr(ca: _*).exceptAll(b.selectExpr(ca: _*)).isEmpty &&
+      b.selectExpr(ca: _*).exceptAll(a.selectExpr(ca: _*)).isEmpty
+  }
+
+  test("SSSP deletion restart == from-scratch, touching a strict node subset") {
+    import graft.iter.{Graphs, IterQueries}
+    val INF = 999999999L
+    val full = Graphs.edgesCached(spark, sfDir)
+    val n = Graphs.nodesCached(spark, sfDir)
+    val srcNode = n.agg(min("node")).head().getLong(0)
+    val state0 = n.select(col("node"),
+      when(col("node") === srcNode, 0L).otherwise(INF).as("dist"))
+    val changed0 = state0.filter(col("dist") === 0)
+      .select(col("node").as("cnode"), col("dist").as("cval"))
+    val base = IterQueries.minPropagateUntilStable(
+      full, state0, changed0, "dist", 1L, 50)._1.localCheckpoint()
+    // delete HALF the source's out-edges: each deleted (source, v) was
+    // v's only dist-1 support, so the affected set is non-trivially
+    // non-empty — the guarantee the %17 pattern can't give
+    val delPred = col("src") === srcNode && col("dst") % 2 === 0
+    val deleted = full.filter(delPred)
+    assert(deleted.count() > 0, "fixture must delete something")
+    val newE = full.filter(!delPred).localCheckpoint()
+    val (fin, affected, _) =
+      IterQueries.deleteRestart(newE, deleted, base, "dist", 1L)
+    // the incremental result must equal a converged from-scratch run
+    val scratch = IterQueries.minPropagateUntilStable(
+      newE, state0, changed0, "dist", 1L, 50)._1
+    assert(bitEqual(fin, scratch), "deletion restart != from-scratch")
+    // touched nodes are a non-empty STRICT subset of the graph
+    val nAff = affected.count()
+    assert(nAff > 0, "deleting sole supports must affect someone")
+    assert(nAff < n.count(), s"affected set must be a strict subset ($nAff)")
+  }
+
+  test("q_incr_sssp_delete declared query smoke (vs in-engine oracle shape)") {
+    val out = SparkEntry.queries("q_incr_sssp_delete")(spark, sfDir)
+    assert(out.columns.toSeq == Seq("node", "dist"))
+    assert(out.count() === graft.iter.Graphs.nodesCached(spark, sfDir).count())
+  }
+
+  test("persisted k-means centroids restart a NEW session identically") {
+    import graft.iter.KMeans
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans_cents")
+    try {
+      val vecs = graft.engine.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val base = vecs.filter(col("vec_id") % 20 =!= 0)
+      val seed = vecs.orderBy("vec_id").limit(10).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      val eps = 1e-4
+      // SESSION A: converge on the base corpus, persist the centroids
+      val (_, _, prevCents) = KMeans.runUntilFrom(spark, base, seed, eps, 60)
+      KMeans.writeCentroids(spark, prevCents, s"$dir/cents")
+      // in-session warm restart on the full corpus — the reference run
+      val (warmA, itersA, centsA) =
+        KMeans.runIncremental(spark, vecs, prevCents, eps, 60)
+      // SESSION B: fresh session state, centroids read from Parquet
+      val s2 = spark.newSession()
+      val stored = KMeans.readCentroids(s2, s"$dir/cents")
+      // Parquet round-trips IEEE doubles verbatim
+      assert(stored.length == prevCents.length)
+      assert(stored.zip(prevCents).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) =>
+          java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y) } },
+        "stored centroids must be bit-identical to the in-memory ones")
+      val vecsB = graft.engine.Tables.embeddings(s2, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      val (warmB, itersB, centsB) =
+        KMeans.runIncremental(s2, vecsB, stored, eps, 60)
+      assert(itersB == itersA,
+        "cross-session restart must converge in the same rounds")
+      assert(centsA.flatten[Double].zip(centsB.flatten[Double]).forall {
+        case (x, y) =>
+          java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y) },
+        "cross-session converged centroids must be bit-equal")
+      assert(bitEqual(warmA.select("vec_id", "cluster"),
+        warmB.select("vec_id", "cluster")),
+        "cross-session assignment must equal the in-session warm restart")
+    } finally deleteRecursively(dir)
+  }
+
+  test("FloatL2Argmin codegen assignment is bit-equal to the UDF path") {
+    import graft.functions.FloatL2Argmin
+    import graft.iter.KMeans
+    val vecs = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    // adversarial centroids: duplicated rows force the tie-break, and
+    // the first k data points make many distances exactly zero
+    val fromData = vecs.orderBy("vec_id").limit(8).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cents = fromData ++ fromData.take(2) // dup -> strict-< must keep low id
+    val expr = vecs.withColumn("cluster",
+      FloatL2Argmin.float_l2_argmin(col("embedding"), cents))
+      .select("vec_id", "cluster")
+    val viaUdf = vecs.withColumn("cluster",
+      KMeans.assignUdf(spark, cents)(col("embedding")))
+      .select("vec_id", "cluster")
+    assert(bitEqual(expr, viaUdf),
+      "codegen argmin must match the UDF row for row")
+    assert(expr.filter(col("cluster") >= 8).count() === 0,
+      "duplicated centroids must lose every tie to their low-index twin")
+  }
+
+  test("incremental Apriori k=3 restarts a NEW session from Parquet partials") {
+    import graft.iter.Apriori
+    def toksOf(s: org.apache.spark.sql.SparkSession) =
+      graft.engine.Tables.documents(s, sfDir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+    val dir = java.nio.file.Files.createTempDirectory("graft_apriori_l3")
+    try {
+      val toks = toksOf(spark).localCheckpoint()
+      val cut = graft.engine.Tables.documents(spark, sfDir)
+        .agg(max(col("doc_id").cast("long"))).head().getLong(0) - 49L
+      // SESSION A: persist the base level-3 supports at the relaxed
+      // threshold (minSup - 50 lower-bounds every possible relaxed bar
+      // for a <= 50-doc delta) — the q103 partials-store shape
+      val baseState = Apriori.frequentItemsets(
+        toks.filter(col("doc_id") < cut), 3,
+        math.max(1L, Apriori.minSupport - 50L))
+      graft.incr.IncrMerge.writePartials(baseState, s"$dir/l3")
+      // SESSION B: fresh session; base supports come ONLY from disk —
+      // the base corpus is never re-expanded
+      val s2 = spark.newSession()
+      val toks2 = toksOf(s2).localCheckpoint()
+      val stored = s2.read.parquet(s"$dir/l3")
+      val incr = Apriori.frequentItemsetsIncr(
+        toks2.filter(col("doc_id") < cut),
+        toks2.filter(col("doc_id") >= cut), 3, Apriori.minSupport,
+        preserved = Some(stored)).localCheckpoint()
+      val full = Apriori.frequentItemsets(toks2, 3, Apriori.minSupport)
+      assert(bitEqual(full, incr),
+        "cross-session incremental k=3 must equal the full recompute")
+      assert(incr.count() > 0, "degenerate fixture")
+    } finally deleteRecursively(dir)
+  }
+}
