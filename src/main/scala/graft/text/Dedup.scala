@@ -50,6 +50,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
   }
 
+  /** Exact Jaccard-qualified pairs (J >= 0.5) over a (doc_id, tok)
+    * relation — q50's computation, shared with the q108 cluster
+    * collapse. One token self-join with in-groupBy intersection
+    * counting; per-doc sizes are a tiny broadcast side. */
+  def exactPairs(toks: DataFrame): DataFrame = {
+    val a = toks.select(col("doc_id").as("doc_a"), col("tok"))
+    val b = toks.select(col("doc_id").as("doc_b"), col("tok"))
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val szB = sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(szA), "doc_a").join(broadcast(szB), "doc_b")
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+  }
+
   val defs: Map[String, Q] = Map(
     /** q49: exact dedup by content hash, keep min doc_id. */
     "q_dedup_exact" -> ((s, d) => {
@@ -60,25 +79,32 @@ object Dedup {
     }),
 
     /** q50: exact near-dup pairs, Jaccard >= 0.5, via token self-join
-      * (the exact computation MinHash approximates). Intersections are
-      * counted directly in the join's groupBy — one shuffle, no
-      * intermediate candidate materialization; the per-doc set sizes
-      * are a tiny broadcast side. */
-    "q_sim_jaccard_pairs" -> ((s, d) => {
-      val toks = subsetTokens(s, d)
-      val a = toks.select(col("doc_id").as("doc_a"), col("tok"))
-      val b = toks.select(col("doc_id").as("doc_b"), col("tok"))
-      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      val szB = sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-      a.join(b, Seq("tok"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        .join(broadcast(szA), "doc_a").join(broadcast(szB), "doc_b")
-        .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
-        .filter(col("inter") * 2 >= col("union_sz"))
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
-        .orderBy("doc_a", "doc_b")
+      * (the exact computation MinHash approximates). */
+    "q_sim_jaccard_pairs" -> ((s, d) =>
+      exactPairs(subsetTokens(s, d)).orderBy("doc_a", "doc_b")),
+
+    /** q108: NEAR-DUP CLUSTER COLLAPSE — the dedup DECISION step a
+      * training-data pipeline runs after pair detection: connected
+      * components of the Jaccard>=0.5 pair graph via min-label
+      * propagation (FIXED 5 rounds — both engines unroll the same
+      * integer computation, so equality holds step for step), emitting
+      * one canonical keep_id per doc (singletons keep themselves).
+      * Downstream: `filter(doc_id = keep_id)` is the dedup; the same
+      * collapse runs unchanged over q51's LSH-verified pairs at full
+      * scale (the pair source is the only O(n²)-vs-O(n·bands) choice). */
+    "q_dedup_groups" -> ((s, d) => {
+      val toks = subsetTokens(s, d).persist()
+      val pairs = exactPairs(toks)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val state0 = toks.select(col("doc_id")).distinct()
+        .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      val changed0 = state0
+        .select(col("node").as("cnode"), col("label").as("cval"))
+      val out = graft.iter.IterQueries
+        .minPropagate(edges, state0, changed0, "label", 0L, 5)
+        .select(col("node").as("doc_id"), col("label").as("keep_id"))
+      graft.iter.IterQueries.finish(out, toks).orderBy("doc_id")
     }),
 
     /** q65: n-gram (3-shingle) Jaccard pairs at J >= 0.1 — same
@@ -148,6 +174,49 @@ object Dedup {
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE 2 * inter >= sa.sz + sb.sz - inter
          ORDER BY doc_a, doc_b""",
+    /** q108 oracle: the SAME 5 unrolled min-label stages over the
+      * SAME pair graph — integer label propagation is deterministic
+      * step for step, so fixed counts make the loop plain SQL (the
+      * q42/q43 pattern). */
+    "q_dedup_groups" -> {
+      def stage(k: Int): String = {
+        val prev = s"label${k - 1}"
+        s"""label$k AS (
+            SELECT p.node, least(p.label, coalesce(s.mc, 999999999)) AS label
+            FROM $prev p LEFT JOIN (
+              SELECT e.dst AS node, MIN(p2.label) AS mc
+              FROM dedup_edges e JOIN $prev p2 ON p2.node = e.src
+              GROUP BY e.dst
+            ) s ON s.node = p.node
+          )"""
+      }
+      s"""WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           ) r WHERE length(tok) > 0 AND doc_id % 5 = 0
+         ),
+         sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         ),
+         pairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE 2 * inter >= sa.sz + sb.sz - inter
+         ),
+         dedup_edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL
+           SELECT doc_b AS src, doc_a AS dst FROM pairs
+         ),
+         label0 AS (SELECT DISTINCT doc_id AS node, doc_id AS label FROM toks),
+         ${(1 to 5).map(stage).mkString(",\n")}
+         SELECT node AS doc_id, label AS keep_id
+         FROM label5 ORDER BY doc_id"""
+    },
     "q_sim_shingle_jaccard" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 1),

@@ -161,6 +161,23 @@ class Round6Spec extends SparkSpecBase {
       "duplicated centroids must lose every tie to their low-index twin")
   }
 
+  test("q_dedup_groups: keep_id is the component minimum and self-kept") {
+    val out = SparkEntry.queries("q_dedup_groups")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    // min-label propagation can only lower labels toward the component min
+    assert(out.forall { case (doc, keep) => keep <= doc },
+      "keep_id must never exceed the doc's own id")
+    // every canonical representative keeps itself (fixed point at this
+    // fixture's component diameters)
+    val label = out.toMap
+    assert(out.forall { case (_, keep) => label(keep) == keep },
+      "a keep_id must itself be kept")
+    // the collapse is non-trivial on this fixture: some real cluster
+    assert(out.exists { case (doc, keep) => keep < doc },
+      "fixture must contain at least one near-dup cluster")
+  }
+
   test("incremental Apriori k=3 restarts a NEW session from Parquet partials") {
     import graft.iter.Apriori
     def toksOf(s: org.apache.spark.sql.SparkSession) =
