@@ -107,6 +107,27 @@ object Dedup {
       graft.iter.IterQueries.finish(out, toks).orderBy("doc_id")
     }),
 
+    /** q109: asymmetric CONTAINMENT pairs — |A∩B| / |A| >= 0.8 for
+      * ORDERED (doc_a, doc_b): catches quotes/subset documents whose
+      * Jaccard stays low because the containing doc is much larger —
+      * the symmetric measures (q50/q65) structurally miss these.
+      * Integer threshold (10·inter >= 8·|A|), one token self-join,
+      * sizes broadcast — the q50 shape with an ordered pair space. */
+    "q_text_containment" -> ((s, d) => {
+      val toks = subsetTokens(s, d)
+      val a = toks.select(col("doc_id").as("doc_a"), col("tok"))
+      val b = toks.select(col("doc_id").as("doc_b"), col("tok"))
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      a.join(b, Seq("tok"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(szA), "doc_a")
+        .filter(col("inter") * 10 >= col("sz_a") * 8)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     /** q65: n-gram (3-shingle) Jaccard pairs at J >= 0.1 — same
       * integer-threshold machinery as q50 over contiguous shingles
       * (stricter than token sets: order-sensitive). */
@@ -173,6 +194,22 @@ object Dedup {
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE 2 * inter >= sa.sz + sb.sz - inter
+         ORDER BY doc_a, doc_b""",
+    "q_text_containment" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           ) r WHERE length(tok) > 0 AND doc_id % 5 = 0
+         ),
+         sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+         SELECT doc_a, doc_b, inter, sa.sz AS sz_a
+         FROM inter JOIN sz sa ON sa.doc_id = doc_a
+         WHERE 10 * inter >= 8 * sa.sz
          ORDER BY doc_a, doc_b""",
     /** q108 oracle: the SAME 5 unrolled min-label stages over the
       * SAME pair graph — integer label propagation is deterministic

@@ -44,22 +44,51 @@ object Similarity {
       * the scale paths are IVF cluster pruning and LSH banding).
       * Norms are precomputed once per vector; the threshold compares
       * bit-identical doubles on both engines, so the cut is exact. */
-    "q_sim_cosine_pairs" -> ((s, d) => {
-      val dot = graft.functions.FloatDot.float_dot _
+    "q_sim_cosine_pairs" -> ((s, d) =>
+      cosinePairs(embeddings(s, d), 0.32).orderBy("vec_a", "vec_b")),
+
+    /** q110: EMBEDDING-COSINE DEDUP COLLAPSE — the embedding-space
+      * analogue of q108 [N]: connected components of the cosine>=0.4
+      * pair graph (min-label, FIXED 5 rounds) giving one canonical
+      * keep_id per vector. At scale the pair source swaps for the IVF
+      * bucketed search (pairs within probed clusters only); the
+      * collapse is unchanged. Threshold compares bit-identical
+      * doubles, labels are integer — fully oracle-checkable. */
+    "q_dedup_embedding_groups" -> ((s, d) => {
       val emb = embeddings(s, d)
-        .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-      val a = emb.select(col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a"), col("norm").as("norm_a"))
-      val b = emb.select(col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b"), col("norm").as("norm_b"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          (dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
-            .as("sim"))
-        .filter(col("sim") >= 0.32)
-        .orderBy("vec_a", "vec_b")
+        .select(col("vec_id"), col("embedding")).persist()
+      val pairs = cosinePairs(emb, 0.4).select("vec_a", "vec_b")
+      val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      val state0 = emb
+        .select(col("vec_id").as("node"), col("vec_id").as("label"))
+      val changed0 = state0
+        .select(col("node").as("cnode"), col("label").as("cval"))
+      val out = graft.iter.IterQueries
+        .minPropagate(edges, state0, changed0, "label", 0L, 5)
+        .select(col("node").as("vec_id"), col("label").as("keep_id"))
+      graft.iter.IterQueries.finish(out, emb).orderBy("vec_id")
     })
   )
+
+  /** Exact cosine pairs (vec_a < vec_b) at `threshold` — q67's
+    * computation, shared with the q110 collapse. Norms computed once
+    * per vector; dot products are the codegen [[graft.functions
+    * .FloatDot]] with the oracle's exact fold order. */
+  def cosinePairs(emb0: DataFrame, threshold: Double): DataFrame = {
+    val dot = graft.functions.FloatDot.float_dot _
+    val emb = emb0
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    val a = emb.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = emb.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 
   /** IVF-style ANN, the bucketed scale path for q52: partition the
     * corpus once by nearest centroid (the inverted-file "index" — at
@@ -192,6 +221,43 @@ object Similarity {
          WHERE vec_id <> 0
          ORDER BY sim DESC, vec_id ASC
          LIMIT 10""",
+    /** q110 oracle: q67's validated cosine formulation at 0.4, then
+      * the same 5 unrolled min-label stages as q108. */
+    "q_dedup_embedding_groups" -> {
+      def stage(k: Int): String = {
+        val prev = s"label${k - 1}"
+        s"""label$k AS (
+            SELECT p.node, least(p.label, coalesce(s.mc, 999999999)) AS label
+            FROM $prev p LEFT JOIN (
+              SELECT e.dst AS node, MIN(p2.label) AS mc
+              FROM emb_edges e JOIN $prev p2 ON p2.node = e.src
+              GROUP BY e.dst
+            ) s ON s.node = p.node
+          )"""
+      }
+      s"""WITH n AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS norm
+           FROM embeddings
+         ),
+         pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (a.norm * b.norm) >= 0.4
+         ),
+         emb_edges AS (
+           SELECT vec_a AS src, vec_b AS dst FROM pairs
+           UNION ALL
+           SELECT vec_b AS src, vec_a AS dst FROM pairs
+         ),
+         label0 AS (SELECT vec_id AS node, vec_id AS label FROM n),
+         ${(1 to 5).map(stage).mkString(",\n")}
+         SELECT node AS vec_id, label AS keep_id
+         FROM label5 ORDER BY vec_id"""
+    },
     "q_sim_cosine_pairs" ->
       """WITH n AS (
            SELECT vec_id, embedding,
