@@ -51,9 +51,12 @@ object MinHash {
     * boilerplate; the full membership is recoverable by re-hashing). */
   val QuarantineSample = 16
 
-  /** Per-(band, band-hash) sorted doc lists of size >= 2 — the shared
-    * bucket relation behind [[candidates]] and [[quarantine]]. */
-  def buckets(sig: DataFrame): DataFrame = {
+  /** Per-doc band hashes (doc_id, band, bh) — the LSH index relation.
+    * Map-only from signatures; at production scale THIS is the stored
+    * state of an evolving corpus (persist via
+    * `IncrMerge.writePartials`), since it's per-doc and never needs
+    * recomputation when other docs arrive. */
+  def banded(sig: DataFrame): DataFrame = {
     val bandStructs: Seq[Column] = (0 until Bands).map { j =>
       val cols = (0 until 4).map(r => col(s"m${j * 4 + r}"))
       struct(lit(j).as("band"), hash(cols: _*).as("bh"))
@@ -61,9 +64,46 @@ object MinHash {
     sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+  }
+
+  /** Per-(band, band-hash) sorted doc lists of size >= 2 — the shared
+    * bucket relation behind [[candidates]] and [[quarantine]]. */
+  def buckets(sig: DataFrame): DataFrame =
+    banded(sig)
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
+
+  /** INCREMENTAL LSH candidates [P §3,6 applied to dedup]: the pairs
+    * an insert-only doc delta ADDS — every pair with at least one new
+    * doc. `bandedOld` is the STORED per-doc band-hash relation of the
+    * existing corpus ([[banded]], persisted once); `bandedNew` the
+    * delta's. Only buckets TOUCHED by a new doc are rebuilt (the join
+    * on the delta's (band, bh) set), and pair generation is
+    * new×bucket — delta-proportional, never corpus². Soundness: a
+    * band bucket is keyed by the doc's own signature, so old docs'
+    * bucket membership never changes; full-candidates(old ∪ delta) =
+    * old-candidates ∪ THIS (uncapped; `Round6Spec` proves the
+    * equality). The [[MaxBucket]] cap applies to the POST-delta
+    * bucket size, consistent with a full recompute. */
+  def candidatesIncr(bandedOld: DataFrame, bandedNew: DataFrame,
+                     maxBucket: Int = MaxBucket): DataFrame = {
+    val all = bandedOld.withColumn("is_new", lit(false))
+      .unionByName(bandedNew.withColumn("is_new", lit(true)))
+    val touched = bandedNew.select("band", "bh").distinct()
+    all.join(touched, Seq("band", "bh")) // delta-touched buckets only
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
+        sort_array(collect_list(when(col("is_new"), col("doc_id"))))
+          .as("ds_new"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(col("ds"), explode(col("ds_new")).as("doc_n"))
+      .repartition(col("doc_n"))
+      .select(col("doc_n"), explode(col("ds")).as("doc_o"))
+      .filter(col("doc_n") =!= col("doc_o"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+      .distinct()
   }
 
   /** LSH candidate pairs: same band-hash in any band, bucket size

@@ -161,6 +161,36 @@ class Round6Spec extends SparkSpecBase {
       "duplicated centroids must lose every tie to their low-index twin")
   }
 
+  test("incremental LSH: delta candidates complete the full pair set") {
+    // insert-only doc delta: full-candidates == old-candidates ∪
+    // delta-candidates (uncapped — capping depends on post-delta
+    // bucket sizes, identical on this fixture anyway)
+    val toks = graft.text.Dedup.subsetTokens(spark, sfDir).localCheckpoint()
+    val cut = toks.agg(expr("percentile(doc_id, 0.8)")).head()
+      .getDouble(0).toLong
+    val sigAll = MinHash.signatures(toks).localCheckpoint()
+    // per-doc signatures: the old docs' rows are IDENTICAL in both
+    // worlds, so splitting the signature table models the stored state
+    val bandedAll = MinHash.banded(sigAll).localCheckpoint()
+    val bandedOld = bandedAll.filter(col("doc_id") < cut)
+    val bandedNew = bandedAll.filter(col("doc_id") >= cut)
+    assert(bandedNew.select("doc_id").distinct().count() > 0)
+    val noCap = Int.MaxValue
+    val full = pairSet(MinHash.candidatesFromBuckets(
+      MinHash.buckets(sigAll), noCap))
+    val old = pairSet(MinHash.candidatesFromBuckets(
+      bandedOld.groupBy("band", "bh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1), noCap))
+    val incr = pairSet(MinHash.candidatesIncr(bandedOld, bandedNew, noCap))
+    assert(incr.nonEmpty, "delta must touch some bucket on this fixture")
+    // every delta pair involves a new doc
+    assert(incr.forall { case (a, b) => a >= cut || b >= cut })
+    // and the union is exactly the full recompute
+    assert((old ++ incr) == full,
+      s"old(${old.size}) ∪ incr(${incr.size}) != full(${full.size})")
+  }
+
   test("q_dedup_groups: keep_id is the component minimum and self-kept") {
     val out = SparkEntry.queries("q_dedup_groups")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
