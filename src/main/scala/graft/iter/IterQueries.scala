@@ -619,6 +619,69 @@ object IterQueries {
           .select(col("node").as("cnode"), col("label").as("cval"))
         finish(minLoopDelta(edges, state0, changed0, "label", 0L, 5))
       }).orderBy("node")
+    }),
+
+    /** q114: PERSONALIZED PageRank [P §7 variant] — teleport mass
+      * lands only on the seed node (the min node id, q42's source
+      * convention) instead of uniformly: rs0 = 1e10 at the seed, 0
+      * elsewhere; rs' = 15e8·[node=seed] + (85·Σ rs/outdeg) div 100.
+      * Runs through the GENERIC [[Graphs.gimvStep]] (like q106) with
+      * a seed-aware assign — demonstrating that GIM-V's assign hook
+      * expresses per-node update rules, not just global ones. Same
+      * scaled-integer determinism and unrolled-CTE oracle as q41;
+      * same plan shape (node-sized broadcast state, one shuffle per
+      * iteration), so the q41 scale story carries over verbatim. */
+    "q_iter_ppr" -> ((s, d) => {
+      Graphs.cached(s, d, "pprResult")(noAqe(s) {
+        val edgesDeg = Graphs.edgesDegCached(s, d)
+        val n = Graphs.nodesCached(s, d)
+        val seed = n.agg(min("node")).head().getLong(0)
+        var state = n.select(col("node"),
+          when(col("node") === seed, 10000000000L).otherwise(0L).as("rs"))
+        for (i <- 1 to 5) {
+          state = Graphs.gimvStep(edgesDeg, state, "rs")(
+            expr("v DIV outdeg"), sum,
+            (_, _) => expr(
+              s"""CAST(CASE WHEN node = $seed THEN 1500000000 ELSE 0 END
+                  + (85 * coalesce(M, 0)) DIV 100 AS BIGINT)"""))
+          if (i % checkpointEvery == 0) state = state.localCheckpoint()
+        }
+        finish(state)
+      }).selectExpr("node", "rs", "CAST(rs AS DOUBLE) / 10000000000 AS rank")
+        .orderBy("node")
+    }),
+
+    /** q115: FRONTIER-BOUNDED INCREMENTAL CONNECTED COMPONENTS — q101's
+      * change-propagation restart applied to the label-propagation
+      * instance (delta=0): 5 min-label rounds on the base graph (edges
+      * with (src+dst)%17 <> 0), then the held-out edges arrive and 3
+      * FRONTIER rounds on the full graph restart from the converged
+      * labels. Edge additions only merge components (labels only
+      * decrease), so min-propagation stays monotone and the
+      * [[iterateIncremental]] invariant applies unchanged. Oracle =
+      * the FULL unrolled 5+3-stage loop: frontier bounding must be
+      * result-invisible, only cheaper (per-iteration join volume is
+      * frontier-sized — the component-merge wave — not graph-sized). */
+    "q_incr_cc_frontier" -> ((s, d) => {
+      Graphs.cached(s, d, "ccFrontierResult")(noAqe(s) {
+        val full = Graphs.edgesCached(s, d)
+        val baseE = Graphs.cached(s, d, "edgesBase")(
+          full.filter((col("src") + col("dst")) % 17 =!= 0).persist())
+        val deltaE = full.filter((col("src") + col("dst")) % 17 === 0)
+        val n = Graphs.nodesCached(s, d) // FULL node set, like q101
+        val state0 = n.select(col("node"), col("node").as("label"))
+        val changed0 = state0
+          .select(col("node").as("cnode"), col("label").as("cval"))
+        val baseRun = Graphs.cached(s, d, "ccBase5")(
+          minPropagate(baseE, state0, changed0, "label", 0L, 5)
+            .localCheckpoint())
+        val res = iterateIncremental(full, deltaE,
+          baseRun.select("node", "label"),
+          baseRun.filter(col("chg"))
+            .select(col("node").as("cnode"), col("label").as("cval")),
+          "label", 0L, 3)
+        finish(res.select("node", "label"))
+      }).orderBy("node")
     })
   )
 
@@ -687,6 +750,46 @@ object IterQueries {
                 THEN 0 ELSE $INF END AS BIGINT) AS dist FROM nodes),
          ${(base ++ incr).mkString(",\n")}
          SELECT node, dist FROM dist8 ORDER BY node"""
+    },
+
+    /** q114 oracle: the q41 unrolled-CTE pattern with the seed-only
+      * teleport term — 5 stages, scaled-integer arithmetic verbatim. */
+    "q_iter_ppr" -> {
+      def stage(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""r$k AS (
+            SELECT n.node,
+              CAST(CASE WHEN n.node = (SELECT min(node) FROM nodes)
+                     THEN 1500000000 ELSE 0 END
+                + (85 * coalesce(s.S, 0)) // 100 AS BIGINT) AS rs
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, SUM(r.rs // d.outdeg) AS S
+              FROM edges e JOIN $prev r ON r.node = e.src
+                JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ) s ON s.node = n.node
+          )"""
+      }
+      s"""WITH ${Graphs.cteSql},
+         r0 AS (SELECT node,
+           CAST(CASE WHEN node = (SELECT min(node) FROM nodes)
+                THEN 10000000000 ELSE 0 END AS BIGINT) AS rs FROM nodes),
+         ${(1 to 5).map(stage).mkString(",\n")}
+         SELECT node, rs, CAST(rs AS DOUBLE) / 10000000000 AS rank
+         FROM r5 ORDER BY node"""
+    },
+
+    /** q115 oracle: full re-iteration of the label loop — 5 stages on
+      * the base edge set, 3 on the full set (the q101 pattern at
+      * delta=0). Frontier bounding must be result-invisible. */
+    "q_incr_cc_frontier" -> {
+      val base = (1 to 5).map(minStageSql(_, "label", 0, "edges_b"))
+      val incr = (6 to 8).map(minStageSql(_, "label", 0, "edges"))
+      s"""WITH ${Graphs.cteSql},
+         edges_b AS (SELECT src, dst FROM edges WHERE (src + dst) % 17 <> 0),
+         label0 AS (SELECT node, node AS label FROM nodes),
+         ${(base ++ incr).mkString(",\n")}
+         SELECT node, label FROM label8 ORDER BY node"""
     }
   )
 }

@@ -1,0 +1,295 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Round-6 coverage extensions (SURVEY.md §2 rows 111–113): batch
+  * sessionization, SCD Type-2 interval compaction, and deterministic
+  * per-group reservoir sampling — the event-pipeline operators a
+  * training-data / analytics user reaches for right after the funnel
+  * and cohort queries (Round3) and the streaming session windows
+  * (q59), here in their BATCH form under the hard DuckDB oracle.
+  *
+  * All three follow D1–D7 (Tables.Dec scaladoc): integer or raw-column
+  * arithmetic only, unique total ORDER BY, identical column aliases in
+  * both engines. */
+object Round6 {
+
+  /** 30-minute session gap, in microseconds (events.ts is µs-aligned —
+    * see Tables.events). Integer throughout: µs-since-epoch exceeds
+    * double's mantissa, so all gap arithmetic stays in BIGINT. */
+  private val GapUs = 1800L * 1000000L
+
+  /** The q111 session computation over any (user_id, event_id, ts, us)
+    * frame — factored out so q116 can run it on the preserved and
+    * recomputed partitions of the corpus separately. */
+  private def sessionsOf(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = e
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs,
+          1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        // integer div (not `/`): µs differences must never transit
+        // an IEEE division — DuckDB's `//` is integral too
+        expr("(max(us) - min(us)) div 1000000")
+          .cast("bigint").as("duration_sec"))
+      .select(col("user_id"), col("session_idx").cast("bigint").as("session_idx"),
+        col("n_events"), col("session_start"), col("duration_sec"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    /** q111: BATCH sessionization — the gap-based session assignment
+      * (new session when >30 min since the user's previous event),
+      * the batch twin of q59's streaming session windows. Two window
+      * functions over the SAME (user_id; ts, event_id) sort — Spark
+      * evaluates both in one shuffle+sort pass — then a per-session
+      * aggregate. At 100 TB the only heavy operation is that single
+      * user-keyed sort; the session aggregate rides map-side partials.
+      * Ties on ts are broken by the unique event_id, so the running
+      * sum (and therefore every session boundary) is deterministic. */
+    "q_events_sessionize" -> ((s, d) => {
+      sessionsOf(events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us")))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    /** q116: INCREMENTAL sessionization [P §3/§6 applied to q111] —
+      * the change-propagation shape for an append-only event log:
+      * users with NO delta events keep their preserved sessions (in
+      * production read back from the q103-style partials store, here
+      * recomputed from the base partition to stay self-contained);
+      * users touched by the delta are recomputed from their FULL
+      * history — sessionization is user-local, so the affected set is
+      * exactly the delta's user set and the re-sort is delta-user-
+      * sized, never corpus-sized. Oracle = q111's FULL sessionize SQL:
+      * incremental maintenance must be result-invisible. */
+    "q_incr_sessionize" -> ((s, d) => {
+      val cut = lit("2024-01-20").cast("timestamp")
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+      val affected = ev.filter(col("ts") >= cut)
+        .select("user_id").distinct()
+      val preserved = sessionsOf(
+        ev.filter(col("ts") < cut).join(affected, Seq("user_id"), "left_anti"))
+      val recomputed = sessionsOf(
+        ev.join(affected, Seq("user_id"), "left_semi"))
+      preserved.unionByName(recomputed)
+        .orderBy("user_id", "session_idx")
+    }),
+
+    /** q112: SCD TYPE-2 interval compaction [P §3 applied to
+      * dimension maintenance] — collapse each customer's order-status
+      * history into validity intervals: keep only CHANGE rows (status
+      * differs from the previous order), then close each interval at
+      * the next change's date (open intervals get the 2100-01-01
+      * sentinel — NULL-free so the total order is engine-agnostic).
+      * Two windows over one (custkey; date, orderkey) sort — again a
+      * single shuffle — and the change filter shrinks the second
+      * window's input to the compacted rows. */
+    "q_incr_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val hist = orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+        .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
+      val chg = hist.filter(
+        col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+      val w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      chg
+        .withColumn("next_from", lead("o_orderdate", 1).over(w2))
+        .select(col("o_custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"),
+          col("o_orderkey"),
+          coalesce(col("next_from"),
+            lit("2100-01-01 00:00:00").cast("timestamp")).as("valid_to"),
+          when(col("next_from").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
+    /** q113: deterministic per-group "reservoir" k-sample — 5 events
+      * per event_type chosen by md5(event_id) order: a uniform,
+      * seed-free, cluster-size-independent sample (the q77 hash-split
+      * idea applied to per-group top-k). The md5 sort key makes the
+      * pick reproducible on ANY engine — the property a 100 TB
+      * pipeline needs so re-runs and audits agree. Plan shape is q29's
+      * rank-filter (one group-keyed sort); at fact scale the
+      * row_number filter evaluates streaming per group — no global
+      * materialization. */
+    "q_sample_reservoir" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      events(s, d)
+        .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("event_type"), col("rn").cast("bigint").as("rn"),
+          col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_type", "rn")
+    }),
+
+    /** q117: the END-TO-END training-data CLEANING PIPELINE in one
+      * declared query — the composition a 100 TB corpus actually runs:
+      * quality gate (q62's keep rule) → language ID (q61's scorer) →
+      * exact near-dup collapse on whitespace-normalized text (q54's
+      * normalization, md5 fingerprint, min-doc_id canonical winner
+      * carrying the duplicate count). One scan, map-only scoring and
+      * filters, ONE shuffle (the fingerprint groupBy) — embarrassingly
+      * parallel at any scale, and the compositional proof that the
+      * pieces interoperate under the hard oracle, not just alone. */
+    "q_pipeline_clean" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      def score(words: Seq[String]) =
+        size(filter(toks, x => x.isInCollection(words))).cast("bigint")
+      val scored = documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(toks).cast("bigint").as("n_tokens"),
+          size(filter(toks, x => x.isInCollection(Seq("the", "a"))))
+            .cast("bigint").as("n_stop"),
+          score(Seq("join", "filter", "agg")).as("s1"),
+          score(Seq("window", "batch", "stream")).as("s2"),
+          score(Seq("hash", "sort", "merge")).as("s3"))
+        .withColumn("pred",
+          when(col("s1") >= col("s2") && col("s1") >= col("s3"), "L1")
+            .when(col("s2") >= col("s3"), "L2")
+            .otherwise("L3"))
+      val kept = scored.filter(col("n_tokens").between(20, 90) &&
+        col("n_stop").cast("double") / col("n_tokens") < 0.2)
+      val normed = kept.withColumn("h",
+        md5(regexp_replace(lower(col("text")), " +", " ")))
+      val canon = normed.groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      normed.join(canon, "h")
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("pred"), col("n_tokens"), col("h"),
+          col("n_dups"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_events_sessionize" ->
+      s"""WITH e AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events
+         ), flagged AS (
+           SELECT user_id, event_id, ts, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs
+                  THEN 1 ELSE 0 END AS new_s
+           FROM e
+         ), sess AS (
+           SELECT user_id, event_id, ts, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged
+         )
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+         FROM sess GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    "q_incr_scd2" ->
+      """WITH h AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             lag(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+           FROM orders
+         ), chg AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+           FROM h
+           WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+         )
+         SELECT o_custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from, o_orderkey,
+           coalesce(lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+           CAST(CASE WHEN lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         FROM chg
+         ORDER BY o_custkey, valid_from, o_orderkey""",
+    "q_sample_reservoir" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, user_id, value
+         FROM (
+           SELECT event_type, event_id, user_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+           FROM events
+         ) t
+         WHERE rn <= 5
+         ORDER BY event_type, rn""",
+    // q116's oracle IS q111's: incremental maintenance must reproduce
+    // the full recomputation bit-for-bit.
+    "q_incr_sessionize" ->
+      s"""WITH e AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events
+         ), flagged AS (
+           SELECT user_id, event_id, ts, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs
+                  THEN 1 ELSE 0 END AS new_s
+           FROM e
+         ), sess AS (
+           SELECT user_id, event_id, ts, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged
+         )
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+         FROM sess GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    "q_pipeline_clean" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a'))) AS BIGINT) AS n_stop,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('join','filter','agg'))) AS BIGINT) AS s1,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('window','batch','stream'))) AS BIGINT) AS s2,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('hash','sort','merge'))) AS BIGINT) AS s3
+           FROM documents
+         ), kept AS (
+           SELECT doc_id, text, n_tokens,
+             CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'L1'
+                  WHEN s2 >= s3 THEN 'L2' ELSE 'L3' END AS pred
+           FROM t
+           WHERE n_tokens BETWEEN 20 AND 90
+             AND CAST(n_stop AS DOUBLE) / n_tokens < 0.2
+         ), normed AS (
+           SELECT doc_id, pred, n_tokens,
+             md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS h
+           FROM kept
+         ), canon AS (
+           SELECT h, min(doc_id) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_dups
+           FROM normed GROUP BY h
+         )
+         SELECT n.doc_id, n.pred, n.n_tokens, n.h, c.n_dups
+         FROM normed n JOIN canon c ON n.h = c.h AND n.doc_id = c.keep_id
+         ORDER BY n.doc_id"""
+  )
+}

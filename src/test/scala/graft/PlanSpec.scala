@@ -67,4 +67,24 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q_win_range_frame")
     assert(p.contains("RangeFrame"), s"not a RANGE frame:\n$p")
   }
+
+  test("q_events_sessionize: lag + running-sum share ONE user_id exchange") {
+    // both windows partition by user_id with the same (ts, event_id)
+    // ordering, so Spark must plan a single hashpartitioning(user_id)
+    // exchange feeding both Window operators — the scale-critical
+    // property (one shuffle of the fact table, not two). The final
+    // orderBy adds one rangepartitioning; nothing else may shuffle.
+    val p = plan("q_events_sessionize")
+    val hashEx = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly 1 user_id hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q_sample_reservoir: rank filter stays inside the window stage") {
+    // the rn <= 5 filter must apply straight after the Window operator
+    // (no extra exchange between them), and the window's sort key is
+    // the md5 hash — the deterministic-sample contract.
+    val p = plan("q_sample_reservoir")
+    assert(p.contains("row_number"), s"no row_number window:\n$p")
+    assert(p.contains("md5"), s"sample order must be the md5 hash:\n$p")
+  }
 }
