@@ -95,15 +95,28 @@ object Dedup {
     "q_dedup_groups" -> ((s, d) => {
       val toks = subsetTokens(s, d).persist()
       val pairs = exactPairs(toks)
+      // materialize the pair graph ONCE (eager localCheckpoint): the
+      // label loop references `edges` every round, and a lazy edge
+      // frame would re-run the token self-join per iteration — and
+      // twice more via the union's two branches (measured: 56 s → ~2 s
+      // at sf0.1 for exactly this reason)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val state0 = toks.select(col("doc_id")).distinct()
-        .select(col("doc_id").as("node"), col("doc_id").as("label"))
-      val changed0 = state0
-        .select(col("node").as("cnode"), col("label").as("cval"))
-      val out = graft.iter.IterQueries
-        .minPropagate(edges, state0, changed0, "label", 0L, 5)
-        .select(col("node").as("doc_id"), col("label").as("keep_id"))
+        .localCheckpoint()
+      // the label loop itself runs under the iterative-loop conf (AQE
+      // off, loop-sized partitions): its 15 micro-stages move a
+      // doc-subset-sized frame, where 32-task stages + per-exchange
+      // AQE replanning are pure scheduling overhead (measured 11.8 s →
+      // ~2 s for the loop alone)
+      val out = graft.iter.IterQueries.loopConf(s) {
+        val state0 = toks.select(col("doc_id")).distinct()
+          .select(col("doc_id").as("node"), col("doc_id").as("label"))
+        val changed0 = state0
+          .select(col("node").as("cnode"), col("label").as("cval"))
+        graft.iter.IterQueries
+          .minPropagate(edges, state0, changed0, "label", 0L, 5)
+          .select(col("node").as("doc_id"), col("label").as("keep_id"))
+      }
       graft.iter.IterQueries.finish(out, toks).orderBy("doc_id")
     }),
 
@@ -119,9 +132,18 @@ object Dedup {
       val b = toks.select(col("doc_id").as("doc_b"), col("tok"))
       val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      a.join(b, Seq("tok"))
-        .filter(col("doc_a") =!= col("doc_b"))
+      // intersection is SYMMETRIC: count it once per CANONICAL pair
+      // (doc_a < doc_b — half the join output and half the groupBy
+      // shuffle of the ordered space), then emit both orientations and
+      // apply the asymmetric |A∩B|/|A| threshold per direction
+      val inter = a.join(b, Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .localCheckpoint() // union reads it twice; compute it once
+      val both = inter.unionByName(
+        inter.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          col("inter")))
+      both
         .join(broadcast(szA), "doc_a")
         .filter(col("inter") * 10 >= col("sz_a") * 8)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))

@@ -58,15 +58,22 @@ object Similarity {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("embedding")).persist()
       val pairs = cosinePairs(emb, 0.4).select("vec_a", "vec_b")
+      // materialize the pair graph ONCE before the label loop — a lazy
+      // edge frame would re-run the O(n²) cosine join per iteration
+      // (and twice more via the union's branches); see q108's note
       val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      val state0 = emb
-        .select(col("vec_id").as("node"), col("vec_id").as("label"))
-      val changed0 = state0
-        .select(col("node").as("cnode"), col("label").as("cval"))
-      val out = graft.iter.IterQueries
-        .minPropagate(edges, state0, changed0, "label", 0L, 5)
-        .select(col("node").as("vec_id"), col("label").as("keep_id"))
+        .localCheckpoint()
+      // label loop under the iterative-loop conf — see q108's note
+      val out = graft.iter.IterQueries.loopConf(s) {
+        val state0 = emb
+          .select(col("vec_id").as("node"), col("vec_id").as("label"))
+        val changed0 = state0
+          .select(col("node").as("cnode"), col("label").as("cval"))
+        graft.iter.IterQueries
+          .minPropagate(edges, state0, changed0, "label", 0L, 5)
+          .select(col("node").as("vec_id"), col("label").as("keep_id"))
+      }
       graft.iter.IterQueries.finish(out, emb).orderBy("vec_id")
     })
   )
