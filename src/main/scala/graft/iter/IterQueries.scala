@@ -651,6 +651,27 @@ object IterQueries {
         .orderBy("node")
     }),
 
+    /** q118: GIM-V instantiated to CONNECTED COMPONENTS as a declared
+      * query [P §7] — combine2 = pass-through label, combineAll = min,
+      * assign = least(old, messages) — under the SAME unrolled oracle
+      * as the specialized q43 loop (Round4Spec already proves the
+      * bit-equality; this puts the min-instance of the generic
+      * operator itself under the hard signal, alongside q106's
+      * sum-instance). */
+    "q_gimv_cc" -> ((s, d) => {
+      Graphs.cached(s, d, "gimvCcResult")(noAqe(s) {
+        val edges = Graphs.edgesCached(s, d)
+        val n = Graphs.nodesCached(s, d)
+        var state = n.select(col("node"), col("node").as("label"))
+        for (i <- 1 to 5) {
+          state = Graphs.gimvStep(edges, state, "label")(
+            col("v"), min, (v, m) => least(v, coalesce(m, lit(INF))))
+          if (i % checkpointEvery == 0) state = state.localCheckpoint()
+        }
+        finish(state)
+      }).orderBy("node")
+    }),
+
     /** q115: FRONTIER-BOUNDED INCREMENTAL CONNECTED COMPONENTS — q101's
       * change-propagation restart applied to the label-propagation
       * instance (delta=0): 5 min-label rounds on the base graph (edges
@@ -699,6 +720,17 @@ object IterQueries {
       )"""
   }
 
+  /** q43's unrolled 5-stage min-label oracle — shared verbatim with
+    * q118 (the GIM-V min-instance must be result-invisible vs the
+    * specialized loop). */
+  private val ccSql5: String = {
+    val stages = (1 to 5).map(minStageSql(_, "label", 0))
+    s"""WITH ${Graphs.cteSql},
+       label0 AS (SELECT node, node AS label FROM nodes),
+       ${stages.mkString(",\n")}
+       SELECT node, label FROM label5 ORDER BY node"""
+  }
+
   val sql: Map[String, String] = Map(
     "q_iter_pagerank" -> pagerankSql(5),
     // q106: the generic GIM-V run must match the SAME unrolled oracle
@@ -714,13 +746,10 @@ object IterQueries {
          ${stages.mkString(",\n")}
          SELECT node, dist FROM dist5 ORDER BY node"""
     },
-    "q_iter_connected_components" -> {
-      val stages = (1 to 5).map(minStageSql(_, "label", 0))
-      s"""WITH ${Graphs.cteSql},
-         label0 AS (SELECT node, node AS label FROM nodes),
-         ${stages.mkString(",\n")}
-         SELECT node, label FROM label5 ORDER BY node"""
-    },
+    "q_iter_connected_components" -> ccSql5,
+    // q118: the generic GIM-V min-instance must match the SAME
+    // unrolled oracle as the specialized q43 loop
+    "q_gimv_cc" -> ccSql5,
     /** q107 oracle: from-scratch re-iteration on the POST-DELETION
       * graph, 5 unrolled stages (the fixture converges in 2 — see the
       * round-6 probe — so 5 is converged with margin, matching the

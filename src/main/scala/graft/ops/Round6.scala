@@ -23,8 +23,9 @@ object Round6 {
 
   /** The q111 session computation over any (user_id, event_id, ts, us)
     * frame — factored out so q116 can run it on the preserved and
-    * recomputed partitions of the corpus separately. */
-  private def sessionsOf(e: org.apache.spark.sql.DataFrame)
+    * recomputed partitions of the corpus separately ([[graft]]-visible
+    * for the gap-boundary edge-case spec). */
+  private[graft] def sessionsOf(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val sess = e
@@ -175,6 +176,42 @@ object Round6 {
         .select(col("doc_id"), col("pred"), col("n_tokens"), col("h"),
           col("n_dups"))
         .orderBy("doc_id")
+    }),
+
+    /** q119: INCREMENTAL TF-IDF [P §3 — one-step incremental
+      * aggregation with preserved state]: the corpus splits into a
+      * base (doc_id%10<>0) and a delta; per-(doc,term) tf rows are
+      * DOC-LOCAL so the base's rows are preserved verbatim (in
+      * production read back from the q103 partials store), the
+      * df-counts and doc-count state merge ASSOCIATIVELY
+      * (df = df_base + df_delta, N = N_base + N_delta — exact integer
+      * merges), and only delta docs are tokenized. Scores then apply
+      * q95's exact IEEE chain over the merged state — so the oracle is
+      * q95's FULL TF-IDF verbatim: incremental maintenance must be
+      * result-invisible. Delta-proportional work: the only full-corpus
+      * pass is reading preserved rows. */
+    "q_incr_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      def tfOf(dd: org.apache.spark.sql.DataFrame) = dd
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tfBase = tfOf(docs.filter(col("doc_id") % 10 =!= 0))
+      val tfDelta = tfOf(docs.filter(col("doc_id") % 10 === 0))
+      def dfOf(tf: org.apache.spark.sql.DataFrame) =
+        tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // associative state merge: term-keyed integer counts
+      val dfMerged = dfOf(tfBase).unionByName(dfOf(tfDelta))
+        .groupBy("term").agg(sum("df").as("df"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      tfBase.unionByName(tfDelta)
+        .join(broadcast(dfMerged), "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") *
+            log(col("n_docs") / col("df").cast("double"))).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(20)
     })
   )
 
@@ -290,6 +327,10 @@ object Round6 {
          )
          SELECT n.doc_id, n.pred, n.n_tokens, n.h, c.n_dups
          FROM normed n JOIN canon c ON n.h = c.h AND n.doc_id = c.keep_id
-         ORDER BY n.doc_id"""
+         ORDER BY n.doc_id""",
+    // q119's oracle IS q95's full TF-IDF: the incremental df/N merge
+    // must be result-invisible. doc_id is in the SELECT only via the
+    // shared projection, so the text is reused verbatim.
+    "q_incr_tfidf" -> Round3.sql("q_text_tfidf")
   )
 }

@@ -242,4 +242,28 @@ class Round6Spec extends SparkSpecBase {
       assert(incr.count() > 0, "degenerate fixture")
     } finally deleteRecursively(dir)
   }
+
+  test("sessionize gap boundary: exactly 30 min continues, +1 µs splits") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val gapUs = 1800L * 1000000L
+    // user 1: second event exactly GapUs after the first (> is strict
+    // -> same session); user 2: GapUs + 1 µs -> new session; user 3:
+    // tie on ts broken by event_id, zero-duration session
+    val rows = Seq(
+      (1L, 10L, 0L), (1L, 11L, gapUs),
+      (2L, 20L, 0L), (2L, 21L, gapUs + 1L),
+      (3L, 30L, 0L), (3L, 31L, 0L))
+    val e = rows.toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = graft.ops.Round6.sessionsOf(e)
+      .orderBy("user_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 1800L), // one session spanning exactly the gap
+      (2L, 1L, 1L, 0L), (2L, 2L, 1L, 0L), // split at gap+1µs
+      (3L, 1L, 2L, 0L))) // tie-broken, zero duration
+  }
 }
