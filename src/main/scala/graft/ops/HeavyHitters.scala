@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Misra–Gries heavy hitters [N] — the frequent-items sketch a 100 TB
+  * pipeline uses when the item domain (tokens, URLs, user agents) is
+  * too large to aggregate exactly but only the head matters.
+  *
+  * Scale design: each partition keeps an MG summary of AT MOST `k`
+  * (item, count) pairs — O(k) state regardless of partition size, no
+  * shuffle during the scan. The per-partition guarantee
+  * `trueCount_p(x) − n_p/(k+1) <= mgCount_p(x)` survives summary
+  * union (undercounts add), so every item with GLOBAL frequency
+  * > n/(k+1) appears in some summary — the candidate set is a
+  * guaranteed superset of the true heavy hitters. A second exact pass
+  * (semi-join on the tiny broadcast candidate set, then an ordinary
+  * count) yields EXACT counts, which is what makes the operator
+  * oracle-checkable end to end: sketch for candidate pruning, exact
+  * arithmetic for the answer — the same sketch-then-verify shape as
+  * the MinHash/SimHash dedup family. */
+object HeavyHitters {
+
+  /** One Misra–Gries pass over a partition: at most `k` survivors.
+    * Decrement-all on a full summary is O(k) per miss — the classic
+    * trade for O(k) memory. */
+  def mgSummary(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { x =>
+      m.get(x) match {
+        case Some(c) => m(x) = c + 1
+        case None if m.size < k => m(x) = 1L
+        case None =>
+          val dead = List.newBuilder[String]
+          m.foreach { case (key, c) =>
+            if (c == 1L) dead += key else m(key) = c - 1
+          }
+          dead.result().foreach(m.remove)
+      }
+    }
+    m.iterator
+  }
+
+  /** Candidate items whose global frequency MAY exceed n/(k+1):
+    * the union of per-partition MG summaries. */
+  def candidates(items: Dataset[String], k: Int): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(mgSummary(_, k)).toDF("tok", "mg_count")
+      .select("tok").distinct()
+  }
+
+  val defs: Map[String, Q] = Map(
+    /** q120: tokens with frequency > n/50 over the document corpus —
+      * MG(k=63) per partition (63+1 > 50, so the sketch provably
+      * retains every qualifying token), broadcast candidate semi-join,
+      * exact count + integer threshold (cnt·50 > n — no division).
+      * The oracle computes the same answer by brute-force GROUP BY:
+      * the sketch path must be result-invisible. */
+    "q_agg_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val n = toks.agg(count(lit(1)).as("n"))
+      val cands = candidates(toks.as[String], 63)
+      toks.join(broadcast(cands), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * 50 > col("n"))
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_agg_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         ), filtered AS (
+           SELECT tok FROM toks WHERE length(tok) > 0
+         ), t AS (
+           SELECT tok, count(*) AS cnt FROM filtered GROUP BY tok
+         ), n AS (
+           SELECT count(*) AS n FROM filtered
+         )
+         SELECT tok, CAST(cnt AS BIGINT) AS cnt
+         FROM t, n WHERE cnt * 50 > n
+         ORDER BY cnt DESC, tok"""
+  )
+}

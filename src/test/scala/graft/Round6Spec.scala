@@ -266,4 +266,22 @@ class Round6Spec extends SparkSpecBase {
       (2L, 1L, 1L, 0L), (2L, 2L, 1L, 0L), // split at gap+1µs
       (3L, 1L, 2L, 0L))) // tie-broken, zero duration
   }
+
+  test("Misra-Gries summary: bounded size, retains every item above n/(k+1)") {
+    import graft.ops.HeavyHitters.mgSummary
+    val k = 9
+    // adversarial stream: 'hot' has frequency JUST above n/(k+1)
+    // (n = 1000, n/(k+1) = 100 -> 101 copies), buried in 899
+    // near-distinct distractors that constantly evict the summary
+    val stream = new scala.util.Random(42).shuffle(
+      List.fill(101)("hot") ++ (0 until 899).map(i => s"d_${i % 300}").toList)
+    val summary = mgSummary(stream.iterator, k).toMap
+    assert(summary.size <= k, s"summary exceeded capacity: ${summary.size}")
+    assert(summary.contains("hot"),
+      s"item above n/(k+1) must survive the sketch: $summary")
+    // undercount bound: mgCount >= true - n/(k+1)
+    assert(summary("hot") >= 101L - 100L)
+    // and the summary-union candidate superset feeds an EXACT pass in
+    // q120, so sketch undercounts never reach the declared result
+  }
 }
