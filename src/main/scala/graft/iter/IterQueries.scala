@@ -672,6 +672,29 @@ object IterQueries {
       }).orderBy("node")
     }),
 
+    /** q121: GIM-V instantiated to SSSP as a declared query [P §7] —
+      * the MIN-PLUS semiring (combine2 = v + 1 hop, combineAll = min,
+      * assign = least) through the generic [[Graphs.gimvStep]],
+      * completing the paper's GIM-V trilogy under the hard oracle:
+      * q106 (sum/PageRank), q118 (min/CC), and this (min-plus/SSSP),
+      * all against the same unrolled CTEs as their specialized loops. */
+    "q_gimv_sssp" -> ((s, d) => {
+      Graphs.cached(s, d, "gimvSsspResult")(noAqe(s) {
+        val edges = Graphs.edgesCached(s, d)
+        val n = Graphs.nodesCached(s, d)
+        val src = n.agg(min("node")).head().getLong(0)
+        var state = n.select(col("node"),
+          when(col("node") === src, 0L).otherwise(INF).as("dist"))
+        for (i <- 1 to 5) {
+          state = Graphs.gimvStep(edges, state, "dist")(
+            col("v") + lit(1L), min,
+            (v, m) => least(v, coalesce(m, lit(INF))))
+          if (i % checkpointEvery == 0) state = state.localCheckpoint()
+        }
+        finish(state)
+      }).orderBy("node")
+    }),
+
     /** q115: FRONTIER-BOUNDED INCREMENTAL CONNECTED COMPONENTS — q101's
       * change-propagation restart applied to the label-propagation
       * instance (delta=0): 5 min-label rounds on the base graph (edges
@@ -731,21 +754,28 @@ object IterQueries {
        SELECT node, label FROM label5 ORDER BY node"""
   }
 
+  /** q42's unrolled 5-stage SSSP oracle — shared verbatim with q121
+    * (the GIM-V min-plus instance). */
+  private val ssspSql5: String = {
+    val stages = (1 to 5).map(minStageSql(_, "dist", 1))
+    s"""WITH ${Graphs.cteSql},
+       dist0 AS (SELECT node,
+         CAST(CASE WHEN node = (SELECT min(node) FROM nodes)
+              THEN 0 ELSE $INF END AS BIGINT) AS dist FROM nodes),
+       ${stages.mkString(",\n")}
+       SELECT node, dist FROM dist5 ORDER BY node"""
+  }
+
   val sql: Map[String, String] = Map(
     "q_iter_pagerank" -> pagerankSql(5),
     // q106: the generic GIM-V run must match the SAME unrolled oracle
     // as the specialized q41 loop
     "q_gimv_pagerank" -> pagerankSql(5),
     "q_incr_iter_converge" -> pagerankIncrSql(5, 2),
-    "q_iter_sssp" -> {
-      val stages = (1 to 5).map(minStageSql(_, "dist", 1))
-      s"""WITH ${Graphs.cteSql},
-         dist0 AS (SELECT node,
-           CAST(CASE WHEN node = (SELECT min(node) FROM nodes)
-                THEN 0 ELSE $INF END AS BIGINT) AS dist FROM nodes),
-         ${stages.mkString(",\n")}
-         SELECT node, dist FROM dist5 ORDER BY node"""
-    },
+    "q_iter_sssp" -> ssspSql5,
+    // q121: the generic GIM-V min-plus instance must match the SAME
+    // unrolled oracle as the specialized q42 loop
+    "q_gimv_sssp" -> ssspSql5,
     "q_iter_connected_components" -> ccSql5,
     // q118: the generic GIM-V min-instance must match the SAME
     // unrolled oracle as the specialized q43 loop

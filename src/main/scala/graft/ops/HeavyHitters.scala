@@ -42,6 +42,28 @@ object HeavyHitters {
     m.iterator
   }
 
+  /** ASSOCIATIVE merge of two MG summaries (Agarwal et al.,
+    * "Mergeable Summaries"): add counts, then if over capacity
+    * subtract the (k+1)-th largest count from everything and drop the
+    * non-positive — the result is itself an MG(k) summary of the
+    * concatenated stream with total undercount <= n/(k+1). This is
+    * the INCREMENTAL maintenance hook [P §3]: a preserved base
+    * summary + a delta summary merge in O(k), no base re-scan —
+    * the same preserved-state shape as the df-counts of q119. */
+  def mergeSummaries(a: Iterable[(String, Long)], b: Iterable[(String, Long)],
+                     k: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    (a.iterator ++ b.iterator).foreach { case (x, c) =>
+      m(x) = m.getOrElse(x, 0L) + c
+    }
+    if (m.size <= k) m.toMap
+    else {
+      val thr = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      m.iterator.map { case (x, c) => (x, c - thr) }
+        .filter(_._2 > 0).toMap
+    }
+  }
+
   /** Candidate items whose global frequency MAY exceed n/(k+1):
     * the union of per-partition MG summaries. */
   def candidates(items: Dataset[String], k: Int): DataFrame = {

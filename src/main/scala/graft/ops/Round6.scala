@@ -212,6 +212,27 @@ object Round6 {
             log(col("n_docs") / col("df").cast("double"))).as("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
         .limit(20)
+    }),
+
+    /** q122: deterministic STRATIFIED sampling — per-stratum rates
+      * (view 1/16, click 1/4, rest 1/2) decided by the first hex char
+      * of md5(event_id): a pure MAP-SIDE filter (no shuffle, no
+      * sampling state, no seed) whose keep-decision any engine
+      * reproduces — `sampleBy` semantics with audit-grade determinism.
+      * At 100 TB this composes with partition pruning and costs one
+      * scan; rates tune per stratum without touching the plan shape. */
+    "q_sample_stratified" -> ((s, d) => {
+      val hc = substring(md5(col("event_id").cast("string")), 1, 1)
+      events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"), hc.as("hc"))
+        .filter(
+          when(col("event_type") === "view", col("hc") === "0")
+            .when(col("event_type") === "click", col("hc") < "4")
+            .otherwise(col("hc") < "8"))
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+        .orderBy("event_id")
     })
   )
 
@@ -331,6 +352,16 @@ object Round6 {
     // q119's oracle IS q95's full TF-IDF: the incremental df/N merge
     // must be result-invisible. doc_id is in the SELECT only via the
     // shared projection, so the text is reused verbatim.
-    "q_incr_tfidf" -> Round3.sql("q_text_tfidf")
+    "q_incr_tfidf" -> Round3.sql("q_text_tfidf"),
+    "q_sample_stratified" ->
+      """SELECT event_id, event_type, user_id, value FROM (
+           SELECT event_id, event_type, user_id, value,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS hc
+           FROM events
+         ) t
+         WHERE CASE WHEN event_type = 'view' THEN hc = '0'
+                    WHEN event_type = 'click' THEN hc < '4'
+                    ELSE hc < '8' END
+         ORDER BY event_id"""
   )
 }

@@ -284,4 +284,22 @@ class Round6Spec extends SparkSpecBase {
     // and the summary-union candidate superset feeds an EXACT pass in
     // q120, so sketch undercounts never reach the declared result
   }
+
+  test("MG summary merge: associative, capacity-bounded, retains global heavy") {
+    import graft.ops.HeavyHitters.{mgSummary, mergeSummaries}
+    val k = 9
+    val rnd = new scala.util.Random(7)
+    // 'hot' is heavy GLOBALLY (202 of 2000 > 2000/(k+1)=200) but each
+    // half alone is near the bound — the merge must still retain it
+    def half(seed: Int) = rnd.shuffle(
+      List.fill(101)("hot") ++ (0 until 899).map(i => s"h${seed}_${i % 300}").toList)
+    val sa = mgSummary(half(1).iterator, k).toMap
+    val sb = mgSummary(half(2).iterator, k).toMap
+    val merged = mergeSummaries(sa, sb, k)
+    assert(merged.size <= k, s"merged summary exceeded capacity: ${merged.size}")
+    assert(merged.contains("hot"),
+      s"globally heavy item must survive the merge: $merged")
+    // merged undercount bound: count >= true - n/(k+1) = 202 - 200
+    assert(merged("hot") >= 2L)
+  }
 }
