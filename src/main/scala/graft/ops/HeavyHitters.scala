@@ -92,11 +92,64 @@ object HeavyHitters {
         .filter(col("cnt") * 50 > col("n"))
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    /** q123: INCREMENTAL heavy hitters [P §3] — the q120 answer
+      * maintained from PRESERVED state: the base corpus
+      * (doc_id%10<>0) contributes only its O(k)-sized MG summary
+      * (in production read from the partials store — the base is never
+      * re-scanned for candidates), the delta contributes its own, and
+      * [[mergeSummaries]] combines them in O(k). The mergeable-
+      * summaries bound keeps the merged sketch's undercount <=
+      * n/(k+1) < the n/50 threshold margin, so the merged candidate
+      * set still provably covers every true heavy hitter; the exact
+      * verify pass then makes the result identical to q120's — and the
+      * oracle IS q120's brute-force SQL verbatim. Driver-side state is
+      * k-bounded (63 entries per partition summary), never data-sized. */
+    "q_incr_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      def toksOf(dd: DataFrame): DataFrame = dd
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      def summaryOf(t: DataFrame): Map[String, Long] =
+        t.as[String]
+          .mapPartitions(it => Iterator.single(mgSummary(it, 63).toMap))
+          .collect()
+          .foldLeft(Map.empty[String, Long])(mergeSummaries(_, _, 63))
+      val merged = mergeSummaries(
+        summaryOf(toksOf(docs.filter(col("doc_id") % 10 =!= 0))),
+        summaryOf(toksOf(docs.filter(col("doc_id") % 10 === 0))), 63)
+      val cands = merged.keys.toSeq.toDF("tok")
+      val all = toksOf(docs)
+      val n = all.agg(count(lit(1)).as("n"))
+      all.join(broadcast(cands), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * 50 > col("n"))
+        .select(col("tok"), col("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
     })
   )
 
   val sql: Map[String, String] = Map(
     "q_agg_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         ), filtered AS (
+           SELECT tok FROM toks WHERE length(tok) > 0
+         ), t AS (
+           SELECT tok, count(*) AS cnt FROM filtered GROUP BY tok
+         ), n AS (
+           SELECT count(*) AS n FROM filtered
+         )
+         SELECT tok, CAST(cnt AS BIGINT) AS cnt
+         FROM t, n WHERE cnt * 50 > n
+         ORDER BY cnt DESC, tok"""
+  ) ++ Map(
+    // q123's oracle IS q120's: incremental candidate maintenance must
+    // be result-invisible.
+    "q_incr_heavy_hitters" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
          ), filtered AS (
