@@ -47,6 +47,28 @@ object Round6 {
         col("n_events"), col("session_start"), col("duration_sec"))
   }
 
+  /** The q112 SCD2 interval table (unordered) — shared with q124's
+    * temporal point-in-interval join. */
+  private def scd2Of(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val hist = orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"))
+      .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
+    val chg = hist.filter(
+      col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+    chg
+      .withColumn("next_from", lead("o_orderdate", 1).over(w))
+      .select(col("o_custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        col("o_orderkey"),
+        coalesce(col("next_from"),
+          lit("2100-01-01 00:00:00").cast("timestamp")).as("valid_to"),
+        when(col("next_from").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
   val defs: Map[String, Q] = Map(
     /** q111: BATCH sessionization — the gap-based session assignment
       * (new session when >30 min since the user's previous event),
@@ -98,26 +120,8 @@ object Round6 {
       * Two windows over one (custkey; date, orderkey) sort — again a
       * single shuffle — and the change filter shrinks the second
       * window's input to the compacted rows. */
-    "q_incr_scd2" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val hist = orders(s, d)
-        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-          col("o_orderstatus"))
-        .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
-      val chg = hist.filter(
-        col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
-      val w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      chg
-        .withColumn("next_from", lead("o_orderdate", 1).over(w2))
-        .select(col("o_custkey"),
-          col("o_orderstatus").as("status"),
-          col("o_orderdate").as("valid_from"),
-          col("o_orderkey"),
-          coalesce(col("next_from"),
-            lit("2100-01-01 00:00:00").cast("timestamp")).as("valid_to"),
-          when(col("next_from").isNull, 1L).otherwise(0L).as("is_current"))
-        .orderBy("o_custkey", "valid_from", "o_orderkey")
-    }),
+    "q_incr_scd2" -> ((s, d) =>
+      scd2Of(s, d).orderBy("o_custkey", "valid_from", "o_orderkey")),
 
     /** q113: deterministic per-group "reservoir" k-sample — 5 events
       * per event_type chosen by md5(event_id) order: a uniform,
@@ -233,6 +237,32 @@ object Round6 {
         .select(col("event_id"), col("event_type"), col("user_id"),
           col("value"))
         .orderBy("event_id")
+    }),
+
+    /** q124: TEMPORAL point-in-interval join — "which dimension
+      * version was active when this fact row occurred": every order
+      * probes its customer's SCD2 interval table (q112's output,
+      * shared via [[scd2Of]]) on valid_from <= date < valid_to. The
+      * intervals partition each customer's timeline, so every order
+      * matches EXACTLY ONE version — the q112-build → q124-use pair is
+      * the full dimension-maintenance story. Scale shape: the interval
+      * table is change-row-sized (dimension-scale), so it broadcasts;
+      * the fact side streams map-only through the equi-key + range
+      * predicate — no fact shuffle (the q78 range-join rule applied to
+      * versioned dimensions). */
+    "q_join_temporal" -> ((s, d) => {
+      val iv = scd2Of(s, d)
+        .select(col("o_custkey").as("c"), col("status"),
+          col("valid_from"), col("valid_to"))
+      val facts = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      facts.join(broadcast(iv),
+          facts("o_custkey") === iv("c") &&
+            facts("o_orderdate") >= iv("valid_from") &&
+            facts("o_orderdate") < iv("valid_to"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("status"), col("valid_from"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -362,6 +392,32 @@ object Round6 {
          WHERE CASE WHEN event_type = 'view' THEN hc = '0'
                     WHEN event_type = 'click' THEN hc < '4'
                     ELSE hc < '8' END
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    "q_join_temporal" ->
+      """WITH h AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             lag(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+           FROM orders
+         ), chg AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+           FROM h
+           WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+         ), scd2 AS (
+           SELECT o_custkey AS c, o_orderstatus AS status,
+             o_orderdate AS valid_from,
+             coalesce(lead(o_orderdate) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               TIMESTAMP '2100-01-01 00:00:00') AS valid_to
+           FROM chg
+         )
+         SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           s.status, s.valid_from
+         FROM orders o JOIN scd2 s
+           ON s.c = o.o_custkey
+           AND o.o_orderdate >= s.valid_from
+           AND o.o_orderdate < s.valid_to
+         ORDER BY o.o_orderkey"""
   )
 }

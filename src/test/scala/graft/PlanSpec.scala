@@ -79,6 +79,12 @@ class PlanSpec extends SparkSpecBase {
     assert(hashEx == 1, s"expected exactly 1 user_id hash exchange, got $hashEx:\n$p")
   }
 
+  test("q_join_temporal: interval table broadcasts, fact side never shuffles for the join") {
+    val p = plan("q_join_temporal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"temporal join should broadcast the change-row-sized interval table:\n$p")
+  }
+
   test("q_sample_reservoir: rank filter stays inside the window stage") {
     // the rn <= 5 filter must apply straight after the Window operator
     // (no extra exchange between them), and the window's sort key is
