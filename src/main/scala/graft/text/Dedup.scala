@@ -78,6 +78,25 @@ object Dedup {
         .orderBy("h")
     }),
 
+    /** q125: INCREMENTAL exact dedup [P §3 — one-step incremental
+      * aggregation]: the per-hash (count, min keep_id) state is
+      * ASSOCIATIVE, so the base corpus's groups (production: the q103
+      * partials store, base never re-scanned) merge with the delta's
+      * by sum/min — group-level re-aggregation touches only hashes the
+      * delta contains plus preserved rows passed through. Oracle =
+      * q49's full dedup verbatim: the merge must be result-invisible. */
+    "q_incr_dedup_exact" -> ((s, d) => {
+      val docs = documents(s, d)
+      def st(dd: DataFrame) = dd
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      st(docs.filter(col("doc_id") % 10 =!= 0))
+        .unionByName(st(docs.filter(col("doc_id") % 10 === 0)))
+        .groupBy("h")
+        .agg(sum("n_dups").as("n_dups"), min("keep_id").as("keep_id"))
+        .orderBy("h")
+    }),
+
     /** q50: exact near-dup pairs, Jaccard >= 0.5, via token self-join
       * (the exact computation MinHash approximates). */
     "q_sim_jaccard_pairs" -> ((s, d) =>
@@ -118,6 +137,39 @@ object Dedup {
           .select(col("node").as("doc_id"), col("label").as("keep_id"))
       }
       graft.iter.IterQueries.finish(out, toks).orderBy("doc_id")
+    }),
+
+    /** q126: CROSS-MODAL dedup collapse [N] — "same document if
+      * text-similar OR embedding-similar": the q108 (Jaccard>=0.5,
+      * doc subset) and q110 (cosine>=0.4) pair graphs UNION into one
+      * edge set (vec_id and doc_id share the id domain) and a single
+      * min-label collapse assigns one canonical keep_id across both
+      * signals — the decision rule real pipelines run, where either
+      * modality alone under-merges. Both pair sources and the loop
+      * reuse the shared machinery; at scale each swaps for its
+      * bucketed variant (LSH / IVF) with the collapse unchanged. */
+    "q_dedup_multimodal_groups" -> ((s, d) => {
+      val toks = subsetTokens(s, d).persist()
+      val tp = exactPairs(toks)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).persist()
+      val ep = Similarity.cosinePairs(emb, 0.4)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      val pairs = tp.unionByName(ep)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint() // materialize ONCE before the loop (q108 note)
+      val out = graft.iter.IterQueries.loopConf(s) {
+        val state0 = documents(s, d)
+          .select(col("doc_id").as("node"), col("doc_id").as("label"))
+        val changed0 = state0
+          .select(col("node").as("cnode"), col("label").as("cval"))
+        graft.iter.IterQueries
+          .minPropagate(edges, state0, changed0, "label", 0L, 5)
+          .select(col("node").as("doc_id"), col("label").as("keep_id"))
+      }
+      graft.iter.IterQueries.finish(out, toks, emb).orderBy("doc_id")
     }),
 
     /** q109: asymmetric CONTAINMENT pairs — |A∩B| / |A| >= 0.8 for
@@ -198,6 +250,70 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents GROUP BY md5(text) ORDER BY h""",
+    // q125's oracle IS q49's: the associative group merge must be
+    // result-invisible.
+    "q_incr_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+    /** q126 oracle: the q108 and q110 pair CTEs verbatim, unioned into
+      * one edge set, 5 unrolled min-label stages over ALL doc ids. */
+    "q_dedup_multimodal_groups" -> {
+      def stage(k: Int): String = {
+        val prev = s"label${k - 1}"
+        s"""label$k AS (
+            SELECT p.node, least(p.label, coalesce(s.mc, 999999999)) AS label
+            FROM $prev p LEFT JOIN (
+              SELECT e.dst AS node, MIN(p2.label) AS mc
+              FROM mm_edges e JOIN $prev p2 ON p2.node = e.src
+              GROUP BY e.dst
+            ) s ON s.node = p.node
+          )"""
+      }
+      s"""WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           ) r WHERE length(tok) > 0 AND doc_id % 5 = 0
+         ),
+         sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         ),
+         tpairs AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE 2 * inter >= sa.sz + sb.sz - inter
+         ),
+         nv AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) AS norm
+           FROM embeddings
+         ),
+         epairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (a.norm * b.norm) >= 0.4
+         ),
+         pairs AS (
+           SELECT doc_a AS a, doc_b AS b FROM tpairs
+           UNION ALL
+           SELECT vec_a AS a, vec_b AS b FROM epairs
+         ),
+         mm_edges AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION ALL
+           SELECT b AS src, a AS dst FROM pairs
+         ),
+         label0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+         ${(1 to 5).map(stage).mkString(",\n")}
+         SELECT node AS doc_id, label AS keep_id
+         FROM label5 ORDER BY doc_id"""
+    },
     "q_sim_jaccard_pairs" ->
       """WITH toks AS (
            SELECT DISTINCT doc_id, tok FROM (
