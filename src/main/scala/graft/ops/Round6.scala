@@ -263,6 +263,46 @@ object Round6 {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
           col("status"), col("valid_from"))
         .orderBy("o_orderkey")
+    }),
+
+    /** q127: population COVARIANCE per group with the D-rule numeric
+      * contract — the statistical-aggregate family (corr/covar) that
+      * FP-accumulating builtins can't put under a cross-engine oracle:
+      * Σx, Σy, Σxy as EXACT decimals (map-side partial agg, one
+      * shuffle), Σxy rescaled to 2 dp (half-up on both engines) so its
+      * unscaled value stays inside the 2^53 decimal→double boundary
+      * (Dec scaladoc), then ONE identical IEEE chain
+      * sxy/n − (sx/n)·(sy/n) on both engines. */
+    "q_agg_covar" -> ((s, d) => {
+      import graft.engine.Dec._
+      val li = lineitem(s, d)
+      val g = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).as("sx"),
+          sum(dec2(col("l_extendedprice"))).as("sy"),
+          round(sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice"))), 2)
+            .as("sxy"))
+      g.select(col("l_returnflag"), col("n"),
+          (dbl(col("sxy")) / dbl(col("n")) -
+            (dbl(col("sx")) / dbl(col("n"))) * (dbl(col("sy")) / dbl(col("n"))))
+            .as("covar_pop"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** q128: calendar datetime surface beyond q36 — month arithmetic
+      * (add_months clamps to month end on both engines), last_day,
+      * ISO week number, and Monday-based weekday (Spark `weekday` ==
+      * DuckDB `isodow − 1`; the default dayofweek numberings disagree
+      * between engines, so the portable form is pinned here). */
+    "q_fn_datetime2" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).cast("date").as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"),
+          weekday(col("o_orderdate")).cast("bigint").as("wd_mon0"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -418,6 +458,24 @@ object Round6 {
            ON s.c = o.o_custkey
            AND o.o_orderdate >= s.valid_from
            AND o.o_orderdate < s.valid_to
-         ORDER BY o.o_orderkey"""
+         ORDER BY o.o_orderkey""",
+    "q_agg_covar" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE))
+             * (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)) AS covar_pop
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_fn_datetime2" ->
+      """SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd_mon0,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start
+         FROM orders ORDER BY o_orderkey"""
   )
 }
