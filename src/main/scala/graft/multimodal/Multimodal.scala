@@ -83,7 +83,23 @@ object Multimodal {
     /** q60: decoded-feature extraction over the binary media table —
       * the oracle recomputes the same byte math from the text. */
     "q_multimodal_features" -> ((s, d) =>
-      features(mediaTable(s, d)).toDF().orderBy("doc_id"))
+      features(mediaTable(s, d)).toDF().orderBy("doc_id")),
+
+    /** q129: FRAME SAMPLING as a declared query — [[frameSample]]'s
+      * array<binary> output summarized per record (frame count, md5 of
+      * the first frame, byte length of the last): the per-frame fan-out
+      * shape a video pipeline feeds to a model, with the blob column
+      * pruned away after the slice. The oracle reproduces the byte
+      * math via substr on the ASCII fixture (byte == char, verified
+      * in the q60 caveat note). */
+    "q_multimodal_frames" -> ((s, d) =>
+      frameSample(mediaTable(s, d))
+        .select(col("doc_id"),
+          size(col("frames")).cast("bigint").as("n_frames"),
+          md5(element_at(col("frames"), 1)).as("first_frame_md5"),
+          length(element_at(col("frames"), -1)).cast("bigint")
+            .as("last_frame_bytes"))
+        .orderBy("doc_id"))
   )
 
   // Oracle caveat: ascii() yields CODE POINTS, so this formulation
@@ -101,6 +117,13 @@ object Multimodal {
               ELSE coalesce(CAST(list_sum(list_transform(string_split(text, ''),
                 x -> ascii(x))) AS BIGINT), 0) END AS byte_sum,
          CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+         CAST((length(text) + 255) // 256 AS BIGINT) AS n_frames,
+         md5(substr(text, 1, 256)) AS first_frame_md5,
+         CAST(length(text) - ((length(text) + 255) // 256 - 1) * 256
+              AS BIGINT) AS last_frame_bytes
          FROM documents ORDER BY doc_id"""
   )
 }
