@@ -289,6 +289,40 @@ object Round6 {
         .orderBy("l_returnflag")
     }),
 
+    /** q130: Pearson CORRELATION under the D-rule contract — the q127
+      * machinery extended with exact-decimal second moments. Price is
+      * shifted to y' = price·0.01 IN DECIMAL (exact; correlation is
+      * scale-invariant) and every sum is rounded to 2 dp so all
+      * unscaled values stay inside the 2^53 decimal→double boundary
+      * even at sf1+; the correlation formula then runs as ONE pinned
+      * IEEE tree — identical parenthesization on both engines, so the
+      * doubles match bitwise. */
+    "q_agg_corr" -> ((s, d) => {
+      import graft.engine.Dec._
+      val li = lineitem(s, d)
+      val x = dec2(col("l_quantity"))
+      // y' = price·0.01, exact at 4 dp, narrowed back to DECIMAL(8,4)
+      // (max 1050.0000 fits) so y'·y' stays in the int64 decimal path
+      val y = (dec2(col("l_extendedprice")) * lit(0.01).cast("decimal(8,4)"))
+        .cast("decimal(8,4)")
+      val g = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(x), 2).as("sx"),
+          round(sum(y), 2).as("sy"),
+          round(sum(x * y), 2).as("sxy"),
+          round(sum(x * x), 2).as("sx2"),
+          round(sum(y * y), 2).as("sy2"))
+      val nd = dbl(col("n"))
+      val mx = dbl(col("sx")) / nd
+      val my = dbl(col("sy")) / nd
+      val cov = dbl(col("sxy")) / nd - mx * my
+      val vx = dbl(col("sx2")) / nd - mx * mx
+      val vy = dbl(col("sy2")) / nd - my * my
+      g.select(col("l_returnflag"), col("n"),
+          (cov / (sqrt(vx) * sqrt(vy))).as("corr"))
+        .orderBy("l_returnflag")
+    }),
+
     /** q128: calendar datetime surface beyond q36 — month arithmetic
       * (add_months clamps to month end on both engines), last_day,
       * ISO week number, and Monday-based weekday (Spark `weekday` ==
@@ -469,6 +503,34 @@ object Round6 {
              * (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                 / CAST(count(*) AS DOUBLE)) AS covar_pop
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_corr" ->
+      """WITH g AS (
+           SELECT l_returnflag, count(*) AS n,
+             round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sx,
+             round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(0.01 AS DECIMAL(8,4)) AS DECIMAL(8,4))), 2) AS sy,
+             round(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(0.01 AS DECIMAL(8,4)) AS DECIMAL(8,4))), 2) AS sxy,
+             round(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))), 2) AS sx2,
+             round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(0.01 AS DECIMAL(8,4)) AS DECIMAL(8,4))
+                       * CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(0.01 AS DECIMAL(8,4)) AS DECIMAL(8,4))), 2) AS sy2
+           FROM lineitem GROUP BY l_returnflag
+         )
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+              * sqrt(CAST(sy2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS corr
+         FROM g ORDER BY l_returnflag""",
     "q_fn_datetime2" ->
       """SELECT o_orderkey,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
