@@ -4,12 +4,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
 
-/** Round-6 coverage extensions (SURVEY.md §2 rows 111–113): batch
-  * sessionization, SCD Type-2 interval compaction, and deterministic
-  * per-group reservoir sampling — the event-pipeline operators a
-  * training-data / analytics user reaches for right after the funnel
-  * and cohort queries (Round3) and the streaming session windows
-  * (q59), here in their BATCH form under the hard DuckDB oracle.
+/** Round-6 coverage extensions (SURVEY.md §2 rows 111–130, ops
+  * half): batch + incremental sessionization, SCD Type-2 compaction
+  * and its temporal point-in-interval consumer, deterministic
+  * reservoir/stratified sampling, the corpus-cleaning pipeline,
+  * incremental TF-IDF, exact-decimal covariance/correlation, and the
+  * extended calendar surface — the event-pipeline and statistics
+  * operators a training-data / analytics user reaches for next, all
+  * under the hard DuckDB oracle.
   *
   * All three follow D1–D7 (Tables.Dec scaladoc): integer or raw-column
   * arithmetic only, unique total ORDER BY, identical column aliases in
