@@ -81,9 +81,32 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
 
+  /** Canonical (doc_a < doc_b) intersection counts WITH both set
+    * sizes, unthresholded — the one expensive computation (token
+    * self-join + pair groupBy) both the Jaccard family (q50/q108/q126)
+    * and the containment query (q109) derive from. */
+  def cachedSubsetInter(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "subsetInter"), {
+      val toks = subsetTokens(s, d)
+      val a = toks.select(col("doc_id").as("doc_a"), col("tok"))
+      val b = toks.select(col("doc_id").as("doc_b"), col("tok"))
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      val szB = sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+      a.join(b, Seq("tok"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(szA), "doc_a").join(broadcast(szB), "doc_b")
+        .localCheckpoint()
+    })
+
   def cachedSubsetPairs(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "subsetPairs"),
-      exactPairs(subsetTokens(s, d)).localCheckpoint())
+      cachedSubsetInter(s, d)
+        .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+        .filter(col("inter") * 2 >= col("union_sz"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+        .localCheckpoint())
 
   /** Distinct doc ids of the pairwise subset (the collapse loops'
     * node set — includes singletons, which the pair graph omits). */
@@ -194,24 +217,18 @@ object Dedup {
       * Integer threshold (10·inter >= 8·|A|), one token self-join,
       * sizes broadcast — the q50 shape with an ordered pair space. */
     "q_text_containment" -> ((s, d) => {
-      val toks = subsetTokens(s, d)
-      val a = toks.select(col("doc_id").as("doc_a"), col("tok"))
-      val b = toks.select(col("doc_id").as("doc_b"), col("tok"))
-      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      // intersection is SYMMETRIC: count it once per CANONICAL pair
-      // (doc_a < doc_b — half the join output and half the groupBy
-      // shuffle of the ordered space), then emit both orientations and
-      // apply the asymmetric |A∩B|/|A| threshold per direction
-      val inter = a.join(b, Seq("tok"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        .localCheckpoint() // union reads it twice; compute it once
-      val both = inter.unionByName(
-        inter.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
-          col("inter")))
+      // intersection is SYMMETRIC: the MEMOIZED canonical-pair
+      // relation (shared with the Jaccard family) is emitted in both
+      // orientations — (a,b) keeps sz_a, (b,a) promotes sz_b — and the
+      // asymmetric |A∩B|/|A| threshold applies per direction. After
+      // the shared memo is built this query costs only the union +
+      // filter.
+      val inter = cachedSubsetInter(s, d)
+      val both = inter
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))
+        .unionByName(inter.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b"), col("inter"), col("sz_b").as("sz_a")))
       both
-        .join(broadcast(szA), "doc_a")
         .filter(col("inter") * 10 >= col("sz_a") * 8)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))
         .orderBy("doc_a", "doc_b")
