@@ -302,4 +302,16 @@ class Round6Spec extends SparkSpecBase {
     // merged undercount bound: count >= true - n/(k+1) = 202 - 200
     assert(merged("hot") >= 2L)
   }
+
+  test("memoized subset pair graph == direct exactPairs computation") {
+    import graft.text.Dedup
+    // the session memo shared by q50/q108/q109/q126 must be
+    // result-invisible vs computing the pairs from scratch
+    val cached = Dedup.cachedSubsetPairs(spark, sfDir)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val direct = Dedup.exactPairs(Dedup.subsetTokens(spark, sfDir))
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(cached == direct, "memo must equal the direct computation")
+    assert(cached.nonEmpty, "degenerate fixture")
+  }
 }
