@@ -325,6 +325,47 @@ object Round6 {
         .orderBy("l_returnflag")
     }),
 
+    /** q131: per-group standard deviation (population) via the q127
+      * machinery — σ = √(sx2/n − (sx/n)²) over exact decimal sums,
+      * one pinned IEEE tree, bitwise-equal doubles (the FP-
+      * accumulating stddev builtins cannot cross-engine-match). */
+    "q_agg_stddev" -> ((s, d) => {
+      import graft.engine.Dec._
+      val li = lineitem(s, d)
+      val x = dec2(col("l_quantity"))
+      val g = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(x), 2).as("sx"),
+          round(sum(x * x), 2).as("sx2"))
+      val nd = dbl(col("n"))
+      val mx = dbl(col("sx")) / nd
+      g.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          sqrt(dbl(col("sx2")) / nd - mx * mx).as("stddev_pop"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    /** q132: EDIT-DISTANCE fuzzy matching — levenshtein between each
+      * document and its successor (doc_id+1) on the subset: the fuzzy
+      * string-match primitive (typo-level dedup, record linkage) that
+      * token/shingle measures miss. Exact integer on both engines;
+      * the pair space is the deterministic consecutive-id chain, so
+      * the join is a broadcast-able self-equi-join, not a cross
+      * product (at scale the candidate pairs come from q51's LSH
+      * buckets and this verify runs in-bucket). */
+    "q_text_editdist" -> ((s, d) => {
+      val docs = documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val nxt = docs.select((col("doc_id") - 5).as("doc_id"),
+        col("text").as("text_b"))
+      docs.join(nxt, "doc_id")
+        .select(col("doc_id"),
+          levenshtein(col("text"), col("text_b")).cast("bigint").as("dist"),
+          length(col("text")).cast("bigint").as("len_a"),
+          length(col("text_b")).cast("bigint").as("len_b"))
+        .orderBy("doc_id")
+    }),
+
     /** q128: calendar datetime surface beyond q36 — month arithmetic
       * (add_months clamps to month end on both engines), last_day,
       * ISO week number, and Monday-based weekday (Spark `weekday` ==
@@ -533,6 +574,27 @@ object Round6 {
                - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
                  * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS corr
          FROM g ORDER BY l_returnflag""",
+    "q_agg_stddev" ->
+      """WITH g AS (
+           SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sx,
+             round(sum(CAST(l_quantity AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))), 2) AS sx2
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+         )
+         SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+           sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS stddev_pop
+         FROM g ORDER BY l_returnflag, l_linestatus""",
+    "q_text_editdist" ->
+      """SELECT a.doc_id,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+           CAST(length(a.text) AS BIGINT) AS len_a,
+           CAST(length(b.text) AS BIGINT) AS len_b
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 5
+         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+         ORDER BY a.doc_id""",
     "q_fn_datetime2" ->
       """SELECT o_orderkey,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
