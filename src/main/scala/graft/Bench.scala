@@ -55,12 +55,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = r3(if (results.nonEmpty) results.values.map(_._1).sum else 0.0)
     val totalFirst = r3(if (results.nonEmpty) results.values.map(_._3).sum else 0.0)
+    // Output order is dictated by the driver's TAIL capture of bench
+    // stdout (a fixed byte budget from the END): r6/r7 showed that a
+    // single combined line carrying BOTH maps pushes the `queries`
+    // map's head outside the budget (only 74/132 entries survived).
+    // So: the full combined line goes FIRST (head-capture compat),
+    // then the per-query medians map ALONE on its own line, then the
+    // short totals line LAST — the final two lines together are small
+    // enough that any tail capture holds every per-query entry plus
+    // one complete parseable total.
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
-    // The per-query map above makes the full line long, and the
-    // driver's tail-capture of bench stdout has truncated its HEAD in
-    // past rounds (BENCH_r04/r05 parsed: null). Re-emit the headline
-    // numbers WITHOUT the maps on their own short line LAST, so any
-    // tail capture always contains one complete parseable total.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

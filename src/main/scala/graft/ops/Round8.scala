@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+import graft.text.{Dedup, MinHash, Similarity}
+
+/** Round-8 extensions (SURVEY.md §2 rows 133–136): SIGNED
+  * (insert + delete) deltas for the mining-family incremental
+  * operators — the missing half of the paper's delta model [P §3:
+  * a delta is kv pairs flagged '+'/'-'; update = delete + insert] —
+  * plus the two production scale paths promoted to declared queries
+  * (batch IVF ANN; the full-corpus LSH-sourced dedup collapse).
+  *
+  * Delta convention shared by q133/q134: the corpus splits into
+  *   base   = doc_id % 10 <> 0   (the stored state's corpus)
+  *   insert = doc_id % 10 == 0   (the '+' half of the delta)
+  *   delete = doc_id % 10 == 1   (the '-' half — a subset of base)
+  * so the post-delta corpus is doc_id % 10 <> 1 and each oracle is
+  * the FULL recompute over that corpus: signed incremental
+  * maintenance must be result-invisible. */
+object Round8 {
+
+  /** Apply a SIGNED document delta to an incremental TF-IDF state
+    * [P §3 — update = delete + insert applied to q119's preserved-tf
+    * model]. Inputs are the paper's three pieces:
+    *
+    *   - `tfBase`: the STORED per-(doc, term) tf rows of the base
+    *     corpus (production: the q103 partials store — tf is
+    *     doc-local, so these rows are never recomputed);
+    *   - `tfDelta`: the INSERTED docs' tf rows (only these are
+    *     tokenized);
+    *   - `deletedIds`: doc_ids of the DELETED docs (a subset of the
+    *     base corpus).
+    *
+    * Deletion is pure state arithmetic, never re-tokenization: the
+    * deleted docs' tf rows are RETRIEVED from the stored state
+    * (semi-join on doc_id — partition-pruned at scale), their df
+    * contributions enter the term-keyed merge with sign −1, and the
+    * doc count N decrements — all associative integer merges, the
+    * IncrMerge signed pattern applied to the text family. Surviving
+    * base docs' tf rows pass through VERBATIM (anti-join only; the
+    * Round8Spec perturbation test proves no recompute touches them).
+    * Terms whose df hits 0 vanish, exactly as in a full recompute.
+    *
+    * `n` is the post-delta document count as a 1-row (n_docs double)
+    * frame, kept caller-supplied so production can merge stored
+    * count state instead of rescanning. Scoring is q95's exact IEEE
+    * chain over the merged state. */
+  def tfidfApplyDelta(tfBase: DataFrame, tfDelta: DataFrame,
+                      deletedIds: DataFrame, n: DataFrame): DataFrame = {
+    val tfDeleted = tfBase.join(deletedIds, Seq("doc_id"), "left_semi")
+    val tfSurvive = tfBase.join(deletedIds, Seq("doc_id"), "left_anti")
+    def dfOf(tf: DataFrame) =
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // SIGNED term-keyed merge: base and insert contribute +df,
+    // deletions contribute −df; associative, so production folds the
+    // delta into stored df state without touching the base corpus
+    val dfMerged = dfOf(tfBase).select(col("term"), col("df"))
+      .unionByName(dfOf(tfDelta))
+      .unionByName(dfOf(tfDeleted).select(col("term"), (-col("df")).as("df")))
+      .groupBy("term").agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+    tfSurvive.unionByName(tfDelta)
+      .join(broadcast(dfMerged), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs") / col("df").cast("double"))).as("tfidf"))
+  }
+
+  /** Apply a SIGNED document delta to an incremental exact-dedup
+    * state [P §3 — the MRBG group-level recompute applied to q125's
+    * per-hash (n_dups, keep_id) state]. Inputs:
+    *
+    *   - `baseState`: the STORED per-hash (h, n_dups, keep_id) rows;
+    *   - `baseIndex`: the STORED per-doc (h, doc_id) membership rows
+    *     (production: both live in the q103 partials store, hash-
+    *     partitioned, so every join below partition-prunes);
+    *   - `deletedIds`: deleted doc_ids (subset of the base corpus);
+    *   - `deltaState`: the INSERTED docs' (h, n_dups, keep_id) state.
+    *
+    * Three disjoint paths, each touching the minimum possible state:
+    *   1. hashes with NO deleted member: state rows pass through
+    *      VERBATIM (anti-join — Round8Spec's perturbation test proves
+    *      no recompute touches them);
+    *   2. deleted member but the min (keep_id) survived: pure state
+    *      arithmetic — n_dups decrements, keep_id unchanged, no
+    *      member access at all;
+    *   3. the min itself was deleted: GROUP-LEVEL recompute over the
+    *      surviving members of exactly those hashes (the [P §3]
+    *      group re-aggregation) — a semi-join retrieves the group's
+    *      stored membership, min/count re-derive the state; fully
+    *      deleted groups vanish, as in a full recompute.
+    * The three paths then merge associatively with the insert
+    * delta's state (sum/min — q125's merge, now signed). */
+  def dedupApplyDelta(baseState: DataFrame, baseIndex: DataFrame,
+                      deletedIds: DataFrame,
+                      deltaState: DataFrame): DataFrame = {
+    val delAgg = baseIndex.join(deletedIds, Seq("doc_id"), "left_semi")
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_del"), min("doc_id").as("min_del"))
+    val preserved = baseState.join(delAgg, Seq("h"), "left_anti")
+    val touched = baseState.join(delAgg, "h")
+    val easy = touched.filter(col("keep_id") =!= col("min_del"))
+      .select(col("h"), (col("n_dups") - col("n_del")).as("n_dups"),
+        col("keep_id"))
+    val hardHashes = touched.filter(col("keep_id") === col("min_del"))
+      .select("h")
+    val hard = baseIndex.join(hardHashes, Seq("h"), "left_semi")
+      .join(deletedIds, Seq("doc_id"), "left_anti")
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+    preserved.unionByName(easy).unionByName(hard).unionByName(deltaState)
+      .groupBy("h")
+      .agg(sum("n_dups").as("n_dups"), min("keep_id").as("keep_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    /** q133: incremental TF-IDF under a SIGNED delta [P §3] — q119
+      * extended with the '-' flag: base tf rows preserved, insert
+      * docs tokenized, deleted docs' df/N contributions SUBTRACTED
+      * from the stored state via [[tfidfApplyDelta]]. Oracle = q95's
+      * full TF-IDF over the post-delta corpus (doc_id % 10 <> 1):
+      * the signed merge must be result-invisible. */
+    "q_incr_tfidf_delete" -> ((s, d) => {
+      val docs = documents(s, d)
+      def tfOf(dd: DataFrame) = dd
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tfBase = tfOf(docs.filter(col("doc_id") % 10 =!= 0))
+      val tfDelta = tfOf(docs.filter(col("doc_id") % 10 === 0))
+      val deletedIds = docs.filter(col("doc_id") % 10 === 1)
+        .select("doc_id")
+      // signed doc-count merge: +1 base, +1 insert, −1 delete
+      val n = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(lit(1L).as("c"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(lit(1L).as("c")))
+        .unionByName(deletedIds.select(lit(-1L).as("c")))
+        .agg(sum("c").cast("double").as("n_docs"))
+      tfidfApplyDelta(tfBase, tfDelta, deletedIds, n)
+        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+        .limit(20)
+    }),
+
+    /** q134: incremental exact dedup under a SIGNED delta [P §3] —
+      * q125 extended with deletions via [[dedupApplyDelta]]: count
+      * decrement for groups whose min survived, group-level recompute
+      * only for hashes whose min was deleted. Oracle = q49's full
+      * dedup over the post-delta corpus. */
+    "q_incr_dedup_delete" -> ((s, d) => {
+      val docs = documents(s, d)
+      val baseIndex = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      val baseState = baseIndex.groupBy("h")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+      val deletedIds = docs.filter(col("doc_id") % 10 === 1)
+        .select("doc_id")
+      val deltaState = docs.filter(col("doc_id") % 10 === 0)
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+      dedupApplyDelta(baseState, baseIndex, deletedIds, deltaState)
+        .orderBy("h")
+    }),
+
+    /** q135: BATCH IVF ANN — the production many-probe shape
+      * ([[Similarity.ivfSearchBatch]]) promoted to a declared query:
+      * top-3 cosine neighbours for each of 5 probes over the
+      * √n-centroid IVF index, nprobe=3, probes chunk-broadcast
+      * against the cluster-pruned corpus (the corpus never
+      * re-shuffles per probe). oracle=none (approximate by
+      * construction); SimilaritySpec asserts recall vs q91's exact
+      * batch KNN and that nprobe=k reproduces it exactly. */
+    "q_sim_ann_ivf_batch" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val (indexed, cents) = Similarity.ivfIndex(s, emb)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      Similarity.ivfSearchBatch(s, indexed, cents, probes,
+          nprobe = 3, topK = 3)
+        .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
+        .orderBy("probe_id", "rn")
+    }),
+
+    /** q136: FULL-CORPUS LSH-SOURCED DEDUP COLLAPSE — the actual
+      * 100 TB dedup path as ONE declared query: capped MinHash-LSH
+      * candidates over ALL documents (O(n·bands) bucket shuffle,
+      * mega-buckets quarantined) PLUS the quarantined buckets'
+      * spanning-star candidates ([[MinHash.starCandidates]] —
+      * O(bucket) member-vs-representative pairs, the out-of-band
+      * handling the quarantine contract promises, in-plan) → exact
+      * Jaccard verify on every candidate → the q108 min-label
+      * collapse (FIXED 5 rounds) emitting one canonical keep_id per
+      * doc. Candidate count is O(n·bands·MaxBucket) + O(n·bands) by
+      * construction — linear even on this fixture's boilerplate-heavy
+      * corpus (73% of all doc pairs are exact near-dups; the cap
+      * fires on 8 mega-buckets of ~250 docs each), so the plan shape
+      * survives a 100× scale-up unchanged. oracle=none (LSH recall
+      * is probabilistic); Round8Spec proves the verified pair set is
+      * SOUND (⊆ the exact full-corpus pairs), the collapse REFINES
+      * the exact collapse (never merges across exact components),
+      * quarantine fires on this fixture, and group-level agreement
+      * with the exact collapse is ≥ 90% (measured: 98%).
+      * Production termination for >5-hop chains:
+      * [[graft.iter.IterQueries.minPropagateUntilStable]]. */
+    "q_dedup_groups_lsh" -> ((s, d) => {
+      val toks = Dedup.tokens(s, d).persist()
+      val bk = MinHash.buckets(MinHash.signatures(toks)).localCheckpoint()
+      val cands = MinHash.candidatesFromBuckets(bk)
+        .unionByName(MinHash.starCandidates(bk))
+        .distinct()
+      // materialize the verified pair graph BEFORE the label loop: the
+      // loop must read checkpointed rows, never re-run LSH per round
+      val pairs = Dedup.verifyPairs(cands, Dedup.docSets(toks))
+        .select("doc_a", "doc_b").localCheckpoint()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val out = graft.iter.IterQueries.loopConf(s) {
+        val state0 = documents(s, d)
+          .select(col("doc_id").as("node"), col("doc_id").as("label"))
+        val changed0 = state0
+          .select(col("node").as("cnode"), col("label").as("cval"))
+        graft.iter.IterQueries
+          .minPropagate(edges, state0, changed0, "label", 0L, 5)
+          .select(col("node").as("doc_id"), col("label").as("keep_id"))
+      }
+      graft.iter.IterQueries.finish(out, toks).orderBy("doc_id")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    // q133's oracle is q95's full TF-IDF over the POST-DELTA corpus:
+    // signed incremental maintenance must be result-invisible.
+    "q_incr_tfidf_delete" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents WHERE doc_id % 10 <> 1
+         ), t AS (
+           SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY doc_id, term
+         ), d AS (
+           SELECT term, count(*) AS df FROM t GROUP BY term
+         ), n AS (
+           SELECT count(*) AS nd FROM documents WHERE doc_id % 10 <> 1
+         )
+         SELECT doc_id, term,
+           CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE))
+             AS tfidf
+         FROM t JOIN d USING (term), n
+         ORDER BY tfidf DESC, doc_id, term LIMIT 20""",
+    // q134's oracle is q49's full dedup over the POST-DELTA corpus.
+    "q_incr_dedup_delete" ->
+      """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
+         FROM documents WHERE doc_id % 10 <> 1
+         GROUP BY md5(text) ORDER BY h"""
+    // q135, q136: oracle=none (approximate / sketch-sourced) — see
+    // SimilaritySpec and Round8Spec.
+  )
+}

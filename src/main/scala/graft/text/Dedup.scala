@@ -155,7 +155,19 @@ object Dedup {
       * one canonical keep_id per doc (singletons keep themselves).
       * Downstream: `filter(doc_id = keep_id)` is the dedup; the same
       * collapse runs unchanged over q51's LSH-verified pairs at full
-      * scale (the pair source is the only O(n²)-vs-O(n·bands) choice). */
+      * scale (the pair source is the only O(n²)-vs-O(n·bands) choice
+      * — q136 declares exactly that composition).
+      *
+      * CONVERGENCE NOTE: the FIXED 5 rounds exist for the oracle
+      * (both engines unroll the same integer computation), and
+      * under-merge components whose diameter exceeds 5. The
+      * production termination is
+      * [[graft.iter.IterQueries.minPropagateUntilStable]]
+      * (IterQueries.scala) — the same min-label step iterated on the
+      * CHANGED frontier until a round moves no label, so arbitrary-
+      * diameter duplicate chains collapse fully and the per-round
+      * cost shrinks with the frontier. Swap `minPropagate(…, 5)` for
+      * it verbatim; every other line of this query is unchanged. */
     "q_dedup_groups" -> ((s, d) => {
       // the pair graph is the MEMOIZED checkpointed computation (the
       // lazy-frame-in-loop hazard that originally cost 56 s here is
@@ -186,7 +198,13 @@ object Dedup {
       * signals — the decision rule real pipelines run, where either
       * modality alone under-merges. Both pair sources and the loop
       * reuse the shared machinery; at scale each swaps for its
-      * bucketed variant (LSH / IVF) with the collapse unchanged. */
+      * bucketed variant (LSH / IVF) with the collapse unchanged.
+      *
+      * CONVERGENCE NOTE: as for q108/q110, the FIXED 5 rounds serve
+      * the oracle; production termination is
+      * [[graft.iter.IterQueries.minPropagateUntilStable]] — identical
+      * step, frontier-driven, runs until stable — swapped in for
+      * `minPropagate(…, 5)` with no other change. */
     "q_dedup_multimodal_groups" -> ((s, d) => {
       // both pair sources are the MEMOIZED checkpointed computations
       // shared with q50/q108 (text) and q110 (embedding) — per session

@@ -36,8 +36,14 @@ object SimHash {
       .select(col("doc_id"), sig.as("sig"))
   }
 
-  /** Candidate pairs: identical 16-bit band in any of 4 bands. */
-  def candidates(sig: DataFrame): DataFrame = {
+  /** Per-doc band rows (doc_id, sig, band, bh) — the SimHash LSH
+    * index relation, the analogue of [[MinHash.banded]]. Map-only
+    * from signatures and DOC-LOCAL (a doc's band hashes are slices
+    * of its own signature, so other docs' arrivals or departures
+    * never change them) — which is exactly what makes the stored-
+    * index incremental path below sound. At production scale THIS
+    * is the persisted state of an evolving corpus. */
+  def banded(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(0xFFFFL).as("bh"))
@@ -46,6 +52,49 @@ object SimHash {
         explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("sig"), col("x.band").as("band"),
         col("x.bh").as("bh"))
+  }
+
+  /** INCREMENTAL SimHash candidates [P §3,6 — the MinHash
+    * .candidatesIncr stored-index delta path applied to the SimHash
+    * band buckets]: the candidate pairs an insert-only doc delta
+    * ADDS. `bandedOld` is the stored [[banded]] relation of the
+    * existing corpus; `bandedNew` the delta's. Only buckets TOUCHED
+    * by a new doc are rebuilt (join on the delta's (band, bh) set)
+    * and pair generation is new×bucket — delta-proportional, never
+    * corpus². Soundness: bucket membership is doc-local (see
+    * [[banded]]), so full-candidates(old ∪ delta) = old-candidates
+    * ∪ THIS exactly — Round8Spec proves the equality. Output carries
+    * both signatures so the exact Hamming verify runs in-line. */
+  def candidatesIncr(bandedOld: DataFrame,
+                     bandedNew: DataFrame): DataFrame = {
+    val all = bandedOld.withColumn("is_new", lit(false))
+      .unionByName(bandedNew.withColumn("is_new", lit(true)))
+    val touched = bandedNew.select("band", "bh").distinct()
+    all.join(touched, Seq("band", "bh"))
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+          .as("ds"),
+        sort_array(collect_list(
+          when(col("is_new"), struct(col("doc_id"), col("sig")))))
+          .as("ds_new"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"), explode(col("ds_new")).as("n"))
+      .repartition(col("n.doc_id"))
+      .select(col("n"), explode(col("ds")).as("o"))
+      .filter(col("n.doc_id") =!= col("o.doc_id"))
+      .select(
+        when(col("n.doc_id") < col("o.doc_id"), col("n")).otherwise(col("o"))
+          .as("pa"),
+        when(col("n.doc_id") < col("o.doc_id"), col("o")).otherwise(col("n"))
+          .as("pb"))
+      .select(col("pa.doc_id").as("doc_a"), col("pa.sig").as("sig_a"),
+        col("pb.doc_id").as("doc_b"), col("pb.sig").as("sig_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs: identical 16-bit band in any of 4 bands. */
+  def candidates(sig: DataFrame): DataFrame = {
+    banded(sig)
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)

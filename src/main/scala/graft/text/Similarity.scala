@@ -66,7 +66,14 @@ object Similarity {
       * keep_id per vector. At scale the pair source swaps for the IVF
       * bucketed search (pairs within probed clusters only); the
       * collapse is unchanged. Threshold compares bit-identical
-      * doubles, labels are integer — fully oracle-checkable. */
+      * doubles, labels are integer — fully oracle-checkable.
+      *
+      * CONVERGENCE NOTE: the FIXED 5 rounds are the oracle's
+      * determinism requirement and under-merge >5-hop similarity
+      * chains; production runs
+      * [[graft.iter.IterQueries.minPropagateUntilStable]] instead —
+      * frontier-driven min-label iteration until no label moves —
+      * with every other line unchanged (see the q108 scaladoc). */
     "q_dedup_embedding_groups" -> ((s, d) => {
       // pair graph = the MEMOIZED checkpointed cosine computation
       // (shared with q126) — the loop reads materialized rows, never

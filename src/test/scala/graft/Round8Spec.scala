@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Round8
+import graft.text.{Dedup, MinHash, SimHash, Similarity}
+
+/** Round-8 items: signed (insert+delete) deltas for the mining-family
+  * incrementals (TF-IDF, exact dedup), the declared full-corpus
+  * LSH-sourced dedup collapse, incremental SimHash candidates, and the
+  * declared batch IVF ANN query. */
+class Round8Spec extends SparkSpecBase {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // ---------------------------------------------------------------
+  // Signed-delta TF-IDF
+  // ---------------------------------------------------------------
+
+  test("q_incr_tfidf_delete == full TF-IDF on the post-delta corpus, bitwise") {
+    val incr = SparkEntry.queries("q_incr_tfidf_delete")(spark, sfDir)
+      .collect()
+    val full = graft.Graft.tfidf(
+        graft.engine.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % 10 =!= 1), "doc_id", "text")
+      .select("doc_id", "term", "tfidf")
+      .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+      .limit(20).collect()
+    assert(incr.length == 20 && full.length == 20)
+    incr.zip(full).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getString(1) == b.getString(1))
+      assert(java.lang.Double.doubleToLongBits(a.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(b.getDouble(2)),
+        s"score mismatch at (${a.getLong(0)}, ${a.getString(1)})")
+    }
+  }
+
+  test("tfidfApplyDelta: surviving tf rows pass through, deletions subtract df") {
+    val sp = spark
+    import sp.implicits._
+    // base docs 1, 2, 11; delete 11; insert 10.
+    // term 'd' lives ONLY in deleted doc 11 -> df hits 0, term vanishes.
+    val tfBase = Seq(
+      (1L, "a", 99L), // PERTURBED: true tokenization would give tf=1
+      (1L, "b", 1L), (2L, "b", 1L), (2L, "c", 1L),
+      (11L, "c", 1L), (11L, "d", 1L)).toDF("doc_id", "term", "tf")
+    val tfDelta = Seq((10L, "a", 2L), (10L, "c", 1L))
+      .toDF("doc_id", "term", "tf")
+    val deleted = Seq(Tuple1(11L)).toDF("doc_id")
+    val n = Seq(Tuple1(3L)).toDF("c") // post-delta doc count: 1, 2, 10
+      .agg(sum("c").cast("double").as("n_docs"))
+    val out = Round8.tfidfApplyDelta(tfBase, tfDelta, deleted, n)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // post-delta state: df(a)=2 (docs 1,10), df(b)=2 (1,2), df(c)=2 (2,10)
+    def score(tf: Long, df: Long) = tf.toDouble * math.log(3.0 / df.toDouble)
+    // the PERTURBED tf=99 must surface verbatim: the helper never
+    // re-tokenizes a surviving doc, it reuses the stored row
+    assert(out((1L, "a")) == score(99L, 2L),
+      "surviving base tf rows must pass through unrecomputed")
+    assert(out((10L, "a")) == score(2L, 2L))
+    assert(out((2L, "c")) == score(1L, 2L))
+    // deleted doc's rows are gone; its sole term 'd' vanished with df=0
+    assert(!out.keys.exists(_._1 == 11L), "deleted doc must emit no rows")
+    assert(!out.keys.exists(_._2 == "d"), "df=0 terms must vanish")
+    // exactly the six surviving tf rows: (1,a)(1,b)(2,b)(2,c)(10,a)(10,c)
+    assert(out.size == 6)
+  }
+
+  // ---------------------------------------------------------------
+  // Signed-delta exact dedup
+  // ---------------------------------------------------------------
+
+  test("q_incr_dedup_delete == full dedup on the post-delta corpus") {
+    val incr = SparkEntry.queries("q_incr_dedup_delete")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 1)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+      .orderBy("h")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(incr.nonEmpty)
+    assert(incr == full, "signed delta must equal the full recompute")
+  }
+
+  test("dedupApplyDelta: untouched state passes through; easy/hard paths exact") {
+    val sp = spark
+    import sp.implicits._
+    // base groups: x={1,2}, y={3,4}, z={5}; delete 1 (min of x -> HARD
+    // recompute) and 4 (non-min of y -> EASY decrement); insert 10 (z
+    // dup) and 11 (new w).
+    val baseIndex = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("y", 4L),
+      ("z", 5L)).toDF("h", "doc_id")
+    // PERTURBED state for y and z: if any path rescanned members the
+    // perturbation would be lost; state arithmetic must carry it
+    val baseState = Seq(("x", 2L, 1L), ("y", 77L, 3L), ("z", 55L, 5L))
+      .toDF("h", "n_dups", "keep_id")
+    val deleted = Seq(Tuple1(1L), Tuple1(4L)).toDF("doc_id")
+    val deltaState = Seq(("z", 1L, 10L), ("w", 1L, 11L))
+      .toDF("h", "n_dups", "keep_id")
+    val out = Round8.dedupApplyDelta(baseState, baseIndex, deleted, deltaState)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // x: min deleted -> group-level recompute over survivors {2}
+    assert(out("x") == (1L, 2L), "hard path must re-derive from members")
+    // y: non-min deleted -> pure decrement on the (perturbed) state
+    assert(out("y") == (76L, 3L), "easy path must decrement stored state")
+    // z: untouched by deletion -> perturbed state passes through, then
+    // merges associatively with the insert delta
+    assert(out("z") == (56L, 5L), "untouched state must pass through")
+    // w: insert-only group
+    assert(out("w") == (1L, 11L))
+    assert(out.size == 4)
+  }
+
+  test("dedupApplyDelta: fully-deleted groups vanish") {
+    val sp = spark
+    import sp.implicits._
+    val baseIndex = Seq(("x", 1L), ("y", 2L), ("y", 3L)).toDF("h", "doc_id")
+    val baseState = Seq(("x", 1L, 1L), ("y", 2L, 2L))
+      .toDF("h", "n_dups", "keep_id")
+    val deleted = Seq(Tuple1(1L)).toDF("doc_id")
+    val deltaState = baseState.limit(0)
+    val out = Round8.dedupApplyDelta(baseState, baseIndex, deleted, deltaState)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map("y" -> ((2L, 2L))), "x lost its only member")
+  }
+
+  // ---------------------------------------------------------------
+  // Full-corpus LSH-sourced dedup collapse
+  // ---------------------------------------------------------------
+
+  test("q_dedup_groups_lsh: sound, linear-bounded, refines + matches exact collapse") {
+    val toks = Dedup.tokens(spark, sfDir).localCheckpoint()
+    val bk = MinHash.buckets(MinHash.signatures(toks)).localCheckpoint()
+    // the full fixture corpus IS the degenerate boilerplate case: the
+    // production cap must fire (8 mega-buckets of ~250 docs measured)
+    val quarantined = MinHash.quarantine(bk).collect()
+    assert(quarantined.nonEmpty,
+      "the full-corpus fixture must exercise the bucket cap")
+    assert(quarantined.forall(_.getInt(2) > MinHash.MaxBucket))
+    // star candidates stay linear: <= Bands * n rows
+    val nDocs = graft.engine.Tables.documents(spark, sfDir).count()
+    val star = MinHash.starCandidates(bk)
+    assert(star.count() <= MinHash.Bands * nDocs,
+      "spanning-star candidates must be O(n·bands)")
+    // SOUNDNESS: every verified pair (capped ∪ star source) is an
+    // exact Jaccard>=0.5 pair
+    val cands = MinHash.candidatesFromBuckets(bk).unionByName(star).distinct()
+    val lshPairs = pairSet(Dedup.verifyPairs(cands, Dedup.docSets(toks))
+      .select("doc_a", "doc_b"))
+    val exact = pairSet(Dedup.exactPairs(toks).select("doc_a", "doc_b"))
+    assert(exact.nonEmpty, "degenerate fixture")
+    assert(lshPairs.subsetOf(exact),
+      "verified LSH pairs must be a subset of the exact pairs")
+    val out = SparkEntry.queries("q_dedup_groups_lsh")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == nDocs, "every doc gets a keep_id")
+    assert(out.forall { case (doc, keep) => keep <= doc })
+    // driver-side union-find over the exact pairs (fixture-sized)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exact.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // REFINEMENT: same LSH keep_id => same exact component (LSH edges
+    // ⊆ exact edges, so the collapse never merges across components)
+    out.groupBy(_._2).values.foreach { grp =>
+      val roots = grp.map { case (doc, _) => find(doc) }.toSet
+      assert(roots.size == 1,
+        s"LSH group ${grp.map(_._1).toSeq.sorted} spans exact components")
+    }
+    // GROUP RECALL: the spanning-star handling of quarantined buckets
+    // must keep the collapse close to the exact one (measured 98%)
+    val agree = out.count { case (doc, keep) => keep == find(doc) }
+    assert(agree.toDouble / nDocs >= 0.9,
+      s"only $agree/$nDocs docs agree with the exact collapse")
+    // the collapse is non-trivial: at least one real cluster merged
+    assert(out.exists { case (doc, keep) => keep < doc })
+  }
+
+  // ---------------------------------------------------------------
+  // Incremental SimHash candidates
+  // ---------------------------------------------------------------
+
+  test("SimHash candidatesIncr: full == old ∪ delta, exactly (synthetic)") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1, 2 identical (old-old pair); new doc 10 duplicates them
+    // (two cross pairs); new doc 11 unrelated
+    val texts = Seq(
+      1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "epsilon zeta eta theta",
+      10L -> "alpha beta gamma delta", 11L -> "iota kappa lambda mu")
+    val toks = texts.flatMap { case (id, t) => t.split(" ").map(id -> _) }
+      .toDF("doc_id", "tok")
+    val sigAll = SimHash.signatures(toks).localCheckpoint()
+    val cut = 10L
+    val full = pairSet(SimHash.candidates(sigAll).select("doc_a", "doc_b"))
+    val old = pairSet(SimHash.candidates(sigAll.filter(col("doc_id") < cut))
+      .select("doc_a", "doc_b"))
+    val bandedAll = SimHash.banded(sigAll).localCheckpoint()
+    val incrDf = SimHash.candidatesIncr(
+      bandedAll.filter(col("doc_id") < cut),
+      bandedAll.filter(col("doc_id") >= cut)).localCheckpoint()
+    val incr = pairSet(incrDf.select("doc_a", "doc_b"))
+    assert(old == Set((1L, 2L)))
+    assert(incr == Set((1L, 10L), (2L, 10L)), s"unexpected delta pairs: $incr")
+    assert((old ++ incr) == full, s"old ∪ incr != full ($full)")
+    // carried signatures are the real ones (identical docs -> Hamming 0)
+    val zeroDist = incrDf.filter(
+      bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) === 0).count()
+    assert(zeroDist == 2L, "identical docs must carry identical signatures")
+  }
+
+  test("SimHash candidatesIncr: full == old ∪ delta on the fixture corpus") {
+    val toks = Dedup.tokens(spark, sfDir).localCheckpoint()
+    val sigAll = SimHash.signatures(toks).localCheckpoint()
+    val cut = toks.agg(expr("percentile(doc_id, 0.8)")).head()
+      .getDouble(0).toLong
+    val full = pairSet(SimHash.candidates(sigAll).select("doc_a", "doc_b"))
+    val old = pairSet(SimHash.candidates(sigAll.filter(col("doc_id") < cut))
+      .select("doc_a", "doc_b"))
+    val bandedAll = SimHash.banded(sigAll).localCheckpoint()
+    val incr = pairSet(SimHash.candidatesIncr(
+      bandedAll.filter(col("doc_id") < cut),
+      bandedAll.filter(col("doc_id") >= cut)).select("doc_a", "doc_b"))
+    assert(incr.forall { case (a, b) => a >= cut || b >= cut },
+      "every delta pair must involve a new doc")
+    assert((old ++ incr) == full,
+      s"old(${old.size}) ∪ incr(${incr.size}) != full(${full.size})")
+  }
+
+  // ---------------------------------------------------------------
+  // Declared batch IVF ANN
+  // ---------------------------------------------------------------
+
+  test("q_sim_ann_ivf_batch: declared shape + nprobe=k reproduces q91 bitwise") {
+    val out = SparkEntry.queries("q_sim_ann_ivf_batch")(spark, sfDir)
+    assert(out.columns.toSeq == Seq("probe_id", "vec_id", "sim", "rn"))
+    val rows = out.collect()
+    assert(rows.length == 15, s"5 probes x top-3 expected, got ${rows.length}")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactRows = SparkEntry.queries("q_sim_knn_batch")(spark, sfDir)
+      .collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"batch IVF recall $recall too low at nprobe=3")
+    // widening the probe set to every cluster recovers q91 EXACTLY,
+    // similarity doubles included (same FloatDot IEEE chain)
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val (indexed, cents) = Similarity.ivfIndex(spark, emb)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val allProbe = Similarity.ivfSearchBatch(spark, indexed.localCheckpoint(),
+        cents, probes, nprobe = cents.length, topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val exactBits = exactRows
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(allProbe == exactBits, "nprobe=k must equal q91 bit-for-bit")
+  }
+}
