@@ -104,6 +104,48 @@ object Apriori {
       .select(col("items"), col("n").as("support"))
   }
 
+  /** SIGNED-DELTA Apriori [P §3: a delta is kv pairs flagged '+'/'-',
+    * update = delete + insert] — [[frequentItemsetsIncr]] completed
+    * with the '-' half. Inputs: the base token relation, the INSERTED
+    * docs' tokens, and the DELETED doc ids (a subset of the base).
+    *
+    * SOUNDNESS of the relaxed bar under deletions: deletions only
+    * DECREASE an itemset's support, so for any itemset I frequent in
+    * the post-delta corpus,
+    *   post(I) = base(I) + ins(I) − del(I) >= minSup
+    * with ins(I) <= |ins docs| and del(I) >= 0 gives
+    *   base(I) >= minSup − ins(I) + del(I) >= minSup − |ins docs| —
+    * the SAME relaxed threshold as the insert-only path. The '-' side
+    * needs no relaxation at all; it only needs the deleted docs'
+    * itemset counts, which are retrieved by a doc_id semi-join on the
+    * stored base tokens (deletion-sized expansion at threshold 1 —
+    * never a base re-scan) and enter the merge with SIGN −1. The true
+    * threshold then filters the signed sum, so the result equals the
+    * full post-delta recompute exactly (oracle-checked).
+    *
+    * Lifecycle note: `preserved` is computed once at
+    * `minSup − insBudget`; a SEQUENCE of deltas serviced by the same
+    * stored state must relax by the CUMULATIVE insert count (deletions
+    * never consume budget — they only lower supports further below
+    * any bar). */
+  def frequentItemsetsDelta(baseToks: DataFrame, insToks: DataFrame,
+                            deletedIds: DataFrame, k: Int, minSup: Long,
+                            preserved: Option[DataFrame] = None): DataFrame = {
+    val nIns = insToks.select("doc_id").distinct().count()
+    val relaxed = math.max(1L, minSup - nIns)
+    val baseState = preserved.getOrElse(
+      frequentItemsets(baseToks, k, relaxed))
+    val insCnts = frequentItemsets(insToks, k, 1L)     // insert-sized
+    val delToks = baseToks.join(deletedIds, Seq("doc_id"), "left_semi")
+    val delCnts = frequentItemsets(delToks, k, 1L)     // deletion-sized
+    baseState.select(col("items"), col("support"))
+      .unionByName(insCnts.select(col("items"), col("support")))
+      .unionByName(delCnts.select(col("items"),
+        (-col("support")).as("support")))
+      .groupBy("items").agg(sum("support").as("support"))
+      .filter(col("support") >= minSup)
+  }
+
   val defs: Map[String, Q] = Map(
     "q_apriori_pairs" -> ((s, d) => {
       documents(s, d)
@@ -169,6 +211,41 @@ object Apriori {
         .select(element_at(col("items"), 1).as("tok_a"),
           element_at(col("items"), 2).as("tok_b"), col("support"))
       out.localCheckpoint().orderBy("tok_a", "tok_b")
+    }),
+
+    /** q137: incremental Apriori under a SIGNED delta [P §3] — q105
+      * completed with deletions via [[frequentItemsetsDelta]]: base =
+      * doc_id%10<>0, inserts = %10==0, deletions = %10==1 (the Round8
+      * delta convention). The preserved base state at the relaxed bar
+      * stays sound (deletions only decrease support — see the
+      * [[frequentItemsetsDelta]] proof), the deleted docs' pair counts
+      * are retrieved by semi-join and subtracted in the signed merge.
+      * Oracle = the brute-force pair expansion over the POST-DELTA
+      * corpus: signed maintenance must be result-invisible. */
+    "q_incr_apriori_delete" -> ((s, d) => {
+      val toks = Graphs.cached(s, d, "aprioriToks")(
+        documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .distinct()
+          .persist())
+      val baseToks = toks.filter(col("doc_id") % 10 =!= 0)
+      val insToks = toks.filter(col("doc_id") % 10 === 0)
+      // preserved base state at the relaxed bar, computed once per
+      // (session, dir) — the partials-store shape, as in q105. The
+      // insert batch is one-tenth of the corpus by construction; the
+      // count below is the |ins docs| the proof relaxes by.
+      val nIns = insToks.select("doc_id").distinct().count()
+      val baseState = Graphs.cached(s, d, "aprioriDeltaBaseState")(
+        frequentItemsets(baseToks, 2,
+          math.max(1L, minSupport - nIns)).localCheckpoint())
+      val out = frequentItemsetsDelta(
+          baseToks, insToks,
+          toks.filter(col("doc_id") % 10 === 1).select("doc_id").distinct(),
+          2, minSupport, preserved = Some(baseState))
+        .select(element_at(col("items"), 1).as("tok_a"),
+          element_at(col("items"), 2).as("tok_b"), col("support"))
+      out.localCheckpoint().orderBy("tok_a", "tok_b")
     })
   )
 
@@ -205,6 +282,21 @@ object Apriori {
       s"""WITH toks AS (
            SELECT DISTINCT doc_id, tok FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           ) r WHERE length(tok) > 0
+         )
+         SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS support
+         FROM toks a JOIN toks b
+           ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY a.tok, b.tok
+         HAVING count(*) >= $minSupport
+         ORDER BY tok_a, tok_b""",
+    /** q137 oracle: the full recompute over the POST-DELTA corpus
+      * (doc_id%10<>1) — the signed path must be result-invisible. */
+    "q_incr_apriori_delete" ->
+      s"""WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents WHERE doc_id % 10 <> 1
            ) r WHERE length(tok) > 0
          )
          SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS support

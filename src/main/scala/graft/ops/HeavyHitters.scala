@@ -129,6 +129,60 @@ object HeavyHitters {
         .filter(col("cnt") * 50 > col("n"))
         .select(col("tok"), col("cnt"))
         .orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    /** q138: incremental heavy hitters under a SIGNED delta [P §3] —
+      * q123 completed with deletions. MG summaries do NOT subtract
+      * (the sketch is monotone), so the '-' half rides on a MASS
+      * BUDGET instead of summary arithmetic:
+      *
+      *   MG(k) retains every x with freq_pre(x) > n_pre/(k+1); any
+      *   post-delta heavy hitter has freq_pre(x) >= freq_post(x)
+      *   > n_post/50, so it is retained whenever
+      *   n_post/50 >= n_pre/(k+1), i.e. deletions remove at most a
+      *   1 − 50/(k+1) fraction of the token mass (21.9% at k=63).
+      *
+      * Within that budget the PRE-delta candidate set (preserved base
+      * summary ⊕ insert summary — no base re-scan, no deleted-doc
+      * scan) provably still covers every post-delta heavy hitter, and
+      * the exact verify pass over the POST corpus restores
+      * bit-exactness, exactly as in q120/q123. The budget is CHECKED
+      * at runtime (two scalar counts) — exceeding it fails loudly
+      * rather than silently under-reporting; the recovery is
+      * re-summarizing the surviving corpus (one scan), never a
+      * data-sized driver state. `Round8Spec` proves the bound on an
+      * adversarial fixture sized at the budget edge. Oracle = the
+      * brute-force GROUP BY over the post-delta corpus. */
+    "q_incr_heavy_hitters_delete" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      def toksOf(dd: DataFrame): DataFrame = dd
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      def summaryOf(t: DataFrame): Map[String, Long] =
+        t.as[String]
+          .mapPartitions(it => Iterator.single(mgSummary(it, 63).toMap))
+          .collect()
+          .foldLeft(Map.empty[String, Long])(mergeSummaries(_, _, 63))
+      // pre-delta candidates: preserved base summary ⊕ insert summary
+      val merged = mergeSummaries(
+        summaryOf(toksOf(docs.filter(col("doc_id") % 10 =!= 0))),
+        summaryOf(toksOf(docs.filter(col("doc_id") % 10 === 0))), 63)
+      // deletion mass budget: n_post * (k+1) >= n_pre * 50, integer
+      val nPre = toksOf(docs).count()
+      val post = toksOf(docs.filter(col("doc_id") % 10 =!= 1))
+        .persist()
+      val nPost = post.count()
+      require(nPost * 64L >= nPre * 50L,
+        s"deletion mass budget exceeded ($nPre -> $nPost): " +
+          "re-summarize the surviving corpus")
+      val cands = merged.keys.toSeq.toDF("tok")
+      val out = post.join(broadcast(cands), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 50 > nPost)
+        .select(col("tok"), col("cnt"))
+      graft.iter.IterQueries.finish(out, post)
+        .orderBy(col("cnt").desc, col("tok"))
     })
   )
 
@@ -152,6 +206,24 @@ object HeavyHitters {
     "q_incr_heavy_hitters" ->
       """WITH toks AS (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         ), filtered AS (
+           SELECT tok FROM toks WHERE length(tok) > 0
+         ), t AS (
+           SELECT tok, count(*) AS cnt FROM filtered GROUP BY tok
+         ), n AS (
+           SELECT count(*) AS n FROM filtered
+         )
+         SELECT tok, CAST(cnt AS BIGINT) AS cnt
+         FROM t, n WHERE cnt * 50 > n
+         ORDER BY cnt DESC, tok"""
+  ) ++ Map(
+    // q138's oracle: the brute-force GROUP BY over the POST-DELTA
+    // corpus — the budget-guarded candidate path must be
+    // result-invisible.
+    "q_incr_heavy_hitters_delete" ->
+      """WITH toks AS (
+           SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE doc_id % 10 <> 1
          ), filtered AS (
            SELECT tok FROM toks WHERE length(tok) > 0
          ), t AS (

@@ -238,6 +238,102 @@ class Round8Spec extends SparkSpecBase {
   }
 
   // ---------------------------------------------------------------
+  // Signed-delta Apriori
+  // ---------------------------------------------------------------
+
+  test("frequentItemsetsDelta: deletions demote itemsets, inserts promote") {
+    val sp = spark
+    import sp.implicits._
+    import graft.iter.Apriori
+    // base: {a,b} in docs 1,2,3 (support 3 = minSup); {c,d} in doc 4.
+    // delete doc 3 -> {a,b} drops to 2, must VANISH at minSup=3;
+    // insert docs 10,11 with {c,d} -> support 3, must APPEAR.
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "tok")
+    val base = mk(Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b",
+      3L -> "a", 3L -> "b", 4L -> "c", 4L -> "d"))
+    val ins = mk(Seq(10L -> "c", 10L -> "d", 11L -> "c", 11L -> "d"))
+    val deleted = Seq(Tuple1(3L)).toDF("doc_id")
+    val out = Apriori.frequentItemsetsDelta(base, ins, deleted, 2, 3L)
+      .collect().map(r => r.getSeq[String](0).toList -> r.getLong(1)).toMap
+    assert(out == Map(List("c", "d") -> 3L),
+      s"expected only the promoted itemset, got $out")
+    // and the signed path equals the full recompute on the post corpus
+    val post = base.join(deleted, Seq("doc_id"), "left_anti").unionByName(ins)
+    val full = Apriori.frequentItemsets(post, 2, 3L)
+      .collect().map(r => r.getSeq[String](0).toList -> r.getLong(1)).toMap
+    assert(out == full)
+  }
+
+  test("q_incr_apriori_delete == full pair mining on the post-delta corpus") {
+    val incr = SparkEntry.queries("q_incr_apriori_delete")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val postToks = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val full = graft.iter.Apriori
+      .frequentItemsets(postToks, 2, graft.iter.Apriori.minSupport)
+      .select(element_at(col("items"), 1).as("tok_a"),
+        element_at(col("items"), 2).as("tok_b"), col("support"))
+      .orderBy("tok_a", "tok_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(incr.nonEmpty, "degenerate fixture")
+    assert(incr == full, "signed Apriori must equal the full recompute")
+  }
+
+  // ---------------------------------------------------------------
+  // Signed-delta heavy hitters: the deletion mass budget
+  // ---------------------------------------------------------------
+
+  test("MG candidates survive deletions within the mass budget (bound proof)") {
+    import graft.ops.HeavyHitters.{mgSummary, mergeSummaries}
+    val k = 63
+    // adversarial: 'hot' is NOT a pre-delta heavy hitter but becomes
+    // one post-delta because deletions shrink n. Budget edge:
+    // n_pre = 6400, deletions remove 1280 tokens (20% < 21.875%),
+    // n_post = 5120; post threshold n_post/50 = 102.4; hot has 110
+    // occurrences (none deleted): pre 110 < 6400/50 = 128 (not heavy
+    // pre), post 110 > 102.4 (heavy post). The MG retention bound
+    // n_pre/(k+1) = 100 < 110 guarantees hot survives the PRE sketch.
+    val rnd = new scala.util.Random(13)
+    val deleted = (0 until 1280).map(i => s"del_${i % 400}")
+    val kept = (0 until 5010).map(i => s"bg_${i % 3000}")
+    val pre = rnd.shuffle(List.fill(110)("hot") ++ kept ++ deleted)
+    val summary = pre.grouped(800).map(g => mgSummary(g.iterator, k).toMap)
+      .foldLeft(Map.empty[String, Long])(mergeSummaries(_, _, k))
+    assert(summary.contains("hot"),
+      "an item above n_pre/(k+1) must survive the pre-delta sketch")
+    // post-delta exact verify over the candidates finds it heavy
+    val post = List.fill(110)("hot") ++ kept
+    val nPost = post.size
+    assert(nPost * (k + 1) >= pre.size * 50, "fixture must sit inside budget")
+    val postCounts = post.groupBy(identity).view.mapValues(_.size.toLong)
+    val heavyPost = postCounts.filter(_._2 * 50 > nPost).keys.toSet
+    assert(heavyPost("hot"), "fixture: hot must be heavy post-delta")
+    assert(heavyPost.subsetOf(summary.keySet),
+      "within budget, pre-delta candidates must cover post-delta heavies")
+  }
+
+  test("q_incr_heavy_hitters_delete == brute force on the post-delta corpus") {
+    val incr = SparkEntry.queries("q_incr_heavy_hitters_delete")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val post = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 1)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val n = post.count()
+    val full = post.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 50 > n)
+      .orderBy(col("cnt").desc, col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(incr.nonEmpty, "degenerate fixture")
+    assert(incr == full, "budget-guarded sketch path must be exact")
+  }
+
+  // ---------------------------------------------------------------
   // Declared batch IVF ANN
   // ---------------------------------------------------------------
 
