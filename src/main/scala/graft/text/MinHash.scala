@@ -68,11 +68,65 @@ object MinHash {
 
   /** Per-(band, band-hash) sorted doc lists of size >= 2 — the shared
     * bucket relation behind [[candidates]] and [[quarantine]]. */
-  def buckets(sig: DataFrame): DataFrame =
-    banded(sig)
+  def buckets(sig: DataFrame): DataFrame = bucketsOf(banded(sig))
+
+  /** [[buckets]] over a prebuilt [[banded]] index relation — the form
+    * the incremental maintenance path uses (the stored index is the
+    * banded frame, not the signatures). */
+  def bucketsOf(bandedIdx: DataFrame): DataFrame =
+    bandedIdx
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
+
+  /** Post-delta band-hash index under a SIGNED doc delta [P §3:
+    * update = delete + insert]: deleted docs' rows leave the stored
+    * index (anti-join — delta-sized broadcast), inserted docs' rows
+    * join it. Sound because bucket membership is doc-local (a doc's
+    * band hashes derive from its own signature only), so no surviving
+    * doc's index rows change. */
+  def indexApplyDelta(bandedOld: DataFrame, bandedIns: DataFrame,
+                      deletedIds: DataFrame): DataFrame =
+    bandedOld.join(broadcast(deletedIds), Seq("doc_id"), "left_anti")
+      .unionByName(bandedIns)
+
+  /** The (band, bh) keys a SIGNED delta TOUCHES: buckets receiving an
+    * inserted doc or losing a deleted one. Delta-proportional (each
+    * delta doc touches exactly `Bands` keys). */
+  def touchedKeys(bandedOld: DataFrame, bandedIns: DataFrame,
+                  deletedIds: DataFrame): DataFrame =
+    bandedIns.select("band", "bh")
+      .unionByName(
+        bandedOld.join(broadcast(deletedIds), Seq("doc_id"), "left_semi")
+          .select("band", "bh"))
+      .distinct()
+
+  /** SIGNED incremental bucket maintenance [P §3 — the MRBG
+    * group-level recompute applied to the LSH index]: the POST-delta
+    * bucket rows of exactly the [[touchedKeys]] buckets. Untouched
+    * buckets' membership is unchanged by construction, so the stored
+    * bucket relation updates as
+    *
+    *   buckets(post) = storedBuckets ANTI-JOIN touchedKeys  ∪  THIS
+    *
+    * (`SignedLshSpec` proves the equality on the fixture corpus).
+    * Deletion handling is what makes this bucket-level rather than
+    * pair-level: under the [[MaxBucket]] cap a deletion can shrink a
+    * quarantined mega-bucket BELOW the cap and REVEAL pairs the cap
+    * had suppressed — pairs that never existed in any previous
+    * candidate set, so no pair-subtraction scheme can produce them.
+    * Rebuilding the touched buckets and re-deriving their pairs
+    * (through the same [[candidatesFromBuckets]] / [[starCandidates]]
+    * / [[quarantine]] consumers as the batch path) is the only
+    * maintenance rule consistent with a full recompute, and it stays
+    * delta-proportional: the rebuild semi-joins on delta-touched keys
+    * only. */
+  def bucketsTouched(bandedOld: DataFrame, bandedIns: DataFrame,
+                     deletedIds: DataFrame): DataFrame =
+    bucketsOf(
+      indexApplyDelta(bandedOld, bandedIns, deletedIds)
+        .join(broadcast(touchedKeys(bandedOld, bandedIns, deletedIds)),
+          Seq("band", "bh")))
 
   /** INCREMENTAL LSH candidates [P §3,6 applied to dedup]: the pairs
     * an insert-only doc delta ADDS — every pair with at least one new
@@ -85,7 +139,11 @@ object MinHash {
     * bucket membership never changes; full-candidates(old ∪ delta) =
     * old-candidates ∪ THIS (uncapped; `Round6Spec` proves the
     * equality). The [[MaxBucket]] cap applies to the POST-delta
-    * bucket size, consistent with a full recompute. */
+    * bucket size, consistent with a full recompute. This is the
+    * insert-only fast path — pair generation is new×bucket; for the
+    * SIGNED (insert+delete) delta use [[bucketsTouched]], which
+    * rebuilds touched buckets instead (deletion can REVEAL
+    * cap-suppressed pairs, so it is bucket-level by necessity). */
   def candidatesIncr(bandedOld: DataFrame, bandedNew: DataFrame,
                      maxBucket: Int = MaxBucket): DataFrame = {
     val all = bandedOld.withColumn("is_new", lit(false))

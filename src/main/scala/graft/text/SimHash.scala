@@ -92,12 +92,50 @@ object SimHash {
       .distinct()
   }
 
-  /** Candidate pairs: identical 16-bit band in any of 4 bands. */
-  def candidates(sig: DataFrame): DataFrame = {
-    banded(sig)
+  /** Per-(band, bh) sorted (doc_id, sig) member lists of size >= 2 —
+    * the SimHash bucket relation ([[MinHash.bucketsOf]]'s analogue;
+    * members carry their signature so the Hamming verify runs
+    * in-line). */
+  def bucketsOf(bandedIdx: DataFrame): DataFrame =
+    bandedIdx
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)
+
+  /** Post-delta SimHash index under a SIGNED doc delta [P §3] —
+    * [[MinHash.indexApplyDelta]] applied to the (doc_id, sig, band,
+    * bh) relation; sound for the same doc-locality reason. */
+  def indexApplyDelta(bandedOld: DataFrame, bandedIns: DataFrame,
+                      deletedIds: DataFrame): DataFrame =
+    bandedOld.join(broadcast(deletedIds), Seq("doc_id"), "left_anti")
+      .unionByName(bandedIns)
+
+  /** The (band, bh) keys a SIGNED delta touches — delta-proportional
+    * (each delta doc touches exactly [[Bands]] keys). */
+  def touchedKeys(bandedOld: DataFrame, bandedIns: DataFrame,
+                  deletedIds: DataFrame): DataFrame =
+    bandedIns.select("band", "bh")
+      .unionByName(
+        bandedOld.join(broadcast(deletedIds), Seq("doc_id"), "left_semi")
+          .select("band", "bh"))
+      .distinct()
+
+  /** SIGNED incremental bucket maintenance — POST-delta bucket rows
+    * of exactly the touched buckets, so the stored bucket relation
+    * updates as buckets(post) = stored ANTI-JOIN touchedKeys ∪ THIS
+    * (`SignedLshSpec` proves the equality; [[MinHash.bucketsTouched]]
+    * documents why signed deltas are bucket-level, not pair-level). */
+  def bucketsTouched(bandedOld: DataFrame, bandedIns: DataFrame,
+                     deletedIds: DataFrame): DataFrame =
+    bucketsOf(
+      indexApplyDelta(bandedOld, bandedIns, deletedIds)
+        .join(broadcast(touchedKeys(bandedOld, bandedIns, deletedIds)),
+          Seq("band", "bh")))
+
+  /** Pair generation over a prebuilt [[bucketsOf]] frame — shared by
+    * the batch and signed-incremental paths. */
+  def pairsFromBuckets(bk: DataFrame): DataFrame =
+    bk
       // Two chained generators with a repartition between them — same
       // anti-skew shape as MinHash.candidates: O(bucket) memory per
       // row, mega-bucket pair generation spread across cores (the
@@ -111,7 +149,10 @@ object SimHash {
       .select(col("doc_a"), col("sig_a"),
         col("y.doc_id").as("doc_b"), col("y.sig").as("sig_b"))
       .distinct()
-  }
+
+  /** Candidate pairs: identical 16-bit band in any of 4 bands. */
+  def candidates(sig: DataFrame): DataFrame =
+    pairsFromBuckets(bucketsOf(banded(sig)))
 
   val defs: Map[String, Q] = Map(
     /** q66: SimHash near-dups at Hamming ≤ 3 over the doc subset. */
