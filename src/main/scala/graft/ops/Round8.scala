@@ -116,6 +116,37 @@ object Round8 {
       .agg(sum("n_dups").as("n_dups"), min("keep_id").as("keep_id"))
   }
 
+  /** The LSH-sourced dedup collapse shared by q136 (batch) and q139
+    * (signed-incremental): capped candidates ∪ the quarantined
+    * buckets' spanning-star candidates → exact Jaccard verify →
+    * the q108 5-round min-label collapse. The two declared queries
+    * differ ONLY in how the bucket relation `bk` was produced (full
+    * rebuild vs signed maintenance), which is exactly the invariant
+    * `SignedLshSpec` proves — so the collapse itself is one code
+    * path. `docs`/`toks` are the corpus the collapse runs over (the
+    * post-delta corpus for q139). */
+  private def lshCollapse(s: SparkSession, docs: DataFrame,
+                          toks: DataFrame, bk: DataFrame): DataFrame = {
+    val cands = MinHash.candidatesFromBuckets(bk)
+      .unionByName(MinHash.starCandidates(bk))
+      .distinct()
+    // materialize the verified pair graph BEFORE the label loop: the
+    // loop must read checkpointed rows, never re-run LSH per round
+    val pairs = Dedup.verifyPairs(cands, Dedup.docSets(toks))
+      .select("doc_a", "doc_b").localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.iter.IterQueries.loopConf(s) {
+      val state0 = docs
+        .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      val changed0 = state0
+        .select(col("node").as("cnode"), col("label").as("cval"))
+      graft.iter.IterQueries
+        .minPropagate(edges, state0, changed0, "label", 0L, 5)
+        .select(col("node").as("doc_id"), col("label").as("keep_id"))
+    }
+  }
+
   val defs: Map[String, Q] = Map(
     /** q133: incremental TF-IDF under a SIGNED delta [P §3] — q119
       * extended with the '-' flag: base tf rows preserved, insert
@@ -208,25 +239,41 @@ object Round8 {
     "q_dedup_groups_lsh" -> ((s, d) => {
       val toks = Dedup.tokens(s, d).persist()
       val bk = MinHash.buckets(MinHash.signatures(toks)).localCheckpoint()
-      val cands = MinHash.candidatesFromBuckets(bk)
-        .unionByName(MinHash.starCandidates(bk))
-        .distinct()
-      // materialize the verified pair graph BEFORE the label loop: the
-      // loop must read checkpointed rows, never re-run LSH per round
-      val pairs = Dedup.verifyPairs(cands, Dedup.docSets(toks))
-        .select("doc_a", "doc_b").localCheckpoint()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val out = graft.iter.IterQueries.loopConf(s) {
-        val state0 = documents(s, d)
-          .select(col("doc_id").as("node"), col("doc_id").as("label"))
-        val changed0 = state0
-          .select(col("node").as("cnode"), col("label").as("cval"))
-        graft.iter.IterQueries
-          .minPropagate(edges, state0, changed0, "label", 0L, 5)
-          .select(col("node").as("doc_id"), col("label").as("keep_id"))
-      }
+      val out = lshCollapse(s, documents(s, d), toks, bk)
       graft.iter.IterQueries.finish(out, toks).orderBy("doc_id")
+    }),
+
+    /** q139: the q136 collapse under a SIGNED doc delta [P §3] — the
+      * complete incremental 100 TB dedup story in one declared query.
+      * The STORED band-hash index of the base corpus (doc_id % 10 <>
+      * 0) absorbs the delta (insert % 10 == 0, delete % 10 == 1)
+      * through [[MinHash.indexApplyDelta]]: untouched buckets pass
+      * through from the stored bucket relation VERBATIM, only
+      * delta-touched buckets rebuild ([[MinHash.bucketsTouched]] —
+      * delta-proportional, and the only rule that survives the cap:
+      * deletion can shrink a quarantined mega-bucket below MaxBucket
+      * and REVEAL suppressed pairs). The maintained bucket relation
+      * then feeds the SAME [[lshCollapse]] as the batch query.
+      * oracle=none (LSH-sourced like q136); Round8Spec proves the
+      * result row-identical to the batch collapse over the post-delta
+      * corpus — signed maintenance must be result-invisible. */
+    "q_dedup_groups_lsh_incr" -> ((s, d) => {
+      val toksAll = Dedup.tokens(s, d).persist()
+      val bandedOld = MinHash.banded(MinHash.signatures(
+        toksAll.filter(col("doc_id") % 10 =!= 0))).localCheckpoint()
+      val bandedIns = MinHash.banded(MinHash.signatures(
+        toksAll.filter(col("doc_id") % 10 === 0)))
+      val deleted = documents(s, d).filter(col("doc_id") % 10 === 1)
+        .select("doc_id")
+      val touched = MinHash.touchedKeys(bandedOld, bandedIns, deleted)
+      val bk = MinHash.bucketsOf(bandedOld)
+        .join(broadcast(touched), Seq("band", "bh"), "left_anti")
+        .unionByName(MinHash.bucketsTouched(bandedOld, bandedIns, deleted))
+        .localCheckpoint()
+      val docsPost = documents(s, d).filter(col("doc_id") % 10 =!= 1)
+      val toksPost = toksAll.filter(col("doc_id") % 10 =!= 1)
+      val out = lshCollapse(s, docsPost, toksPost, bk)
+      graft.iter.IterQueries.finish(out, toksAll).orderBy("doc_id")
     })
   )
 
@@ -255,7 +302,8 @@ object Round8 {
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents WHERE doc_id % 10 <> 1
          GROUP BY md5(text) ORDER BY h"""
-    // q135, q136: oracle=none (approximate / sketch-sourced) — see
-    // SimilaritySpec and Round8Spec.
+    // q135, q136, q139: oracle=none (approximate / sketch-sourced) —
+    // see SimilaritySpec and Round8Spec (q139's spec pins it
+    // row-identical to the batch q136 collapse on the post corpus).
   )
 }

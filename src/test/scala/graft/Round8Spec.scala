@@ -185,6 +185,37 @@ class Round8Spec extends SparkSpecBase {
     assert(out.exists { case (doc, keep) => keep < doc })
   }
 
+  test("q_dedup_groups_lsh_incr == batch LSH collapse on the post-delta corpus") {
+    // the signed-maintenance query and a from-scratch batch collapse
+    // over the post-delta corpus run the same deterministic pipeline
+    // off (provably) equal bucket relations — rows must be IDENTICAL
+    val incr = SparkEntry.queries("q_dedup_groups_lsh_incr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val toksPost = Dedup.tokens(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 1).localCheckpoint()
+    val bk = MinHash.buckets(MinHash.signatures(toksPost)).localCheckpoint()
+    val cands = MinHash.candidatesFromBuckets(bk)
+      .unionByName(MinHash.starCandidates(bk)).distinct()
+    val pairs = Dedup.verifyPairs(cands, Dedup.docSets(toksPost))
+      .select("doc_a", "doc_b").localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val batch = graft.iter.IterQueries.loopConf(spark) {
+      val state0 = graft.engine.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 10 =!= 1)
+        .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      val changed0 = state0
+        .select(col("node").as("cnode"), col("label").as("cval"))
+      graft.iter.IterQueries
+        .minPropagate(edges, state0, changed0, "label", 0L, 5)
+        .select(col("node").as("doc_id"), col("label").as("keep_id"))
+    }.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(incr.nonEmpty)
+    assert(incr == batch,
+      "signed index maintenance must be result-invisible to the collapse")
+  }
+
   // ---------------------------------------------------------------
   // Incremental SimHash candidates
   // ---------------------------------------------------------------
