@@ -257,6 +257,41 @@ object Round8 {
       * oracle=none (LSH-sourced like q136); Round8Spec proves the
       * result row-identical to the batch collapse over the post-delta
       * corpus — signed maintenance must be result-invisible. */
+    /** q140: incremental sessionization under a SIGNED delta [P §3] —
+      * q116 completed with the '-' half. The delta is inserts (events
+      * at ts >= the cut) AND deletions (base events with event_id %
+      * 10 == 1 retract — the late-arriving "user deleted their
+      * activity" / GDPR-erasure shape an event pipeline must absorb).
+      * Sessionization is user-local, so the affected set is exactly
+      * the union of the delta's user sets: untouched users' sessions
+      * pass through (production: read back from the partials store),
+      * touched users re-sessionize from their post-delta history —
+      * the [P §3] group-level recompute with user = group. Deletions
+      * can SPLIT a session (removing the bridging event) or merge
+      * session indexes — re-running the group is the only rule
+      * consistent with the gap semantics. Oracle = q111's full
+      * sessionize SQL over the post-delta event log: signed
+      * maintenance must be result-invisible. */
+    "q_incr_sessionize_delete" -> ((s, d) => {
+      val cut = lit("2024-01-20").cast("timestamp")
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+      val base = ev.filter(col("ts") < cut)
+      val ins = ev.filter(col("ts") >= cut)
+      val delPred = col("event_id") % 10 === 1
+      val affected = ins.select("user_id")
+        .unionByName(base.filter(delPred).select("user_id"))
+        .distinct()
+      val preserved = Round6.sessionsOf(
+        base.join(affected, Seq("user_id"), "left_anti"))
+      val recomputed = Round6.sessionsOf(
+        base.filter(!delPred).unionByName(ins)
+          .join(affected, Seq("user_id"), "left_semi"))
+      preserved.unionByName(recomputed)
+        .orderBy("user_id", "session_idx")
+    }),
+
     "q_dedup_groups_lsh_incr" -> ((s, d) => {
       val toksAll = Dedup.tokens(s, d).persist()
       val bandedOld = MinHash.banded(MinHash.signatures(
@@ -301,7 +336,37 @@ object Round8 {
     "q_incr_dedup_delete" ->
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents WHERE doc_id % 10 <> 1
-         GROUP BY md5(text) ORDER BY h"""
+         GROUP BY md5(text) ORDER BY h""",
+    // q140's oracle is q111's full sessionize SQL over the POST-DELTA
+    // event log (base events with event_id % 10 == 1 retracted,
+    // cut-onward events inserted): the signed group-level recompute
+    // must be result-invisible. 1800000000 = the 30-min gap in µs.
+    "q_incr_sessionize_delete" ->
+      """WITH post AS (
+           SELECT user_id, event_id, ts FROM events
+           WHERE NOT (ts < TIMESTAMP '2024-01-20' AND event_id % 10 = 1)
+         ), e AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM post
+         ), flagged AS (
+           SELECT user_id, event_id, ts, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM e
+         ), sess AS (
+           SELECT user_id, event_id, ts, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM flagged
+         )
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+         FROM sess GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
     // q135, q136, q139: oracle=none (approximate / sketch-sourced) —
     // see SimilaritySpec and Round8Spec (q139's spec pins it
     // row-identical to the batch q136 collapse on the post corpus).

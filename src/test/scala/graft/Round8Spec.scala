@@ -216,6 +216,25 @@ class Round8Spec extends SparkSpecBase {
       "signed index maintenance must be result-invisible to the collapse")
   }
 
+  test("q_incr_sessionize_delete == full sessionize on the post-delta log") {
+    val incr = SparkEntry.queries("q_incr_sessionize_delete")(spark, sfDir)
+      .collect().toSeq
+    val cut = lit("2024-01-20").cast("timestamp")
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+    // deletions must actually retract something on the fixture
+    val nDeleted = ev
+      .filter(col("ts") < cut && col("event_id") % 10 === 1).count()
+    assert(nDeleted > 0, "fixture must exercise the '-' half")
+    val full = graft.ops.Round6.sessionsOf(
+        ev.filter(!(col("ts") < cut && col("event_id") % 10 === 1)))
+      .orderBy("user_id", "session_idx").collect().toSeq
+    assert(incr.nonEmpty)
+    assert(incr == full,
+      "signed group-level recompute must equal the full recompute")
+  }
+
   // ---------------------------------------------------------------
   // Incremental SimHash candidates
   // ---------------------------------------------------------------
