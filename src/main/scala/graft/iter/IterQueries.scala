@@ -412,6 +412,44 @@ object IterQueries {
     (fin, affected, rounds)
   }
 
+  /** COMPONENT-LEVEL restart for CC under EDGE DELETION [P §3 — the
+    * MRBG group-level recompute with component = group]. Deletions
+    * can SPLIT components, which monotone min-propagation cannot
+    * repair, so: every component label incident to a deleted edge
+    * marks its whole component AFFECTED; unaffected components' rows
+    * pass through VERBATIM (edges never cross components, so deletion
+    * elsewhere cannot change them — `Round8Spec`'s perturbation test
+    * proves no recompute touches them); affected components
+    * re-converge from scratch over their surviving edges, confined to
+    * the affected node set (components are edge-closed, so a src-side
+    * semi-join bounds both endpoints). Work is affected-component-
+    * sized, never graph-sized.
+    *
+    * `base` is the CONVERGED pre-deletion label state (node, label);
+    * `deleted` the removed edges (symmetric — both directions);
+    * `post` the surviving edges (symmetric). */
+  def componentDeleteRestart(base: DataFrame, deleted: DataFrame,
+                             post: DataFrame,
+                             maxIter: Int = 64): DataFrame = {
+    val affLabels = base
+      .join(deleted.select(col("dst").as("node")).distinct(), "node")
+      .select("label").distinct()
+    val affected = base
+      .join(broadcast(affLabels), Seq("label"), "left_semi")
+      .localCheckpoint()
+    val preserved = base
+      .join(affected.select("node"), Seq("node"), "left_anti")
+      .select("node", "label")
+    val innerE = post.join(affected.select("node"),
+      post("src") === col("node"), "left_semi")
+    val rst0 = affected.select(col("node"), col("node").as("label"))
+    val rchanged0 = rst0
+      .select(col("node").as("cnode"), col("label").as("cval"))
+    val recomputed = minPropagateUntilStable(
+      innerE, rst0, rchanged0, "label", 0L, maxIter)._1
+    preserved.unionByName(recomputed.select("node", "label"))
+  }
+
   /** Reference implementation for the frontier equality proofs: the
     * same min-propagation with NO change filter — every node offers
     * every iteration. O(edges) per iteration regardless of progress;
@@ -706,6 +744,50 @@ object IterQueries {
       * the FULL unrolled 5+3-stage loop: frontier bounding must be
       * result-invisible, only cheaper (per-iteration join volume is
       * frontier-sized — the component-merge wave — not graph-sized). */
+    /** q141: CONNECTED COMPONENTS UNDER EDGE DELETION — the signed
+      * '-' half for the CC family [P §3 + §6]. Additions only merge
+      * components (q115's monotone frontier restart); deletions can
+      * SPLIT them, which monotone min-propagation cannot repair — the
+      * sound rule is the MRBG GROUP-LEVEL recompute with component =
+      * group: from the converged pre-deletion labels, every label
+      * touching a deleted edge marks its whole component AFFECTED;
+      * unaffected components' labels pass through VERBATIM (edges
+      * never cross components, so deletion elsewhere cannot change
+      * them), and only the affected components re-converge from
+      * scratch over their surviving edges
+      * ([[minPropagateUntilStable]] — this puts the convergence-based
+      * termination under the hard oracle for the first time).
+      *
+      * The graph is built for splittability (the lineitem bipartite
+      * graph is one giant component — deletion there never splits):
+      * consecutive-custkey chains broken at multiples of 8, i.e.
+      * ~n/8 path components of diameter 7; the deletion predicate
+      * (src+dst) % 13 == 0 severs ~1 in 13 chain edges, splitting
+      * roughly half the components and preserving the rest — both
+      * paths exercise at every SF. Oracle: a RECURSIVE-CTE reachability
+      * closure in DuckDB computes the TRUE fixpoint labels of the
+      * post-deletion graph — no unrolled iteration count to agree on;
+      * convergence itself is what's checked. */
+    "q_incr_cc_delete" -> ((s, d) => noAqe(s) {
+      val nodes = customer(s, d).select(col("c_custkey").cast("long").as("node"))
+      val eu = customer(s, d).filter(col("c_custkey") % 8 =!= 0)
+        .select(col("c_custkey").cast("long").as("src"),
+          (col("c_custkey") + 1).cast("long").as("dst"))
+        .join(nodes, col("dst") === nodes("node"), "left_semi")
+      val full = eu.unionByName(
+          eu.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val deleted = full.filter((col("src") + col("dst")) % 13 === 0)
+      val post = full.filter((col("src") + col("dst")) % 13 =!= 0)
+      // converged pre-deletion labels — the stored state [P §3]
+      val state0 = nodes.select(col("node"), col("node").as("label"))
+      val changed0 = state0
+        .select(col("node").as("cnode"), col("label").as("cval"))
+      val base = minPropagateUntilStable(
+        full, state0, changed0, "label", 0L, 64)._1.localCheckpoint()
+      finish(componentDeleteRestart(base, deleted, post)).orderBy("node")
+    }),
+
     "q_incr_cc_frontier" -> ((s, d) => {
       Graphs.cached(s, d, "ccFrontierResult")(noAqe(s) {
         val full = Graphs.edgesCached(s, d)
@@ -780,6 +862,28 @@ object IterQueries {
     // q118: the generic GIM-V min-instance must match the SAME
     // unrolled oracle as the specialized q43 loop
     "q_gimv_cc" -> ccSql5,
+    /** q141 oracle: the TRUE fixpoint labels of the post-deletion
+      * chain graph via a RECURSIVE reachability closure — min over
+      * reachable ancestors, no iteration count to agree on. The
+      * engine's convergence-based run (minPropagateUntilStable) must
+      * land on exactly this fixpoint. Closure size is bounded by the
+      * chain-component diameter (≤ 8 ancestors per node). */
+    "q_incr_cc_delete" ->
+      """WITH RECURSIVE nodes AS (SELECT c_custkey AS node FROM customer),
+         eu AS (
+           SELECT a.c_custkey AS src, a.c_custkey + 1 AS dst
+           FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+           WHERE a.c_custkey % 8 <> 0
+         ),
+         full_e AS (SELECT src, dst FROM eu UNION SELECT dst, src FROM eu),
+         post_e AS (SELECT src, dst FROM full_e WHERE (src + dst) % 13 <> 0),
+         reach(node, m) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, r.m FROM reach r JOIN post_e e ON e.src = r.node
+         )
+         SELECT CAST(node AS BIGINT) AS node, CAST(min(m) AS BIGINT) AS label
+         FROM reach GROUP BY node ORDER BY node""",
     /** q107 oracle: from-scratch re-iteration on the POST-DELETION
       * graph, 5 unrolled stages (the fixture converges in 2 — see the
       * round-6 probe — so 5 is converged with margin, matching the

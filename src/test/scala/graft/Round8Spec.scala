@@ -236,6 +236,59 @@ class Round8Spec extends SparkSpecBase {
   }
 
   // ---------------------------------------------------------------
+  // CC under edge deletion (component-level recompute)
+  // ---------------------------------------------------------------
+
+  test("componentDeleteRestart: unaffected components pass through unrecomputed") {
+    val sp = spark
+    import sp.implicits._
+    // two chain components: {1,2,3} and {10,11}. Delete edge (2,3):
+    // {1,2,3} splits into {1,2} and {3}; {10,11} is untouched.
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val full = sym(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val deleted = sym(Seq((2L, 3L)))
+    val post = sym(Seq((1L, 2L), (10L, 11L)))
+    // converged base labels, with the UNAFFECTED component's label
+    // PERTURBED to 999: any recompute of that component would restore
+    // 10 — passthrough must carry the perturbation verbatim
+    val base = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 999L), (11L, 999L))
+      .toDF("node", "label")
+    val out = graft.iter.IterQueries
+      .componentDeleteRestart(base, deleted, post)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L,
+      10L -> 999L, 11L -> 999L),
+      s"got $out — affected split must recompute, unaffected must not")
+  }
+
+  test("q_incr_cc_delete == driver union-find fixpoint on the post graph") {
+    val out = SparkEntry.queries("q_incr_cc_delete")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val custkeys = graft.engine.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    val keySet = custkeys.toSet
+    val postEdges = custkeys
+      .filter(i => i % 8 != 0 && keySet(i + 1) && (2 * i + 1) % 13 != 0)
+      .map(i => (i, i + 1))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    postEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(out.keySet == keySet)
+    assert(out.forall { case (n, l) => l == find(n) },
+      "engine labels must equal the union-find fixpoint")
+    // both paths must exercise on the fixture: some component split
+    // (label differs from full-graph run) and some were preserved
+    assert(out.values.toSet.size > custkeys.count(_ % 8 == 1),
+      "deletion must have split at least one chain")
+  }
+
+  // ---------------------------------------------------------------
   // Incremental SimHash candidates
   // ---------------------------------------------------------------
 
