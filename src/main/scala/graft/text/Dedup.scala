@@ -36,9 +36,13 @@ object Dedup {
     * pairs: join the token sets, compare 2*|∩| >= |∪| — all integer
     * arithmetic, no float division anywhere. */
   def verifyPairs(cands: DataFrame, sets: DataFrame): DataFrame = {
-    val a = sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+    // doc-count-sized: materialize once — the two broadcast
+    // projections below would otherwise each re-run the upstream
+    // token groupBy
+    val mat = sets.localCheckpoint()
+    val a = mat.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       col("sz").as("sz_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+    val b = mat.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
       col("sz").as("sz_b"))
     // doc-set side is doc-count-sized (small next to the pair set):
     // broadcast both probes so the candidate stream never shuffles

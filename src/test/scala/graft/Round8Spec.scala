@@ -235,6 +235,53 @@ class Round8Spec extends SparkSpecBase {
       "signed group-level recompute must equal the full recompute")
   }
 
+  test("q_incr_join_view_delete == full view on the post-delta facts") {
+    val incr = SparkEntry.queries("q_incr_join_view_delete")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val cut = lit("1999-01-01").cast("timestamp")
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    // retractions must actually remove rows on the fixture
+    assert(li.filter(col("l_shipdate") < cut && col("l_orderkey") % 10 === 1)
+      .limit(1).count() > 0)
+    val dim = graft.engine.Tables.supplier(spark, sfDir)
+      .join(graft.engine.Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val full = li
+      .filter(!(col("l_shipdate") < cut && col("l_orderkey") % 10 === 1))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        graft.engine.Dec.dbl(
+          sum(graft.engine.Dec.dec2(col("l_extendedprice")))).as("rev"))
+      .orderBy("n_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(incr.nonEmpty)
+    assert(incr == full, "signed view merge must equal the full recompute")
+  }
+
+  test("viewApplyDelta: groups whose multiplicity reaches 0 vanish") {
+    val sp = spark
+    import sp.implicits._
+    def v(rows: Seq[(String, Long, java.math.BigDecimal)]) =
+      rows.toDF("n_name", "n", "rev")
+        .select(col("n_name"), col("n"),
+          col("rev").cast("decimal(18,2)").as("rev"))
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // base: A(2 rows, 30.00), B(1 row, 5.00); delta deletes BOTH A
+    // rows and inserts one B row — A must VANISH, not linger at 0
+    val base = v(Seq(("A", 2L, bd("30.00")), ("B", 1L, bd("5.00"))))
+    val ins = v(Seq(("B", 1L, bd("7.50"))))
+    val del = v(Seq(("A", 2L, bd("30.00"))))
+    val out = graft.ops.Round8.viewApplyDelta(base, ins, del)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set(("B", 2L, 12.5)),
+      s"got $out — A must vanish at multiplicity 0")
+  }
+
   // ---------------------------------------------------------------
   // CC under edge deletion (component-level recompute)
   // ---------------------------------------------------------------
