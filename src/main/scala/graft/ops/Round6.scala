@@ -49,12 +49,14 @@ object Round6 {
         col("n_events"), col("session_start"), col("duration_sec"))
   }
 
-  /** The q112 SCD2 interval table (unordered) — shared with q124's
-    * temporal point-in-interval join. */
-  private def scd2Of(s: org.apache.spark.sql.SparkSession, d: String)
+  /** The q112 SCD2 interval computation over any (o_custkey,
+    * o_orderdate, o_orderkey, o_orderstatus) frame — factored like
+    * [[sessionsOf]] so q143 can run it on the preserved and
+    * recomputed custkey partitions separately. */
+  private[graft] def scd2OfRows(rows: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    val hist = orders(s, d)
+    val hist = rows
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
         col("o_orderstatus"))
       .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
@@ -70,6 +72,11 @@ object Round6 {
           lit("2100-01-01 00:00:00").cast("timestamp")).as("valid_to"),
         when(col("next_from").isNull, 1L).otherwise(0L).as("is_current"))
   }
+
+  /** The q112 SCD2 interval table (unordered) — shared with q124's
+    * temporal point-in-interval join. */
+  private def scd2Of(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = scd2OfRows(orders(s, d))
 
   val defs: Map[String, Q] = Map(
     /** q111: BATCH sessionization — the gap-based session assignment

@@ -6,14 +6,15 @@ import graft.engine.Tables._
 import graft.engine.Dec._
 import graft.text.{Dedup, MinHash, Similarity}
 
-/** Round-8 extensions (SURVEY.md §2 rows 133–136): SIGNED
-  * (insert + delete) deltas for the mining-family incremental
-  * operators — the missing half of the paper's delta model [P §3:
-  * a delta is kv pairs flagged '+'/'-'; update = delete + insert] —
-  * plus the two production scale paths promoted to declared queries
-  * (batch IVF ANN; the full-corpus LSH-sourced dedup collapse).
+/** Round-8 extensions (SURVEY.md §2 rows 133–143): SIGNED
+  * (insert + delete) deltas for the mining-family and event/dimension
+  * incremental operators — the missing half of the paper's delta
+  * model [P §3: a delta is kv pairs flagged '+'/'-'; update = delete
+  * + insert] — plus the production scale paths promoted to declared
+  * queries (batch IVF ANN; the full-corpus LSH-sourced dedup
+  * collapse, batch and signed-incremental).
   *
-  * Delta convention shared by q133/q134: the corpus splits into
+  * Delta convention shared by q133/q134/q139: the corpus splits into
   *   base   = doc_id % 10 <> 0   (the stored state's corpus)
   *   insert = doc_id % 10 == 0   (the '+' half of the delta)
   *   delete = doc_id % 10 == 1   (the '-' half — a subset of base)
@@ -289,6 +290,32 @@ object Round8 {
         .orderBy("probe_id", "rn")
     }),
 
+    /** q144: BATCH IVF ANN over a SIGNED-maintained index [P §3] —
+      * q135's search shape reading an index kept by
+      * [[Similarity.ivfApplyDelta]] instead of rebuilt: centroids
+      * train once on the base corpus (vec_id % 10 <> 0 — the stored
+      * model), the insert delta (vec_id % 10 == 0) assigns against
+      * those SAME centroids, deletions (vec_id % 10 == 1) leave by
+      * anti-join. Probes are the post-corpus vectors with vec_id < 5.
+      * oracle=none (approximate family); Round8Spec proves the search
+      * output bit-equal to q135's pipeline run over a from-scratch
+      * assignment of the post-delta corpus at the same centroids. */
+    "q_sim_ann_ivf_incr" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val (indexedOld, cents) = Similarity.ivfIndex(s, base)
+      val maintained = Similarity.ivfApplyDelta(s, indexedOld, cents,
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 === 1).select("vec_id"))
+      val probes = emb
+        .filter(col("vec_id") < 5 && col("vec_id") % 10 =!= 1)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      Similarity.ivfSearchBatch(s, maintained, cents, probes,
+          nprobe = 3, topK = 3)
+        .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
+        .orderBy("probe_id", "rn")
+    }),
+
     /** q136: FULL-CORPUS LSH-SOURCED DEDUP COLLAPSE — the actual
       * 100 TB dedup path as ONE declared query: capped MinHash-LSH
       * candidates over ALL documents (O(n·bands) bucket shuffle,
@@ -362,6 +389,37 @@ object Round8 {
           view(li.filter(col("l_shipdate") >= cut)),
           view(li.filter(delPred)))
         .orderBy("n_name")
+    }),
+
+    /** q143: SCD Type-2 dimension maintenance under a SIGNED delta
+      * [P §3] — q112's interval table kept incrementally when order
+      * history both GROWS (late-arriving orders, o_orderdate >= the
+      * cut) and RETRACTS (base orders with o_orderkey % 10 == 1 —
+      * the correction/erasure shape). Interval construction is
+      * custkey-local, so the affected set is the union of the delta's
+      * custkey sets; untouched customers' intervals pass through,
+      * touched customers rebuild from their post-delta history — a
+      * retraction can MERGE adjacent intervals (the retracted order
+      * carried the status change) or re-open a closed one, so the
+      * group re-run is the only rule consistent with the
+      * change-compaction semantics. Oracle = q112's full SCD2 SQL
+      * over the post-delta orders: result-invisible. */
+    "q_incr_scd2_delete" -> ((s, d) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val o = orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+      val basePred = col("o_orderdate") < cut
+      val delPred = basePred && col("o_orderkey") % 10 === 1
+      val affected = o.filter(col("o_orderdate") >= cut).select("o_custkey")
+        .unionByName(o.filter(delPred).select("o_custkey"))
+        .distinct()
+      val preserved = Round6.scd2OfRows(
+        o.filter(basePred).join(affected, Seq("o_custkey"), "left_anti"))
+      val recomputed = Round6.scd2OfRows(
+        o.filter(!delPred).join(affected, Seq("o_custkey"), "left_semi"))
+      preserved.unionByName(recomputed)
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
     /** q140: incremental sessionization under a SIGNED delta [P §3] —
@@ -444,6 +502,36 @@ object Round8 {
          WHERE NOT (l_shipdate < TIMESTAMP '1999-01-01'
                     AND l_orderkey % 10 = 1)
          GROUP BY n_name ORDER BY n_name""",
+    // q143's oracle is q112's full SCD2 SQL over the POST-DELTA
+    // orders: the signed custkey-level recompute must be
+    // result-invisible.
+    "q_incr_scd2_delete" ->
+      """WITH post AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+           FROM orders
+           WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01'
+                      AND o_orderkey % 10 = 1)
+         ), h AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             lag(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+           FROM post
+         ), chg AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus
+           FROM h
+           WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+         )
+         SELECT o_custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from, o_orderkey,
+           coalesce(lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+           CAST(CASE WHEN lead(o_orderdate) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         FROM chg
+         ORDER BY o_custkey, valid_from, o_orderkey""",
     // q140's oracle is q111's full sessionize SQL over the POST-DELTA
     // event log (base events with event_id % 10 == 1 retracted,
     // cut-onward events inserted): the signed group-level recompute

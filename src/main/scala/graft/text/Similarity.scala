@@ -166,6 +166,22 @@ object Similarity {
     (KMeans.assign(s, vecs, cents), cents)
   }
 
+  /** SIGNED incremental IVF index maintenance [P §3: update = delete
+    * + insert] — the LSH `indexApplyDelta` idea for the embedding
+    * family: given FIXED centroids (the stored model — retraining is
+    * a separate offline concern), a vector's cluster assignment is
+    * vec-local, so deleted vectors leave the stored index by a
+    * delta-sized broadcast anti-join and inserted vectors are
+    * assigned against the SAME centroids and unioned — no surviving
+    * vector's row changes, no corpus re-scan. `Round8Spec` proves the
+    * maintained index row-equal to a from-scratch assignment of the
+    * post-delta corpus, and batch search over it bit-equal. */
+  def ivfApplyDelta(s: SparkSession, indexedOld: DataFrame,
+                    cents: Array[Array[Double]], insVecs: DataFrame,
+                    deletedIds: DataFrame): DataFrame =
+    indexedOld.join(broadcast(deletedIds), Seq("vec_id"), "left_anti")
+      .unionByName(KMeans.assign(s, insVecs, cents))
+
   /** BATCH IVF search: top-`topK` cosine neighbours for EVERY probe in
     * `probes` (probe_id, probe: array<float>). Probe→cluster
     * assignment runs IN-PLAN (map-only UDF over broadcast centroids —

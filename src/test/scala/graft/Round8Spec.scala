@@ -282,6 +282,55 @@ class Round8Spec extends SparkSpecBase {
       s"got $out — A must vanish at multiplicity 0")
   }
 
+  test("q_sim_ann_ivf_incr: maintained index == rebuilt; search bit-equal") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val (indexedOld, cents) = Similarity.ivfIndex(spark, base)
+    val maintained = Similarity.ivfApplyDelta(spark, indexedOld, cents,
+      emb.filter(col("vec_id") % 10 === 0),
+      emb.filter(col("vec_id") % 10 === 1).select("vec_id"))
+    val rebuilt = graft.iter.KMeans.assign(spark,
+      emb.filter(col("vec_id") % 10 =!= 1), cents)
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getAs[Number]("cluster").longValue))
+        .toSet
+    assert(idx(maintained) == idx(rebuilt),
+      "signed index maintenance must equal a from-scratch assignment")
+    val probes = emb
+      .filter(col("vec_id") < 5 && col("vec_id") % 10 =!= 1)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3))).toSeq
+    val viaQuery = rows(SparkEntry.queries("q_sim_ann_ivf_incr")(spark, sfDir))
+    val viaRebuilt = rows(
+      Similarity.ivfSearchBatch(spark, rebuilt, cents, probes,
+          nprobe = 3, topK = 3)
+        .select(col("probe_id"), col("vec_id"), col("sim"), col("rn"))
+        .orderBy("probe_id", "rn"))
+    assert(viaQuery.nonEmpty)
+    assert(viaQuery == viaRebuilt,
+      "search over the maintained index must be bit-identical")
+  }
+
+  test("q_incr_scd2_delete == full SCD2 build on the post-delta orders") {
+    val incr = SparkEntry.queries("q_incr_scd2_delete")(spark, sfDir)
+      .collect().toSeq
+    val cut = lit("1998-01-01").cast("timestamp")
+    val o = graft.engine.Tables.orders(spark, sfDir)
+    // retractions must actually remove rows on the fixture
+    assert(o.filter(col("o_orderdate") < cut && col("o_orderkey") % 10 === 1)
+      .limit(1).count() > 0)
+    val full = graft.ops.Round6.scd2OfRows(
+        o.filter(!(col("o_orderdate") < cut && col("o_orderkey") % 10 === 1)))
+      .orderBy("o_custkey", "valid_from", "o_orderkey").collect().toSeq
+    assert(incr.nonEmpty)
+    assert(incr == full,
+      "signed custkey-level recompute must equal the full rebuild")
+  }
+
   // ---------------------------------------------------------------
   // CC under edge deletion (component-level recompute)
   // ---------------------------------------------------------------
