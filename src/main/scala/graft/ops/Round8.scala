@@ -411,9 +411,12 @@ object Round8 {
           col("o_orderstatus"))
       val basePred = col("o_orderdate") < cut
       val delPred = basePred && col("o_orderkey") % 10 === 1
-      val affected = o.filter(col("o_orderdate") >= cut).select("o_custkey")
-        .unionByName(o.filter(delPred).select("o_custkey"))
-        .distinct()
+      // delta-custkey-sized: broadcast so the order history never
+      // shuffles for the partition joins (same rationale as q140)
+      val affected = broadcast(
+        o.filter(col("o_orderdate") >= cut).select("o_custkey")
+          .unionByName(o.filter(delPred).select("o_custkey"))
+          .distinct())
       val preserved = Round6.scd2OfRows(
         o.filter(basePred).join(affected, Seq("o_custkey"), "left_anti"))
       val recomputed = Round6.scd2OfRows(
@@ -445,9 +448,12 @@ object Round8 {
       val base = ev.filter(col("ts") < cut)
       val ins = ev.filter(col("ts") >= cut)
       val delPred = col("event_id") % 10 === 1
-      val affected = ins.select("user_id")
+      // delta-user-sized: broadcast so the event log never shuffles
+      // for the partition joins — its only exchanges are the two
+      // sessionize sorts themselves (PlanSpec-asserted)
+      val affected = broadcast(ins.select("user_id")
         .unionByName(base.filter(delPred).select("user_id"))
-        .distinct()
+        .distinct())
       val preserved = Round6.sessionsOf(
         base.join(affected, Seq("user_id"), "left_anti"))
       val recomputed = Round6.sessionsOf(

@@ -85,6 +85,40 @@ class PlanSpec extends SparkSpecBase {
       s"temporal join should broadcast the change-row-sized interval table:\n$p")
   }
 
+  test("q_incr_join_view_delete: all three signed branches broadcast the dim") {
+    // base, insert, and retract branches each join the supplier⋈nation
+    // dim as a broadcast — the fact table must never shuffle FOR THE
+    // JOIN (its only exchanges are the per-branch partial aggregates'
+    // n_name hash + the final merge/order)
+    val p = plan("q_incr_join_view_delete")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected >= 3 broadcast dim joins, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact table must not shuffle for the dim join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"signed branches must pre-aggregate map-side:\n$p")
+  }
+
+  test("q_incr_sessionize_delete: preserved and recomputed partitions " +
+       "each sessionize in ONE user_id exchange") {
+    // the q111 invariant (lag + running sum share one user_id hash
+    // exchange) must survive the signed split: the delta-user set is
+    // BROADCAST into the anti/semi partition joins (never a
+    // sort-merge — the event log must not shuffle for them), so the
+    // fact rows sort on (user_id; ts, event_id) EXACTLY twice — once
+    // per sessionize partition. Remaining user_id exchanges in the
+    // plan are the delta-sized affected-set builds, not fact shuffles.
+    val p = plan("q_incr_sessionize_delete")
+    val winOps = "Window".r.findAllIn(p).size
+    assert(winOps >= 4, s"both partitions need lag + running-sum windows:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the delta-user set must broadcast into the partition joins:\n$p")
+    val factSorts =
+      "Sort \\[user_id#\\d+L? ASC NULLS FIRST, ts#".r.findAllIn(p).size
+    assert(factSorts == 2,
+      s"expected exactly 2 sessionize sorts of the fact rows, got $factSorts:\n$p")
+  }
+
   test("q_sample_reservoir: rank filter stays inside the window stage") {
     // the rn <= 5 filter must apply straight after the Window operator
     // (no extra exchange between them), and the window's sort key is
