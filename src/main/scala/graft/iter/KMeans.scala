@@ -132,8 +132,13 @@ object KMeans {
     * analogue of what q48/q101/q104 do for graph state. `Round5Spec`
     * proves fewer-iterations-than-cold on the fixture plus the fixed-
     * point invariant (restarting from the converged centroids stops
-    * after one round). Like [[runUntil]], oracle=none by design:
-    * FP-order-sensitive means. */
+    * after one round). The delta is fully SIGNED [P §3]: centroids
+    * are recomputed from whatever corpus is passed (the state is a
+    * mean, not an additive sketch), so deletions need no special
+    * machinery — pass the post-delta corpus; `Round8Spec` proves the
+    * warm restart still beats a cold re-seed under insert+delete.
+    * Like [[runUntil]], oracle=none by design: FP-order-sensitive
+    * means. */
   def runIncremental(s: SparkSession, vecsWithDelta: DataFrame,
                      prevCentroids: Array[Array[Double]], eps: Double,
                      maxIter: Int): (DataFrame, Int, Array[Array[Double]]) =

@@ -315,6 +315,37 @@ class Round8Spec extends SparkSpecBase {
       "search over the maintained index must be bit-identical")
   }
 
+  test("incremental k-means under a SIGNED delta: warm restart beats cold") {
+    // the k-means '-' story: centroids are recomputed from whatever
+    // corpus is passed (state is a mean, not an additive sketch), so
+    // deletion needs no special machinery — the warm restart from the
+    // BASE run's converged centroids must still beat a cold re-seed
+    // on the post-delta corpus and land on a fixed point
+    val vecs = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val base = vecs.filter(col("vec_id") % 10 =!= 0)      // pre-insert
+    val post = vecs.filter(col("vec_id") % 10 =!= 1)      // ins + del applied
+    assert(base.count() != post.count() ||
+      base.except(post).limit(1).count() > 0)
+    val seed = vecs.orderBy("vec_id").limit(10).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val eps = 1e-4
+    val (_, itersBase, prevCents) =
+      graft.iter.KMeans.runUntilFrom(spark, base, seed, eps, 60)
+    assert(itersBase < 60)
+    val (_, itersCold, _) =
+      graft.iter.KMeans.runUntilFrom(spark, post, seed, eps, 60)
+    val (postAssign, itersWarm, warmCents) =
+      graft.iter.KMeans.runIncremental(spark, post, prevCents, eps, 60)
+    assert(itersWarm < itersCold,
+      s"signed-delta warm restart ($itersWarm) must beat cold ($itersCold)")
+    val (_, itersAgain, _) =
+      graft.iter.KMeans.runIncremental(spark, post, warmCents, eps, 60)
+    assert(itersAgain == 1, "converged state must be a fixed point")
+    assert(postAssign.count() == post.count(),
+      "assignment must partition exactly the post-delta corpus")
+  }
+
   test("q_incr_scd2_delete == full SCD2 build on the post-delta orders") {
     val incr = SparkEntry.queries("q_incr_scd2_delete")(spark, sfDir)
       .collect().toSeq
