@@ -64,7 +64,9 @@ object SimHash {
     * corpus². Soundness: bucket membership is doc-local (see
     * [[banded]]), so full-candidates(old ∪ delta) = old-candidates
     * ∪ THIS exactly — Round8Spec proves the equality. Output carries
-    * both signatures so the exact Hamming verify runs in-line. */
+    * both signatures so the exact Hamming verify runs in-line. This
+    * is the insert-only fast path; the SIGNED (insert+delete) delta
+    * goes through [[bucketsTouched]] (`SignedLshSpec`). */
   def candidatesIncr(bandedOld: DataFrame,
                      bandedNew: DataFrame): DataFrame = {
     val all = bandedOld.withColumn("is_new", lit(false))
