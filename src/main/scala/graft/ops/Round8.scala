@@ -290,6 +290,37 @@ object Round8 {
         .orderBy("probe_id", "rn")
     }),
 
+    /** q145: per-document REPETITION scoring [N] — the corpus-quality
+      * signal real training-data filters cut on (boilerplate and
+      * generation loops show up as repeated n-grams): per doc, total
+      * bigram occurrences, distinct bigrams, the most-repeated
+      * bigram's count, and rep_ratio = max_rep / n_bigrams. All
+      * integer aggregation (one (doc, bigram) shuffle + one doc
+      * shuffle — the TF-IDF plan shape) with ONE final IEEE division
+      * of two exact BIGINTs for the ratio, identical on both engines
+      * (D-rule). Docs with < 2 tokens have no bigrams and drop out,
+      * matching the oracle's unnest semantics. */
+    "q_text_repetition" -> ((s, d) => {
+      val b = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+                 i -> concat(element_at(toks, i), ' ',
+                             element_at(toks, i + 1)))""")).as("bigram"))
+      b.groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max("cnt").as("max_rep"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          col("max_rep"),
+          (col("max_rep").cast("double") / col("n_bigrams").cast("double"))
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     /** q144: BATCH IVF ANN over a SIGNED-maintained index [P §3] —
       * q135's search shape reading an index kept by
       * [[Similarity.ivfApplyDelta]] instead of rebuilt: centroids
@@ -495,6 +526,23 @@ object Round8 {
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents WHERE doc_id % 10 <> 1
          GROUP BY md5(text) ORDER BY h""",
+    // q145: exact integer bigram counts; the ratio is ONE IEEE
+    // division of two BIGINTs, identical on both engines.
+    "q_text_repetition" ->
+      """WITH b AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents) t
+         ), c AS (
+           SELECT doc_id, bigram, count(*) AS cnt
+           FROM b GROUP BY doc_id, bigram
+         )
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(cnt) AS BIGINT) AS max_rep,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS rep_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     // q142's oracle is q92's full-view SQL over the POST-DELTA fact
     // rows: the signed (negative-multiplicity) merge must be
     // result-invisible.
