@@ -290,6 +290,36 @@ object Round8 {
         .orderBy("probe_id", "rn")
     }),
 
+    /** q146: SEQUENCE PACKING for context-window training [N] — the
+      * step between a cleaned corpus and a training run: documents
+      * are assigned, in deterministic doc_id order, to fixed
+      * token-budget packs (budget 256 here), pack_id = (running token
+      * count BEFORE the doc) div budget — the standard greedy
+      * first-fit-in-order pack (a doc whose start lands in pack p
+      * belongs to p; the trailing tokens of a straddling doc are the
+      * next pack's leading context, exactly how contiguous-packing
+      * loaders slice). Packing is per SOURCE (the natural unit a
+      * curriculum samples from), so the only operation is ONE
+      * source-keyed window sort — embarrassingly parallel across
+      * sources at 100 TB, never a global sequential fold. Integer
+      * arithmetic end to end. */
+    "q_pack_sequences" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+        .withColumn("cum_before",
+          coalesce(sum("n_toks").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          // integer div/mod, never an IEEE division (DuckDB // and %)
+          expr("cum_before div 256").cast("bigint").as("pack_id"),
+          expr("cum_before % 256").cast("bigint").as("pack_offset"))
+        .orderBy("source", "doc_id")
+    }),
+
     /** q145: per-document REPETITION scoring [N] — the corpus-quality
       * signal real training-data filters cut on (boilerplate and
       * generation loops show up as repeated n-grams): per doc, total
@@ -526,6 +556,21 @@ object Round8 {
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents WHERE doc_id % 10 <> 1
          GROUP BY md5(text) ORDER BY h""",
+    // q146: integer running-sum packing — window sum, integer
+    // div/mod, no FP anywhere.
+    "q_pack_sequences" ->
+      """SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           CAST(coalesce(sum(len(string_split(text, ' '))) OVER
+               (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 256 AS BIGINT) AS pack_id,
+           CAST(coalesce(sum(len(string_split(text, ' '))) OVER
+               (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             % 256 AS BIGINT) AS pack_offset
+         FROM documents
+         ORDER BY source, doc_id""",
     // q145: exact integer bigram counts; the ratio is ONE IEEE
     // division of two BIGINTs, identical on both engines.
     "q_text_repetition" ->
