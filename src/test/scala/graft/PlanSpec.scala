@@ -119,6 +119,25 @@ class PlanSpec extends SparkSpecBase {
       s"expected exactly 2 sessionize sorts of the fact rows, got $factSorts:\n$p")
   }
 
+  test("q_text_repetition: two-level aggregation with map-side partials") {
+    val p = plan("q_text_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bigram counts must pre-aggregate map-side:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected 2-phase agg at both levels:\n$p")
+  }
+
+  test("q_pack_sequences: packing is ONE source-keyed exchange") {
+    // the scale contract: per-source packing must cost exactly one
+    // hashpartitioning(source) window exchange (plus the final
+    // presentation sort) — never a global single-partition window
+    val p = plan("q_pack_sequences")
+    val srcEx = "hashpartitioning\\(source".r.findAllIn(p).size
+    assert(srcEx == 1, s"expected exactly 1 source exchange, got $srcEx:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing must never collapse to a single partition:\n$p")
+  }
+
   test("q_sample_reservoir: rank filter stays inside the window stage") {
     // the rn <= 5 filter must apply straight after the Window operator
     // (no extra exchange between them), and the window's sort key is
