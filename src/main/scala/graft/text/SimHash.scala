@@ -156,16 +156,47 @@ object SimHash {
   def candidates(sig: DataFrame): DataFrame =
     pairsFromBuckets(bucketsOf(banded(sig)))
 
+  /** Hamming-verified near-dup pairs from a candidate frame. */
+  private def verified(cands: DataFrame): DataFrame =
+    cands
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+
   val defs: Map[String, Q] = Map(
     /** q66: SimHash near-dups at Hamming ≤ 3 over the doc subset. */
     "q_dedup_simhash" -> ((s, d) => {
       val toks = Dedup.subsetTokens(s, d)
-      candidates(signatures(toks))
-        .withColumn("hamming",
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
-        .filter(col("hamming") <= MaxHamming)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      verified(candidates(signatures(toks)))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    /** q147: q66 under a SIGNED doc delta [P §3] — the stored SimHash
+      * band index of the base subset absorbs insert+delete through
+      * [[bucketsTouched]]: untouched buckets pass through VERBATIM,
+      * delta-touched buckets rebuild, and the SAME pair generation +
+      * Hamming verify runs over the maintained bucket relation. Delta
+      * convention INSIDE q66's doc_id % 5 == 0 subset (the % 10 == 1
+      * deletion class never intersects it): insert = % 20 == 0,
+      * delete = % 20 == 5, so both delta halves are non-empty at
+      * every SF. oracle=none (xxhash64, like q66); Round8Spec proves
+      * the result row-identical to the batch q66 computation over the
+      * post-delta subset. */
+    "q_dedup_simhash_incr" -> ((s, d) => {
+      val toks = Dedup.subsetTokens(s, d).persist()
+      val bandedOld = banded(signatures(
+        toks.filter(col("doc_id") % 20 =!= 0)))
+      val bandedIns = banded(signatures(
+        toks.filter(col("doc_id") % 20 === 0)))
+      val deleted = toks.filter(col("doc_id") % 20 === 5)
+        .select("doc_id").distinct()
+      val touched = touchedKeys(bandedOld, bandedIns, deleted)
+      val bk = bucketsOf(bandedOld)
+        .join(broadcast(touched), Seq("band", "bh"), "left_anti")
+        .unionByName(bucketsTouched(bandedOld, bandedIns, deleted))
+      val out = verified(pairsFromBuckets(bk))
+      graft.iter.IterQueries.finish(out, toks).orderBy("doc_a", "doc_b")
     })
   )
 

@@ -415,6 +415,26 @@ class Round8Spec extends SparkSpecBase {
       "deletion must have split at least one chain")
   }
 
+  test("q_dedup_simhash_incr == batch SimHash near-dups on the post-delta subset") {
+    val incr = SparkEntry.queries("q_dedup_simhash_incr")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val toksPost = Dedup.subsetTokens(spark, sfDir)
+      .filter(col("doc_id") % 20 =!= 5)
+    // both delta halves must be non-empty on the fixture
+    assert(Dedup.subsetTokens(spark, sfDir)
+      .filter(col("doc_id") % 20 === 5).limit(1).count() > 0)
+    val batch = SimHash.candidates(SimHash.signatures(toksPost))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .filter(col("hamming") <= SimHash.MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(incr.nonEmpty)
+    assert(incr == batch,
+      "signed bucket maintenance must be result-invisible to the verify")
+  }
+
   // ---------------------------------------------------------------
   // Incremental SimHash candidates
   // ---------------------------------------------------------------
