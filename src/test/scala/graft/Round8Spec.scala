@@ -419,10 +419,12 @@ class Round8Spec extends SparkSpecBase {
     val incr = SparkEntry.queries("q_dedup_simhash_incr")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val toksPost = Dedup.subsetTokens(spark, sfDir)
-      .filter(col("doc_id") % 20 =!= 5)
+      .filter(col("doc_id") % 50 =!= 5)
     // both delta halves must be non-empty on the fixture
     assert(Dedup.subsetTokens(spark, sfDir)
-      .filter(col("doc_id") % 20 === 5).limit(1).count() > 0)
+      .filter(col("doc_id") % 50 === 5).limit(1).count() > 0)
+    assert(Dedup.subsetTokens(spark, sfDir)
+      .filter(col("doc_id") % 50 === 0).limit(1).count() > 0)
     val batch = SimHash.candidates(SimHash.signatures(toksPost))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
