@@ -290,6 +290,42 @@ object Round8 {
         .orderBy("probe_id", "rn")
     }),
 
+    /** q148: EVAL-SET DECONTAMINATION [N] — the check every training
+      * corpus runs before use: which training documents share enough
+      * verbatim n-grams with a held-out eval set to contaminate the
+      * benchmark. Per (train doc, eval doc) pair, the count of
+      * DISTINCT shared 3-gram fingerprints (md5 of the joined
+      * trigram — the q64 fingerprint idea at full resolution),
+      * reported at overlap >= 3 (random trigram collisions on this
+      * vocabulary expect ~1 shared gram per pair; token-level noise in
+      * the fixture's near-dups caps true reuse at 3-4, so 3 separates
+      * signal from collision). The
+      * eval side is deterministically doc_id % 97 == 0 (~1% of the
+      * corpus), so its gram relation BROADCASTS — the train corpus
+      * never shuffles for the join, and the only exchange is the
+      * per-pair count. At 100 TB this is the production shape: the
+      * eval set is always tiny next to the corpus. */
+    "q_text_contamination" -> ((s, d) => {
+      def grams(docs: DataFrame, idCol: String) = docs
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id").as(idCol),
+          explode(expr(
+            """transform(sequence(1, size(toks) - 2),
+                 i -> md5(concat(element_at(toks, i), ' ',
+                                 element_at(toks, i + 1), ' ',
+                                 element_at(toks, i + 2))))""")).as("g"))
+        .distinct()
+      val doc = documents(s, d)
+      val train = grams(doc.filter(col("doc_id") % 97 =!= 0), "train_id")
+      val ev = grams(doc.filter(col("doc_id") % 97 === 0), "eval_id")
+      train.join(broadcast(ev), "g")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("shared_grams"))
+        .filter(col("shared_grams") >= 3)
+        .orderBy("train_id", "eval_id")
+    }),
+
     /** q146: SEQUENCE PACKING for context-window training [N] — the
       * step between a cleaned corpus and a training run: documents
       * are assigned, in deterministic doc_id order, to fixed
@@ -556,6 +592,26 @@ object Round8 {
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents WHERE doc_id % 10 <> 1
          GROUP BY md5(text) ORDER BY h""",
+    // q148: md5 trigram fingerprints agree across engines (the q64
+    // contract); DISTINCT per side, integer overlap counts.
+    "q_text_contamination" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' ||
+                             toks[i + 2]))) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents) t
+         ), dg AS (
+           SELECT DISTINCT doc_id, g FROM g
+         ), tr AS (
+           SELECT doc_id AS train_id, g FROM dg WHERE doc_id % 97 <> 0
+         ), ev AS (
+           SELECT doc_id AS eval_id, g FROM dg WHERE doc_id % 97 = 0
+         )
+         SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS shared_grams
+         FROM tr JOIN ev USING (g)
+         GROUP BY train_id, eval_id HAVING count(*) >= 3
+         ORDER BY train_id, eval_id""",
     // q146: integer running-sum packing — window sum, integer
     // div/mod, no FP anywhere.
     "q_pack_sequences" ->
