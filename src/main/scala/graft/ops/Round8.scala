@@ -6,13 +6,15 @@ import graft.engine.Tables._
 import graft.engine.Dec._
 import graft.text.{Dedup, MinHash, Similarity}
 
-/** Round-8 extensions (SURVEY.md §2 rows 133–144): SIGNED
+/** Round-8 extensions (SURVEY.md §2 rows 133–148): SIGNED
   * (insert + delete) deltas for the mining-family and event/dimension
   * incremental operators — the missing half of the paper's delta
   * model [P §3: a delta is kv pairs flagged '+'/'-'; update = delete
-  * + insert] — plus the production scale paths promoted to declared
+  * + insert] — the production scale paths promoted to declared
   * queries (batch IVF ANN; the full-corpus LSH-sourced dedup
-  * collapse, batch and signed-incremental).
+  * collapse, batch and signed-incremental), and the training-data
+  * endgame operators (repetition scoring, sequence packing, eval-set
+  * decontamination).
   *
   * Delta convention shared by q133/q134/q139: the corpus splits into
   *   base   = doc_id % 10 <> 0   (the stored state's corpus)
