@@ -78,6 +78,34 @@ object Round6 {
   private def scd2Of(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = scd2OfRows(orders(s, d))
 
+  /** q117's per-document scoring + keep-filter + normalized hash —
+    * everything DOC-LOCAL in the cleaning pipeline, factored like
+    * [[sessionsOf]]/[[scd2OfRows]] so the signed-incremental q149 can
+    * preserve base rows verbatim and score only the delta. Returns
+    * (doc_id, text, n_tokens, n_stop, s1..s3, pred, h) for kept docs. */
+  private[graft] def cleanNormed(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    def score(words: Seq[String]) =
+      size(filter(toks, x => x.isInCollection(words))).cast("bigint")
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        size(toks).cast("bigint").as("n_tokens"),
+        size(filter(toks, x => x.isInCollection(Seq("the", "a"))))
+          .cast("bigint").as("n_stop"),
+        score(Seq("join", "filter", "agg")).as("s1"),
+        score(Seq("window", "batch", "stream")).as("s2"),
+        score(Seq("hash", "sort", "merge")).as("s3"))
+      .withColumn("pred",
+        when(col("s1") >= col("s2") && col("s1") >= col("s3"), "L1")
+          .when(col("s2") >= col("s3"), "L2")
+          .otherwise("L3"))
+    scored.filter(col("n_tokens").between(20, 90) &&
+        col("n_stop").cast("double") / col("n_tokens") < 0.2)
+      .withColumn("h",
+        md5(regexp_replace(lower(col("text")), " +", " ")))
+  }
+
   val defs: Map[String, Q] = Map(
     /** q111: BATCH sessionization — the gap-based session assignment
       * (new session when >30 min since the user's previous event),
@@ -163,25 +191,7 @@ object Round6 {
       * parallel at any scale, and the compositional proof that the
       * pieces interoperate under the hard oracle, not just alone. */
     "q_pipeline_clean" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      def score(words: Seq[String]) =
-        size(filter(toks, x => x.isInCollection(words))).cast("bigint")
-      val scored = documents(s, d)
-        .select(col("doc_id"), col("text"),
-          size(toks).cast("bigint").as("n_tokens"),
-          size(filter(toks, x => x.isInCollection(Seq("the", "a"))))
-            .cast("bigint").as("n_stop"),
-          score(Seq("join", "filter", "agg")).as("s1"),
-          score(Seq("window", "batch", "stream")).as("s2"),
-          score(Seq("hash", "sort", "merge")).as("s3"))
-        .withColumn("pred",
-          when(col("s1") >= col("s2") && col("s1") >= col("s3"), "L1")
-            .when(col("s2") >= col("s3"), "L2")
-            .otherwise("L3"))
-      val kept = scored.filter(col("n_tokens").between(20, 90) &&
-        col("n_stop").cast("double") / col("n_tokens") < 0.2)
-      val normed = kept.withColumn("h",
-        md5(regexp_replace(lower(col("text")), " +", " ")))
+      val normed = cleanNormed(documents(s, d))
       val canon = normed.groupBy("h")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       normed.join(canon, "h")

@@ -292,6 +292,47 @@ object Round8 {
         .orderBy("probe_id", "rn")
     }),
 
+    /** q149: the CLEANING PIPELINE maintained under a SIGNED delta
+      * [P §3] — the end-to-end "keep a cleaned 100 TB corpus current"
+      * story, composed ENTIRELY from this round's signed operators:
+      * q117's scoring/keep/normalize stage is doc-local, so surviving
+      * base rows pass through VERBATIM (anti-join on the deleted ids;
+      * production reads them from the partials store) and only the
+      * insert batch is scored; the canonical-duplicate state
+      * (h → min keep_id, n_dups) is maintained by the SAME
+      * [[dedupApplyDelta]] as q134 — deleted docs that the base
+      * pipeline never kept fall out automatically (they have no index
+      * rows, so the semi-join skips them: retraction of filtered-out
+      * docs is a provable no-op). Oracle = q117's full pipeline SQL
+      * over the post-delta corpus: the composition must be
+      * result-invisible. */
+    "q_incr_pipeline_clean_delete" -> ((s, d) => {
+      val docs = documents(s, d)
+      // stored doc-local state: checkpoint once — three consumers
+      // below (index, state build, passthrough) must not re-score
+      val normedBase = Round6.cleanNormed(
+        docs.filter(col("doc_id") % 10 =!= 0)).localCheckpoint()
+      val normedIns = Round6.cleanNormed(
+        docs.filter(col("doc_id") % 10 === 0)).localCheckpoint()
+      val deleted = docs.filter(col("doc_id") % 10 === 1).select("doc_id")
+      val baseIndex = normedBase.select(col("h"), col("doc_id"))
+      val baseState = baseIndex.groupBy("h")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+      val deltaState = normedIns.groupBy("h")
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+      val canonPost = dedupApplyDelta(baseState, baseIndex, deleted,
+        deltaState)
+      val normedPost = normedBase
+        .join(broadcast(deleted), Seq("doc_id"), "left_anti")
+        .unionByName(normedIns)
+      normedPost
+        .join(canonPost.select(col("h"), col("keep_id"), col("n_dups")), "h")
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("pred"), col("n_tokens"), col("h"),
+          col("n_dups"))
+        .orderBy("doc_id")
+    }),
+
     /** q148: EVAL-SET DECONTAMINATION [N] — the check every training
       * corpus runs before use: which training documents share enough
       * verbatim n-grams with a held-out eval set to contaminate the
@@ -594,6 +635,41 @@ object Round8 {
       """SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id
          FROM documents WHERE doc_id % 10 <> 1
          GROUP BY md5(text) ORDER BY h""",
+    // q149's oracle is q117's full pipeline SQL over the POST-DELTA
+    // corpus: the composed signed maintenance (doc-local passthrough
+    // + dedupApplyDelta canon state) must be result-invisible.
+    "q_incr_pipeline_clean_delete" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a'))) AS BIGINT) AS n_stop,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('join','filter','agg'))) AS BIGINT) AS s1,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('window','batch','stream'))) AS BIGINT) AS s2,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('hash','sort','merge'))) AS BIGINT) AS s3
+           FROM documents WHERE doc_id % 10 <> 1
+         ), kept AS (
+           SELECT doc_id, text, n_tokens,
+             CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'L1'
+                  WHEN s2 >= s3 THEN 'L2' ELSE 'L3' END AS pred
+           FROM t
+           WHERE n_tokens BETWEEN 20 AND 90
+             AND CAST(n_stop AS DOUBLE) / n_tokens < 0.2
+         ), normed AS (
+           SELECT doc_id, pred, n_tokens,
+             md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS h
+           FROM kept
+         ), canon AS (
+           SELECT h, min(doc_id) AS keep_id,
+             CAST(count(*) AS BIGINT) AS n_dups
+           FROM normed GROUP BY h
+         )
+         SELECT n.doc_id, n.pred, n.n_tokens, n.h, c.n_dups
+         FROM normed n JOIN canon c ON n.h = c.h AND n.doc_id = c.keep_id
+         ORDER BY n.doc_id""",
     // q148: md5 trigram fingerprints agree across engines (the q64
     // contract); DISTINCT per side, integer overlap counts.
     "q_text_contamination" ->
