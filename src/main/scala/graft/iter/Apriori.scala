@@ -131,10 +131,13 @@ object Apriori {
   def frequentItemsetsDelta(baseToks: DataFrame, insToks: DataFrame,
                             deletedIds: DataFrame, k: Int, minSup: Long,
                             preserved: Option[DataFrame] = None): DataFrame = {
-    val nIns = insToks.select("doc_id").distinct().count()
-    val relaxed = math.max(1L, minSup - nIns)
-    val baseState = preserved.getOrElse(
-      frequentItemsets(baseToks, k, relaxed))
+    // the |ins docs| count (a Spark job) only prices the relaxed bar
+    // for the fallback build — callers supplying stored state must
+    // not pay it, they already relaxed when the state was written
+    val baseState = preserved.getOrElse {
+      val nIns = insToks.select("doc_id").distinct().count()
+      frequentItemsets(baseToks, k, math.max(1L, minSup - nIns))
+    }
     val insCnts = frequentItemsets(insToks, k, 1L)     // insert-sized
     val delToks = baseToks.join(deletedIds, Seq("doc_id"), "left_semi")
     val delCnts = frequentItemsets(delToks, k, 1L)     // deletion-sized

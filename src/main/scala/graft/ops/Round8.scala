@@ -184,14 +184,19 @@ object Round8 {
     cached(s, d, "lshPairsIncr") {
       val toksAll = cachedToksAll(s, d)
       val bandedOld = cachedLshBandedOld(s, d)
+      // checkpoint the insert-side index: it feeds the touched-key
+      // derivation AND the delta application — lazy it would re-run
+      // the signature aggregation per subtree (§8.3)
       val bandedIns = MinHash.banded(MinHash.signatures(
-        toksAll.filter(col("doc_id") % 10 === 0)))
+        toksAll.filter(col("doc_id") % 10 === 0))).localCheckpoint()
       val deleted = documents(s, d).filter(col("doc_id") % 10 === 1)
         .select("doc_id")
       val touched = MinHash.touchedKeys(bandedOld, bandedIns, deleted)
+        .localCheckpoint()
       val bk = MinHash.bucketsOf(bandedOld)
         .join(broadcast(touched), Seq("band", "bh"), "left_anti")
-        .unionByName(MinHash.bucketsTouched(bandedOld, bandedIns, deleted))
+        .unionByName(MinHash.bucketsTouched(bandedOld, bandedIns, deleted,
+          touched = Some(touched)))
         .localCheckpoint()
       val cands = MinHash.candidatesFromBuckets(bk)
         .unionByName(MinHash.starCandidates(bk))
@@ -482,20 +487,6 @@ object Round8 {
       graft.iter.IterQueries.finish(out).orderBy("doc_id")
     }),
 
-    /** q139: the q136 collapse under a SIGNED doc delta [P §3] — the
-      * complete incremental 100 TB dedup story in one declared query.
-      * The STORED band-hash index of the base corpus (doc_id % 10 <>
-      * 0) absorbs the delta (insert % 10 == 0, delete % 10 == 1)
-      * through [[MinHash.indexApplyDelta]]: untouched buckets pass
-      * through from the stored bucket relation VERBATIM, only
-      * delta-touched buckets rebuild ([[MinHash.bucketsTouched]] —
-      * delta-proportional, and the only rule that survives the cap:
-      * deletion can shrink a quarantined mega-bucket below MaxBucket
-      * and REVEAL suppressed pairs). The maintained bucket relation
-      * then feeds the SAME [[lshCollapse]] as the batch query.
-      * oracle=none (LSH-sourced like q136); Round8Spec proves the
-      * result row-identical to the batch collapse over the post-delta
-      * corpus — signed maintenance must be result-invisible. */
     /** q142: SIGNED incremental maintenance of an aggregated join
       * view [P §3 — the full '+'/'-' delta model on q92's
       * MRBGraph-style view]: retracted base fact rows enter the merge
@@ -603,6 +594,21 @@ object Round8 {
         .orderBy("user_id", "session_idx")
     }),
 
+    /** q139: the q136 collapse under a SIGNED doc delta [P §3] — the
+      * complete incremental 100 TB dedup story in one declared query.
+      * The STORED band-hash index of the base corpus (doc_id % 10 <>
+      * 0) absorbs the delta (insert % 10 == 0, delete % 10 == 1)
+      * through [[MinHash.indexApplyDelta]]: untouched buckets pass
+      * through from the stored bucket relation VERBATIM, only
+      * delta-touched buckets rebuild ([[MinHash.bucketsTouched]] —
+      * delta-proportional, and the only rule that survives the cap:
+      * deletion can shrink a quarantined mega-bucket below MaxBucket
+      * and REVEAL suppressed pairs). The maintained bucket relation
+      * ([[cachedLshPairsIncr]]) then feeds the SAME [[lshCollapse]]
+      * as the batch query. oracle=none (LSH-sourced like q136);
+      * Round8Spec proves the result row-identical to the batch
+      * collapse over the post-delta corpus — signed maintenance must
+      * be result-invisible. */
     "q_dedup_groups_lsh_incr" -> ((s, d) => {
       val docsPost = documents(s, d).filter(col("doc_id") % 10 =!= 1)
       val out = lshCollapse(s, docsPost, cachedLshPairsIncr(s, d))

@@ -79,54 +79,38 @@ object MinHash {
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
 
-  /** Post-delta band-hash index under a SIGNED doc delta [P §3:
-    * update = delete + insert]: deleted docs' rows leave the stored
-    * index (anti-join — delta-sized broadcast), inserted docs' rows
-    * join it. Sound because bucket membership is doc-local (a doc's
-    * band hashes derive from its own signature only), so no surviving
-    * doc's index rows change. */
+  /** Post-delta band-hash index under a SIGNED doc delta [P §3] —
+    * the shared [[SignedLsh.applyDelta]] (see its scaladoc for the
+    * doc-locality soundness argument). */
   def indexApplyDelta(bandedOld: DataFrame, bandedIns: DataFrame,
                       deletedIds: DataFrame): DataFrame =
-    bandedOld.join(broadcast(deletedIds), Seq("doc_id"), "left_anti")
-      .unionByName(bandedIns)
+    SignedLsh.applyDelta(bandedOld, bandedIns, deletedIds)
 
-  /** The (band, bh) keys a SIGNED delta TOUCHES: buckets receiving an
-    * inserted doc or losing a deleted one. Delta-proportional (each
-    * delta doc touches exactly `Bands` keys). */
+  /** The (band, bh) keys a SIGNED delta TOUCHES — delta-proportional
+    * (each delta doc touches exactly [[Bands]] keys). */
   def touchedKeys(bandedOld: DataFrame, bandedIns: DataFrame,
                   deletedIds: DataFrame): DataFrame =
-    bandedIns.select("band", "bh")
-      .unionByName(
-        bandedOld.join(broadcast(deletedIds), Seq("doc_id"), "left_semi")
-          .select("band", "bh"))
-      .distinct()
+    SignedLsh.touchedKeys(bandedOld, bandedIns, deletedIds)
 
   /** SIGNED incremental bucket maintenance [P §3 — the MRBG
     * group-level recompute applied to the LSH index]: the POST-delta
-    * bucket rows of exactly the [[touchedKeys]] buckets. Untouched
-    * buckets' membership is unchanged by construction, so the stored
-    * bucket relation updates as
+    * bucket rows of exactly the [[touchedKeys]] buckets, so the
+    * stored bucket relation updates as
     *
     *   buckets(post) = storedBuckets ANTI-JOIN touchedKeys  ∪  THIS
     *
-    * (`SignedLshSpec` proves the equality on the fixture corpus).
-    * Deletion handling is what makes this bucket-level rather than
-    * pair-level: under the [[MaxBucket]] cap a deletion can shrink a
-    * quarantined mega-bucket BELOW the cap and REVEAL pairs the cap
-    * had suppressed — pairs that never existed in any previous
-    * candidate set, so no pair-subtraction scheme can produce them.
-    * Rebuilding the touched buckets and re-deriving their pairs
-    * (through the same [[candidatesFromBuckets]] / [[starCandidates]]
-    * / [[quarantine]] consumers as the batch path) is the only
-    * maintenance rule consistent with a full recompute, and it stays
-    * delta-proportional: the rebuild semi-joins on delta-touched keys
-    * only. */
+    * (`SignedLshSpec` proves the equality; [[SignedLsh]] documents
+    * why deletion under the [[MaxBucket]] cap forces bucket-level
+    * maintenance — the cap-reveal argument). Downstream, the rebuilt
+    * buckets feed the same [[candidatesFromBuckets]] /
+    * [[starCandidates]] / [[quarantine]] consumers as the batch path.
+    * Pass a precomputed `touched` frame when the caller also
+    * anti-joins the stored buckets with it. */
   def bucketsTouched(bandedOld: DataFrame, bandedIns: DataFrame,
-                     deletedIds: DataFrame): DataFrame =
-    bucketsOf(
-      indexApplyDelta(bandedOld, bandedIns, deletedIds)
-        .join(broadcast(touchedKeys(bandedOld, bandedIns, deletedIds)),
-          Seq("band", "bh")))
+                     deletedIds: DataFrame,
+                     touched: Option[DataFrame] = None): DataFrame =
+    SignedLsh.bucketsTouched(bucketsOf)(
+      bandedOld, bandedIns, deletedIds, touched)
 
   /** INCREMENTAL LSH candidates [P §3,6 applied to dedup]: the pairs
     * an insert-only doc delta ADDS — every pair with at least one new

@@ -104,35 +104,29 @@ object SimHash {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)
 
-  /** Post-delta SimHash index under a SIGNED doc delta [P §3] —
-    * [[MinHash.indexApplyDelta]] applied to the (doc_id, sig, band,
-    * bh) relation; sound for the same doc-locality reason. */
+  /** Post-delta SimHash index under a SIGNED doc delta [P §3] — the
+    * shared [[SignedLsh.applyDelta]]; the (doc_id, sig, band, bh)
+    * relation's `sig` column rides through untouched. */
   def indexApplyDelta(bandedOld: DataFrame, bandedIns: DataFrame,
                       deletedIds: DataFrame): DataFrame =
-    bandedOld.join(broadcast(deletedIds), Seq("doc_id"), "left_anti")
-      .unionByName(bandedIns)
+    SignedLsh.applyDelta(bandedOld, bandedIns, deletedIds)
 
   /** The (band, bh) keys a SIGNED delta touches — delta-proportional
     * (each delta doc touches exactly [[Bands]] keys). */
   def touchedKeys(bandedOld: DataFrame, bandedIns: DataFrame,
                   deletedIds: DataFrame): DataFrame =
-    bandedIns.select("band", "bh")
-      .unionByName(
-        bandedOld.join(broadcast(deletedIds), Seq("doc_id"), "left_semi")
-          .select("band", "bh"))
-      .distinct()
+    SignedLsh.touchedKeys(bandedOld, bandedIns, deletedIds)
 
   /** SIGNED incremental bucket maintenance — POST-delta bucket rows
     * of exactly the touched buckets, so the stored bucket relation
     * updates as buckets(post) = stored ANTI-JOIN touchedKeys ∪ THIS
-    * (`SignedLshSpec` proves the equality; [[MinHash.bucketsTouched]]
-    * documents why signed deltas are bucket-level, not pair-level). */
+    * (`SignedLshSpec` proves the equality; [[SignedLsh]] documents
+    * why signed deltas are bucket-level, not pair-level). */
   def bucketsTouched(bandedOld: DataFrame, bandedIns: DataFrame,
-                     deletedIds: DataFrame): DataFrame =
-    bucketsOf(
-      indexApplyDelta(bandedOld, bandedIns, deletedIds)
-        .join(broadcast(touchedKeys(bandedOld, bandedIns, deletedIds)),
-          Seq("band", "bh")))
+                     deletedIds: DataFrame,
+                     touched: Option[DataFrame] = None): DataFrame =
+    SignedLsh.bucketsTouched(bucketsOf)(
+      bandedOld, bandedIns, deletedIds, touched)
 
   /** Pair generation over a prebuilt [[bucketsOf]] frame — shared by
     * the batch and signed-incremental paths. */
@@ -197,9 +191,11 @@ object SimHash {
       val deleted = toks.filter(col("doc_id") % 50 === 5)
         .select("doc_id").distinct()
       val touched = touchedKeys(bandedOld, bandedIns, deleted)
+        .localCheckpoint()
       val bk = bucketsOf(bandedOld)
         .join(broadcast(touched), Seq("band", "bh"), "left_anti")
-        .unionByName(bucketsTouched(bandedOld, bandedIns, deleted))
+        .unionByName(bucketsTouched(bandedOld, bandedIns, deleted,
+          touched = Some(touched)))
       val out = verified(pairsFromBuckets(bk))
       graft.iter.IterQueries.finish(out, toks).orderBy("doc_a", "doc_b")
     })
