@@ -6,7 +6,7 @@ import graft.engine.Tables._
 import graft.engine.Dec._
 import graft.text.{Dedup, MinHash, Similarity}
 
-/** Round-8 extensions (SURVEY.md §2 rows 133–148): SIGNED
+/** Round-8 extensions (SURVEY.md §2 rows 133–149): SIGNED
   * (insert + delete) deltas for the mining-family and event/dimension
   * incremental operators — the missing half of the paper's delta
   * model [P §3: a delta is kv pairs flagged '+'/'-'; update = delete
