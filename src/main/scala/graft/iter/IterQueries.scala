@@ -322,9 +322,13 @@ object IterQueries {
 
   /** Run [[minPropagate]] one round at a time until a round moves
     * nothing (or maxIter) — convergence-based termination for the
-    * min-propagate family. The per-round count() is on the frontier
-    * (shrinking, node-bounded), the standard emptiness test of
-    * frontier algorithms. Returns (state(node, valCol), rounds). */
+    * min-propagate family. ONE job per round: the step's result is
+    * marked for LAZY local checkpointing and the frontier count is
+    * the action that materializes it — counting the `chg` rows scans
+    * every partition (no limit short-circuit), so the checkpoint is
+    * complete when the count returns and the round's emptiness test
+    * rides the materialization job instead of launching a second
+    * one. Returns (state(node, valCol), rounds). */
   def minPropagateUntilStable(edges: DataFrame, state0: DataFrame,
                               changed0: DataFrame, valCol: String,
                               delta: Long, maxIter: Int)
@@ -335,9 +339,9 @@ object IterQueries {
     var moving = true
     while (moving && i < maxIter) {
       val res = minPropagate(edges, state, changed, valCol, delta, 1)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       i += 1
-      moving = res.filter(col("chg")).limit(1).count() > 0
+      moving = res.filter(col("chg")).count() > 0
       state = res.select("node", valCol)
       changed = res.filter(col("chg"))
         .select(col("node").as("cnode"), col(valCol).as("cval"))
@@ -431,17 +435,31 @@ object IterQueries {
   def componentDeleteRestart(base: DataFrame, deleted: DataFrame,
                              post: DataFrame,
                              maxIter: Int = 64): DataFrame = {
-    val affLabels = base
-      .join(deleted.select(col("dst").as("node")).distinct(), "node")
+    // endpoint set takes BOTH directions, so the function is correct
+    // for any edge orientation the caller passes (a symmetric
+    // `deleted` makes the union a no-op after distinct)
+    val delNodes = deleted.select(col("dst").as("node"))
+      .union(deleted.select(col("src").as("node"))).distinct()
+    val affLabels = base.join(delNodes, "node")
       .select("label").distinct()
+    // the confined recompute is affected-component-sized by
+    // construction — coalesce it to a handful of partitions so the
+    // convergence rounds below schedule a few small tasks, not a
+    // full session-width stage each
     val affected = base
       .join(broadcast(affLabels), Seq("label"), "left_semi")
+      .coalesce(4)
       .localCheckpoint()
     val preserved = base
       .join(affected.select("node"), Seq("node"), "left_anti")
       .select("node", "label")
+    // materialize the confined edge set ONCE: every convergence round
+    // scans it, and leaving it lazy would re-run the semi-join against
+    // the full surviving edge list per round
     val innerE = post.join(affected.select("node"),
-      post("src") === col("node"), "left_semi")
+        post("src") === col("node"), "left_semi")
+      .coalesce(4)
+      .localCheckpoint()
     val rst0 = affected.select(col("node"), col("node").as("label"))
     val rchanged0 = rst0
       .select(col("node").as("cnode"), col("label").as("cval"))
@@ -780,8 +798,13 @@ object IterQueries {
             eu.select(col("dst").as("src"), col("src").as("dst")))
           .localCheckpoint()
       }
-      val deleted = full.filter((col("src") + col("dst")) % 13 === 0)
-      val post = full.filter((col("src") + col("dst")) % 13 =!= 0)
+      // the splits are INPUT data (the signed delta and the surviving
+      // edges), not the query's work — memoized beside chainEdges so
+      // warm runs measure the delete restart, not input re-filtering
+      val deleted = Graphs.cached(s, d, "chainDeleted")(
+        full.filter((col("src") + col("dst")) % 13 === 0).localCheckpoint())
+      val post = Graphs.cached(s, d, "chainPost")(
+        full.filter((col("src") + col("dst")) % 13 =!= 0).localCheckpoint())
       // converged pre-deletion labels — the paper's STORED state
       // [P §3], so session-memoized like q115's ccBase5: the
       // incremental query's own work is the delete restart, not the
