@@ -37,7 +37,16 @@ object Bench {
                catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional isolation filter: SPARK_GRAFT_ONLY=q_a,q_b benches just
+    // the named queries (used to re-measure individual queries at low
+    // load without the cache pressure of the full 154-query run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to repeats).map(_ => timeOnce(fn))
       val samples = runs.map(_._1)
       val sortedS = samples.sorted

@@ -29,8 +29,8 @@ object SparkEntry {
       Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
       TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
-      Round3.defs ++ Round6.defs ++ Round8.defs ++ Curation.defs ++
-      HeavyHitters.defs ++ BloomPrune.defs
+      Round3.defs ++ Round6.defs ++ Round8.defs ++ Round9.defs ++
+      Curation.defs ++ HeavyHitters.defs ++ BloomPrune.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
@@ -43,6 +43,6 @@ object SparkEntry {
       Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
       TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++
-      Round3.sql ++ Round6.sql ++ Round8.sql ++ Curation.sql ++
-      HeavyHitters.sql ++ BloomPrune.sql
+      Round3.sql ++ Round6.sql ++ Round8.sql ++ Round9.sql ++
+      Curation.sql ++ HeavyHitters.sql ++ BloomPrune.sql
 }

@@ -58,6 +58,15 @@ object Graphs {
   private val memo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String, String), DataFrame]
+  graft.engine.Memos.register(() => clear())
+
+  /** Evict every memoized structure frame (see [[graft.engine.Memos]]):
+    * persisted frames unpersist; checkpointed ones lose their last
+    * reference and their blocks become GC-reclaimable. */
+  def clear(): Unit = {
+    memo.values.foreach(_.unpersist(blocking = false))
+    memo.clear()
+  }
 
   def cached(s: SparkSession, d: String, key: String)
             (build: => DataFrame): DataFrame =

@@ -148,6 +148,9 @@ object Round8 {
     * verified pair graph is the collapse's input table. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+  graft.engine.Memos.register { () =>
+    memo.values.foreach(_.unpersist(blocking = false)); memo.clear()
+  }
   private def cached(s: SparkSession, d: String, key: String)
                     (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, d, key), build)
@@ -179,32 +182,42 @@ object Round8 {
 
   /** q139's verified pair graph over the post-delta corpus, built
     * from the SIGNED-maintained bucket relation: untouched buckets
-    * pass through from the stored relation, touched buckets rebuild. */
-  private def cachedLshPairsIncr(s: SparkSession, d: String): DataFrame =
-    cached(s, d, "lshPairsIncr") {
-      val toksAll = cachedToksAll(s, d)
-      val bandedOld = cachedLshBandedOld(s, d)
-      // checkpoint the insert-side index: it feeds the touched-key
-      // derivation AND the delta application — lazy it would re-run
-      // the signature aggregation per subtree (§8.3)
-      val bandedIns = MinHash.banded(MinHash.signatures(
-        toksAll.filter(col("doc_id") % 10 === 0))).localCheckpoint()
-      val deleted = documents(s, d).filter(col("doc_id") % 10 === 1)
-        .select("doc_id")
-      val touched = MinHash.touchedKeys(bandedOld, bandedIns, deleted)
-        .localCheckpoint()
-      val bk = MinHash.bucketsOf(bandedOld)
-        .join(broadcast(touched), Seq("band", "bh"), "left_anti")
-        .unionByName(MinHash.bucketsTouched(bandedOld, bandedIns, deleted,
-          touched = Some(touched)))
-        .localCheckpoint()
-      val cands = MinHash.candidatesFromBuckets(bk)
-        .unionByName(MinHash.starCandidates(bk))
-        .distinct()
-      Dedup.verifyPairs(cands,
-          Dedup.docSets(toksAll.filter(col("doc_id") % 10 =!= 1)))
-        .select("doc_a", "doc_b").localCheckpoint()
-    }
+    * pass through from the stored relation, touched buckets rebuild.
+    *
+    * Only the STORED state is memoized ([[cachedLshBandedOld]], the
+    * token relation); the delta maintenance itself re-runs on every
+    * invocation — like q147's SimHash path — so warm bench repeats
+    * measure the signed maintenance the query exists to demonstrate,
+    * not a memo hit. Per-run scratch is persist()ed and released
+    * once the verified pair graph materializes. */
+  private def lshPairsIncr(s: SparkSession, d: String): DataFrame = {
+    val toksAll = cachedToksAll(s, d)
+    val bandedOld = cachedLshBandedOld(s, d)
+    // cache the insert-side index: it feeds the touched-key
+    // derivation AND the delta application — lazy it would re-run
+    // the signature aggregation per subtree (§8.3)
+    val bandedIns = MinHash.banded(MinHash.signatures(
+      toksAll.filter(col("doc_id") % 10 === 0))).persist()
+    val deleted = documents(s, d).filter(col("doc_id") % 10 === 1)
+      .select("doc_id")
+    val touched = MinHash.touchedKeys(bandedOld, bandedIns, deleted)
+      .persist()
+    val bk = MinHash.bucketsOf(bandedOld)
+      .join(broadcast(touched), Seq("band", "bh"), "left_anti")
+      .unionByName(MinHash.bucketsTouched(bandedOld, bandedIns, deleted,
+        touched = Some(touched)))
+      .persist()
+    val cands = MinHash.candidatesFromBuckets(bk)
+      .unionByName(MinHash.starCandidates(bk))
+      .distinct()
+    // verifyPairs is eager, so the scratch frames above are fully
+    // consumed by the time it returns — release them immediately
+    val pairs = Dedup.verifyPairs(cands,
+        Dedup.docSets(toksAll.filter(col("doc_id") % 10 =!= 1)))
+      .select("doc_a", "doc_b")
+    Seq(bandedIns, touched, bk).foreach(_.unpersist(blocking = false))
+    pairs
+  }
 
   /** The LSH-sourced dedup collapse shared by q136 (batch) and q139
     * (signed-incremental): the q108 5-round min-label collapse over a
@@ -604,14 +617,14 @@ object Round8 {
       * delta-proportional, and the only rule that survives the cap:
       * deletion can shrink a quarantined mega-bucket below MaxBucket
       * and REVEAL suppressed pairs). The maintained bucket relation
-      * ([[cachedLshPairsIncr]]) then feeds the SAME [[lshCollapse]]
+      * ([[lshPairsIncr]]) then feeds the SAME [[lshCollapse]]
       * as the batch query. oracle=none (LSH-sourced like q136);
       * Round8Spec proves the result row-identical to the batch
       * collapse over the post-delta corpus — signed maintenance must
       * be result-invisible. */
     "q_dedup_groups_lsh_incr" -> ((s, d) => {
       val docsPost = documents(s, d).filter(col("doc_id") % 10 =!= 1)
-      val out = lshCollapse(s, docsPost, cachedLshPairsIncr(s, d))
+      val out = lshCollapse(s, docsPost, lshPairsIncr(s, d))
       graft.iter.IterQueries.finish(out).orderBy("doc_id")
     })
   )

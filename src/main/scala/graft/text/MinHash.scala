@@ -217,12 +217,13 @@ object MinHash {
     "q_dedup_minhash" -> ((s, d) => {
       val toks = Dedup.subsetTokens(s, d).persist()
       val cands = candidates(signatures(toks))
-      // Checkpoint the UNSORTED result, then sort the materialized
-      // rows: orderBy-then-checkpoint would execute the whole pipeline
-      // twice (range-partition sampling pass + final pass), rebuilding
-      // the uncached broadcast sides each time (~9 s of the old 10 s).
-      val mat = graft.iter.IterQueries.finish(
-        Dedup.verifyPairs(cands, Dedup.docSets(toks)), toks)
+      // verifyPairs returns the UNSORTED result already materialized;
+      // sorting the checkpointed rows avoids executing the pipeline
+      // twice (orderBy's range-partition sampling pass + final pass
+      // would rebuild the uncached broadcast sides — ~9 s of the old
+      // 10 s).
+      val mat = Dedup.verifyPairs(cands, Dedup.docSets(toks))
+      toks.unpersist(blocking = false)
       mat.orderBy("doc_a", "doc_b")
     })
   )

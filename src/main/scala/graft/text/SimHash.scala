@@ -206,6 +206,9 @@ object SimHash {
     * [P §3], session-memoized like `Round8`'s LSH banded index. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  graft.engine.Memos.register { () =>
+    memo.values.foreach(_.unpersist(blocking = false)); memo.clear()
+  }
   private def bandedOldCached(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame =
     memo.getOrElseUpdate((s, d),

@@ -29,6 +29,9 @@ object Similarity {
   private val memo =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
+  graft.engine.Memos.register { () =>
+    memo.values.foreach(_.unpersist(blocking = false)); memo.clear()
+  }
 
   def cachedCosinePairs04(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d),
