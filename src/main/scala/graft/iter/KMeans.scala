@@ -97,29 +97,47 @@ object KMeans {
   def runUntilFrom(s: SparkSession, vecs: DataFrame,
                    seed: Array[Array[Double]], eps: Double,
                    maxIter: Int): (DataFrame, Int, Array[Array[Double]]) = {
-    import s.implicits._
     val k = seed.length
     val dims = seed.head.length
-    def toDf(cents: Array[Array[Double]]): DataFrame =
-      cents.zipWithIndex.flatMap { case (c, ci) =>
-        c.zipWithIndex.map { case (m, p) => (ci.toLong * dims + p, m) }
-      }.toSeq.toDF("node", "m")
-    def toArrays(df: DataFrame): Array[Array[Double]] = {
-      val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    // The loop state is k·dims doubles BY CONSTRUCTION — never
+    // data-sized — and every round must ship it to the executors as a
+    // broadcast anyway, so it lives on the DRIVER: one cluster job per
+    // round (assignment + per-(cluster,pos) mean), means collected
+    // straight back, convergence checked driver-side for free. A
+    // DataFrame-resident state (the iterateUntil shape the graph
+    // workloads need, where state is node-sized and must shuffle)
+    // would spend two extra job launches per round on k·dims rows —
+    // measured at ~2/3 of the warm-restart wall time at sf0.1.
+    def step(cents: Array[Array[Double]]): Array[Array[Double]] = {
+      val rows = assign(s, vecs, cents)
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).sortBy(_._1)
       require(rows.length == k * dims, "kmeans: a cluster emptied out")
       rows.map(_._2).grouped(dims).toArray
     }
-    val (centsDf, iters) = IterQueries.iterateUntil(toDf(seed),
-      st => {
-        val assigned = assign(s, vecs, toArrays(st))
-        assigned.select(col("cluster"), posexplode(col("embedding")))
-          .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
-          .select((col("cluster").cast("long") * dims + col("pos")).as("node"),
-            col("m"))
-      },
-      IterQueries.maxAbsDelta("m"), eps, maxIter)
-    val finalCents = toArrays(centsDf)
-    (assign(s, vecs, finalCents), iters, finalCents)
+    var cents = seed
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = step(cents)
+      i += 1
+      var d = 0.0
+      var ci = 0
+      while (ci < k) {
+        var p = 0
+        while (p < dims) {
+          val diff = math.abs(next(ci)(p) - cents(ci)(p))
+          if (diff > d) d = diff
+          p += 1
+        }
+        ci += 1
+      }
+      converged = d <= eps
+      cents = next
+    }
+    (assign(s, vecs, cents), i, cents)
   }
 
   /** INCREMENTAL K-means [P §6-7] — the paper applies its incremental-
