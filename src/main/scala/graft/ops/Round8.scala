@@ -201,16 +201,53 @@ object Round8 {
     cached(s, d, "lshBucketsOld")(
       MinHash.bucketsOf(cachedLshBandedOld(s, d)).persist())
 
+  /** Per-bucket VERIFIED pairs of the base corpus — the MRBG-style
+    * per-GROUP intermediate store [P §5] for the LSH pipeline: for
+    * each bucket key, the exact-Jaccard-verified pairs that bucket
+    * generates (capped buckets contribute their pair enumeration,
+    * quarantined buckets their spanning star). Production persists it
+    * next to the band index (`incr.IndexStore` — all-integer rows);
+    * it is what makes per-batch VERIFICATION delta-proportional:
+    * untouched buckets' verified pairs pass through verbatim (docs
+    * are immutable and verification is pair-local, so a pair's
+    * verdict can never change while its bucket is untouched), and
+    * only touched buckets re-generate and re-verify. The flat pair
+    * graph is `select(doc_a, doc_b).distinct()` over this relation —
+    * equal to verifying the distinct candidates of all buckets,
+    * because J depends only on the two docs. */
+  private def cachedLshPairsByBucket(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "lshPairsByBucket") {
+      val bk = cachedLshBucketsOld(s, d)
+      val keyed = MinHash.candidatesFromBucketsKeyed(bk)
+        .unionByName(MinHash.starCandidatesKeyed(bk)).persist()
+      val verified = Dedup.verifyPairs(
+          keyed.select("doc_a", "doc_b").distinct(),
+          cachedDocSetsAll(s, d))
+        .select("doc_a", "doc_b")
+      val out = keyed.join(verified, Seq("doc_a", "doc_b"), "left_semi")
+        .localCheckpoint()
+      keyed.unpersist(blocking = false)
+      out
+    }
+
   /** q139's verified pair graph over the post-delta corpus, built
-    * from the SIGNED-maintained bucket relation: untouched buckets
-    * pass through from the stored relation, touched buckets rebuild.
+    * from the SIGNED-maintained per-bucket pair store: untouched
+    * buckets' verified pairs pass through from [[cachedLshPairsByBucket]],
+    * touched buckets re-generate candidates and re-verify — so BOTH
+    * candidate generation and exact verification are delta-sized (the
+    * earlier shape re-verified every bucket's candidates per batch,
+    * corpus-sized work at 100 TB).
     *
-    * Only the STORED state is memoized ([[cachedLshBandedOld]], the
-    * token relation); the delta maintenance itself re-runs on every
-    * invocation — like q147's SimHash path — so warm bench repeats
-    * measure the signed maintenance the query exists to demonstrate,
-    * not a memo hit. Per-run scratch is persist()ed and released
-    * once the verified pair graph materializes. */
+    * Soundness of the pass-through: a bucket is touched iff a delta
+    * doc (insert or delete) maps to it, so untouched buckets are
+    * byte-identical pre/post and contain no deleted docs; their
+    * candidate set and each pair's Jaccard verdict are therefore
+    * unchanged. `Round8Spec` proves the collapse over this graph ≡
+    * the batch collapse over the post corpus.
+    *
+    * Only STORED state is memoized (banded index, bucket relation,
+    * doc-set relation, per-bucket pair store); the delta maintenance
+    * re-runs per invocation, scratch persist()ed and released. */
   private def lshPairsIncr(s: SparkSession, d: String): DataFrame = {
     val toksAll = cachedToksAll(s, d)
     val bandedOld = cachedLshBandedOld(s, d)
@@ -223,22 +260,27 @@ object Round8 {
       .select("doc_id")
     val touched = MinHash.touchedKeys(bandedOld, bandedIns, deleted)
       .persist()
-    val bk = cachedLshBucketsOld(s, d)
+    val kept = cachedLshPairsByBucket(s, d)
       .join(broadcast(touched), Seq("band", "bh"), "left_anti")
-      .unionByName(MinHash.bucketsTouched(bandedOld, bandedIns, deleted,
-        touched = Some(touched)))
+    val rebuiltBk = MinHash.bucketsTouched(bandedOld, bandedIns, deleted,
+        touched = Some(touched))
       .persist()
-    val cands = MinHash.candidatesFromBuckets(bk)
-      .unionByName(MinHash.starCandidates(bk))
-      .distinct()
-    // verifyPairs is eager, so the scratch frames above are fully
-    // consumed by the time it returns — release them immediately.
-    // The doc-set side applies the delta to the STORED token-set
-    // relation (deletion = filter — see cachedDocSetsAll).
-    val pairs = Dedup.verifyPairs(cands,
+    val rebuiltKeyed = MinHash.candidatesFromBucketsKeyed(rebuiltBk)
+      .unionByName(MinHash.starCandidatesKeyed(rebuiltBk))
+      .persist()
+    // verify ONLY the touched buckets' candidates, against the
+    // delta-filtered STORED doc-set relation (see cachedDocSetsAll)
+    val rebuiltVerified = Dedup.verifyPairs(
+        rebuiltKeyed.select("doc_a", "doc_b").distinct(),
         cachedDocSetsAll(s, d).filter(col("doc_id") % 10 =!= 1))
       .select("doc_a", "doc_b")
-    Seq(bandedIns, touched, bk).foreach(_.unpersist(blocking = false))
+    val rebuilt = rebuiltKeyed
+      .join(rebuiltVerified, Seq("doc_a", "doc_b"), "left_semi")
+    val pairs = kept.unionByName(rebuilt)
+      .select("doc_a", "doc_b").distinct()
+      .localCheckpoint() // materialize before releasing the scratch
+    Seq(bandedIns, touched, rebuiltBk, rebuiltKeyed)
+      .foreach(_.unpersist(blocking = false))
     pairs
   }
 

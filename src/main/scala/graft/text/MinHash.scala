@@ -200,6 +200,33 @@ object MinHash {
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
 
+  /** [[candidatesFromBuckets]] WITH the generating bucket key — the
+    * provenance the signed PAIR-STORE maintenance needs ([P §5]
+    * per-group intermediates: stored verified pairs keyed by bucket
+    * pass through untouched-bucket maintenance verbatim; only touched
+    * buckets re-generate). Pair semantics are identical:
+    * `candidatesFromBuckets(bk) == candidatesFromBucketsKeyed(bk)
+    * .select("doc_a","doc_b").distinct()`. Within one bucket the
+    * (i < j) enumeration is duplicate-free, so no distinct here. */
+  def candidatesFromBucketsKeyed(bk: DataFrame,
+                                 maxBucket: Int = MaxBucket): DataFrame =
+    bk.filter(size(col("ds")) <= maxBucket)
+      .select(col("band"), col("bh"), col("ds"), posexplode(col("ds")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
+      .repartition(col("i"), col("doc_a"))
+      .select(col("band"), col("bh"), col("doc_a"), explode(
+        slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("doc_b"))
+
+  /** [[starCandidates]] WITH the generating bucket key (see
+    * [[candidatesFromBucketsKeyed]]). */
+  def starCandidatesKeyed(bk: DataFrame,
+                          maxBucket: Int = MaxBucket): DataFrame =
+    bk.filter(size(col("ds")) > maxBucket)
+      .select(col("band"), col("bh"),
+        element_at(col("ds"), 1).as("doc_a"),
+        explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+
   /** Oversized buckets, one row per (band, bh): how many docs
     * collided and a bounded sample of them. A production pipeline
     * handles these out-of-band (exact dedup inside the bucket —

@@ -282,6 +282,46 @@ class Round9Spec extends SparkSpecBase {
   }
 
   // ---------------------------------------------------------------
+  // The per-bucket pair store's provenance contract
+  // ---------------------------------------------------------------
+
+  test("keyed candidate generators: pair semantics identical to the unkeyed path") {
+    // the signed pair-store maintenance passes untouched buckets'
+    // verified pairs through by bucket key — sound only if the keyed
+    // generators enumerate exactly the unkeyed pairs (per bucket,
+    // with provenance)
+    val bk = MinHash.bucketsOf(MinHash.banded(MinHash.signatures(
+      Dedup.subsetTokens(spark, sfDir)))).localCheckpoint()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(MinHash.candidatesFromBucketsKeyed(bk)) ==
+      pairSet(MinHash.candidatesFromBuckets(bk)))
+    assert(pairSet(MinHash.starCandidatesKeyed(bk)) ==
+      pairSet(MinHash.starCandidates(bk)))
+    // provenance rows carry valid bucket keys: every (band, bh) in the
+    // keyed output exists in the bucket relation
+    val keyed = MinHash.candidatesFromBucketsKeyed(bk)
+      .unionByName(MinHash.starCandidatesKeyed(bk)).localCheckpoint()
+    val orphans = keyed
+      .join(bk.select("band", "bh"), Seq("band", "bh"), "left_anti")
+    assert(orphans.limit(1).count() == 0,
+      "keyed candidates must reference real bucket keys")
+    // and the pair store (all-integer rows) round-trips Parquet
+    // verbatim like the other three stored relations
+    val dir = java.nio.file.Files.createTempDirectory("graft_pair_store")
+    try {
+      IndexStore.write(keyed, s"$dir/pairs")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getAs[Number](1).longValue,
+          r.getLong(2), r.getLong(3))).toSet
+      assert(rows(IndexStore.read(spark.newSession(), s"$dir/pairs")) ==
+        rows(keyed.select("band", "bh", "doc_a", "doc_b")),
+        "the per-bucket pair store must round-trip Parquet verbatim")
+    } finally deleteRecursively(dir)
+  }
+
+  // ---------------------------------------------------------------
   // Memo eviction registry
   // ---------------------------------------------------------------
 
