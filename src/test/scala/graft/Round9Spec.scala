@@ -200,6 +200,41 @@ class Round9Spec extends SparkSpecBase {
       "the composite update delta must equal the full post-update view")
   }
 
+  test("viewApplyDelta == full recompute for ARBITRARY signed fact deltas (property)") {
+    val sp = spark
+    import sp.implicits._
+    // the abelian-group argument says the merge is correct for ANY
+    // delta mix — inserts, deletes, same-key updates, whole groups
+    // appearing or vanishing; check it on random fact multisets
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Vector("A", "B", "C", "D", "E")
+      def facts(n: Int) = Vector.fill(n)(
+        (keys(rnd.nextInt(keys.size)),
+          new java.math.BigDecimal(s"${rnd.nextInt(10000)}.${10 + rnd.nextInt(90)}")))
+      val base = facts(80)
+      val delIdx = (0 until base.size).filter(_ => rnd.nextInt(4) == 0).toSet
+      val del = delIdx.toVector.sorted.map(base)
+      val ins = facts(30)
+      def view(rows: Vector[(String, java.math.BigDecimal)]) = rows
+        .toDF("n_name", "p")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast("decimal(18,2)")).as("rev"))
+      val survivors = base.indices.filterNot(delIdx).toVector.map(base)
+      val merged = graft.ops.Round8
+        .viewApplyDelta(view(base), view(ins), view(del))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val full = view(survivors ++ ins)
+        .select(col("n_name"), col("n"),
+          graft.engine.Dec.dbl(col("rev")).as("rev"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(merged == full, s"seed=$seed: signed merge must equal recompute")
+    }
+  }
+
   test("dedupApplyDelta: a doc UPDATE (delete + insert, same doc_id) in one batch") {
     val sp = spark
     import sp.implicits._
