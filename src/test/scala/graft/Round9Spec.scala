@@ -255,6 +255,31 @@ class Round9Spec extends SparkSpecBase {
       s"got $out — the update must leave ha={1} and hb={2,3} keyed by min")
   }
 
+  test("index composite update: a doc in BOTH delta halves lands on its new signature") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1's text changes, so the one signed batch deletes it AND
+    // re-inserts the SAME doc_id under new band hashes: applyDelta
+    // must remove the old rows first (anti-join) so the new rows
+    // survive — (old ∪ ins) minus deleted would wrongly erase them
+    val old = Seq((1L, 0, 11L), (1L, 1, 12L), (2L, 0, 21L), (2L, 1, 22L))
+      .toDF("doc_id", "band", "bh")
+    val ins = Seq((1L, 0, 91L), (1L, 1, 12L)).toDF("doc_id", "band", "bh")
+    val deleted = Seq(Tuple1(1L)).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(MinHash.indexApplyDelta(old, ins, deleted)) ==
+      Set((1L, 0, 91L), (1L, 1, 12L), (2L, 0, 21L), (2L, 1, 22L)),
+      "the updated doc must carry exactly its NEW signature rows")
+    // the touched keys must cover the doc's OLD buckets (where it
+    // disappears from) AND its NEW buckets (where it appears) — the
+    // bucket rebuild is correct only if both sides rebuild
+    val touched = MinHash.touchedKeys(old, ins, deleted)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(touched == Set((0, 11L), (1, 12L), (0, 91L)),
+      s"got $touched — old and new keys of the updated doc must be touched")
+  }
+
   test("SCD2 composite update (status correction, one signed batch) == full rebuild") {
     val cut = lit("1998-01-01").cast("timestamp")
     val o = graft.engine.Tables.orders(spark, sfDir)
