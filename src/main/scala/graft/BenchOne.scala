@@ -14,10 +14,31 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROFILE=1: per-rep Spark job count + total job wall
+    // time, to attribute a slow query to job-launch granularity vs
+    // actual compute (the r9 LSH-incr diagnosis tool).
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (profile) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, System.nanoTime())
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          jobs.incrementAndGet()
+          Option(starts.remove(j.jobId))
+            .foreach(t0 => jobNanos.addAndGet(System.nanoTime() - t0))
+        }
+      })
     for (r <- 1 to reps) {
+      val (j0, n0) = (jobs.get(), jobNanos.get())
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[benchone] $name rep=$r rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t = (System.nanoTime() - t0) / 1e9
+      val extra = if (profile)
+        f" jobs=${jobs.get() - j0} jobtime=${(jobNanos.get() - n0) / 1e9}%.2f s" else ""
+      println(f"[benchone] $name rep=$r rows=$n t=$t%.2f s$extra")
     }
     spark.stop()
   }

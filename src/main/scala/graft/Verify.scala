@@ -19,6 +19,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-contract guard (VERDICT r9): if the driver regenerated
+    // testdata with a ts layout the reader mis-sniffs, every
+    // absolute-time query silently fails the oracle. Assert the
+    // documented 2024 range HERE so the break is one loud line in the
+    // verify log instead of 12 unexplained red rows.
+    try {
+      import org.apache.spark.sql.functions.{col, min, max}
+      val mn = graft.engine.Tables.events(spark, sfDir)
+        .agg(min(col("ts")), max(col("ts"))).head()
+      val (lo, hi) = (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+                      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+      if (mn.getTimestamp(0).before(lo) || !mn.getTimestamp(1).before(hi))
+        System.err.println(s"[verify] FIXTURE-CONTRACT VIOLATION: events.ts " +
+          s"range [${mn.getTimestamp(0)}, ${mn.getTimestamp(1)}] outside " +
+          "documented 2024 range — Tables.events unit sniff is wrong for " +
+          "this testdata; expect every absolute-time query to fail")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] fixture-contract check failed: ${e.getMessage}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+
+/** Pins every fixture-shape assumption the engine bakes in, so the
+  * NEXT driver-side testdata regeneration fails HERE with the observed
+  * schema — not silently in the oracle (VERDICT r9: a ts unit change
+  * cost 12 queries because nothing asserted the absolute time range).
+  *
+  * The driver has already shipped events.ts in two physical layouts
+  * (TIMESTAMP(NANOS) rounds 1–8, timestamp[us] NTZ round 9+);
+  * Tables.events sniffs the layout, and this spec proves the sniff
+  * landed on the documented values whatever the layout was.
+  */
+class FixtureContractSpec extends SparkSpecBase {
+
+  test("events.ts normalizes to TimestampType inside the documented 2024 range") {
+    val ev = Tables.events(spark, sfDir)
+    val obs = ev.schema.treeString
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"events.ts must normalize to TimestampType; observed schema:\n$obs")
+    val mm = ev.agg(
+      min(col("ts")).as("mn"), max(col("ts")).as("mx"),
+      count(lit(1)).as("n")).head()
+    val (mn, mx) = (mm.getTimestamp(0), mm.getTimestamp(1))
+    assert(mm.getLong(2) > 0, "events must be non-empty")
+    // Documented fixture range: January 2024 (TESTDATA.md / BASELINE).
+    // A unit-skewed read lands in 1970 (too small) or year ~56k (too
+    // big) — either fails this bracket by 4+ decades of margin.
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    assert(!mn.before(lo) && mx.before(hi),
+      s"events.ts out of documented 2024 range: min=$mn max=$mx (unit-sniff wrong? observed schema:\n$obs)")
+  }
+
+  test("tbl(events) and events() agree (single normalized entry point)") {
+    val a = Tables.tbl(spark, sfDir, "events")
+    assert(a.schema("ts").dataType == TimestampType)
+  }
+
+  test("date columns read as a timestamp-typed column in 2024-range") {
+    // l_shipdate / o_orderdate are timestamp[us] in the current
+    // fixture; the native reader may surface TIMESTAMP or
+    // TIMESTAMP_NTZ depending on inferTimestampNTZ — both compare
+    // consistently with the DuckDB oracle under the UTC session, so
+    // the contract is: timestamp-family type + sane absolute range.
+    for ((df, c) <- Seq((Tables.lineitem(spark, sfDir), "l_shipdate"),
+                        (Tables.orders(spark, sfDir), "o_orderdate"))) {
+      val dt = df.schema(c).dataType
+      assert(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
+        s"$c: unexpected type $dt; observed schema:\n${df.schema.treeString}")
+      val yr = df.agg(min(year(col(c))), max(year(col(c)))).head()
+      assert(yr.getInt(0) >= 1990 && yr.getInt(1) <= 2030,
+        s"$c year range [${yr.getInt(0)}, ${yr.getInt(1)}] outside sane bounds")
+    }
+  }
+
+  test("money columns are exact 2-dp doubles (Dec.dec2 contract)") {
+    // Dec relies on raw money doubles being EXACTLY representable at
+    // 2 dp so the decimal cast is tie-free on both engines. Violations
+    // here mean every Dec-based aggregate can hash-mismatch DuckDB.
+    val checks = Seq(
+      (Tables.lineitem(spark, sfDir), Seq("l_quantity", "l_extendedprice")),
+      (Tables.orders(spark, sfDir), Seq("o_totalprice")),
+      (Tables.customer(spark, sfDir), Seq("c_acctbal")),
+      (Tables.supplier(spark, sfDir), Seq("s_acctbal")),
+      (Tables.part(spark, sfDir), Seq("p_retailprice")),
+      (Tables.events(spark, sfDir), Seq("value")))
+    for ((df, cols) <- checks; c <- cols) {
+      val bad = df.filter(
+        col(c).isNotNull &&
+        col(c) =!= col(c).cast(DecimalType(18, 2)).cast(DoubleType)).count()
+      assert(bad == 0L, s"$c: $bad values are not exact at 2 dp")
+    }
+  }
+
+  test("discount/tax factors are exact 4-dp doubles (Dec.dec4s contract)") {
+    val li = Tables.lineitem(spark, sfDir)
+    for (c <- Seq("l_discount", "l_tax")) {
+      val bad = li.filter(
+        col(c).isNotNull &&
+        col(c) =!= col(c).cast(DecimalType(8, 4)).cast(DoubleType)).count()
+      assert(bad == 0L, s"$c: $bad values are not exact at 4 dp")
+    }
+  }
+
+  test("embeddings.embedding is array<float> with consistent dims") {
+    val em = Tables.embeddings(spark, sfDir)
+    assert(em.schema("embedding").dataType == ArrayType(FloatType, containsNull = true) ||
+           em.schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+      s"embedding type: ${em.schema("embedding").dataType}; observed schema:\n${em.schema.treeString}")
+    val dims = em.select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.length == 1, s"ragged embedding dims: ${dims.toSeq}")
+  }
+
+  test("documents table carries the text-pipeline columns") {
+    val doc = Tables.documents(spark, sfDir)
+    for (c <- Seq("doc_id", "text", "lang", "source", "n_chars"))
+      assert(doc.columns.contains(c),
+        s"documents missing $c; observed schema:\n${doc.schema.treeString}")
+  }
+}
