@@ -22,13 +22,20 @@ object BenchOne {
     val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     if (profile) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
-        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          starts.put(j.jobId, System.nanoTime())
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          starts.put(j.jobId, (System.nanoTime(), site))
+        }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           jobs.incrementAndGet()
-          Option(starts.remove(j.jobId))
-            .foreach(t0 => jobNanos.addAndGet(System.nanoTime() - t0))
+          Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
+            val dt = System.nanoTime() - t0
+            jobNanos.addAndGet(dt)
+            if (dt > 2e8) // report jobs over 0.2 s with their call site
+              println(f"[benchone]   job ${j.jobId} ${dt / 1e9}%.2f s  $site")
+          }
         }
       })
     for (r <- 1 to reps) {

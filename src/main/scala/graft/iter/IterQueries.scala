@@ -263,11 +263,21 @@ object IterQueries {
     *
     * Returns the final state WITH its frontier flag: (node, valCol,
     * chg) — `chg` marks nodes improved in the last iteration, i.e.
-    * the restart frontier. */
+    * the restart frontier.
+    *
+    * `matEvery` — iterations between localCheckpoints. The default
+    * (the shared [[checkpointEvery]]) trades materialization jobs for
+    * lineage depth; short fixed loops whose per-round broadcasts
+    * would otherwise re-plan and re-compute a growing join chain
+    * (each broadcast build is its own job over the full lineage since
+    * the last materialization) pass 1 to flatten every round — the
+    * r9 LSH-collapse job-cascade fix. */
   def minPropagate(edges: DataFrame, state0: DataFrame,
                    changed0: DataFrame, valCol: String,
-                   delta: Long, iters: Int): DataFrame = {
+                   delta: Long, iters: Int,
+                   matEvery: Int = checkpointEvery): DataFrame = {
     require(iters >= 1, "minPropagate needs at least one iteration")
+    require(matEvery >= 1, "matEvery must be positive")
     var last: DataFrame = null
     var state = state0
     var changed = changed0 // columns: cnode, cval
@@ -279,7 +289,7 @@ object IterQueries {
         .select(col("node"),
           least(col(valCol), coalesce(col("mc"), lit(INF))).as(valCol),
           (coalesce(col("mc"), lit(INF)) < col(valCol)).as("chg"))
-      val mat = if (i % checkpointEvery == 0) ns.localCheckpoint() else ns
+      val mat = if (i % matEvery == 0) ns.localCheckpoint() else ns
       last = mat
       state = mat.select("node", valCol)
       changed = mat.filter(col("chg"))

@@ -230,6 +230,16 @@ object Round8 {
       out
     }
 
+  /** The FLAT distinct view of the stored per-bucket pair relation —
+    * derived stored state (production materializes it next to the
+    * keyed store; it is two longs per verified pair, so it stays
+    * broadcastable at near-dup scale). The maintenance path uses it
+    * for pair-level verdict pass-through. */
+  private def cachedLshKnownGood(s: SparkSession, d: String): DataFrame =
+    cached(s, d, "lshKnownGood")(
+      cachedLshPairsByBucket(s, d).select("doc_a", "doc_b").distinct()
+        .persist())
+
   /** q139's verified pair graph over the post-delta corpus, built
     * from the SIGNED-maintained per-bucket pair store: untouched
     * buckets' verified pairs pass through from [[cachedLshPairsByBucket]],
@@ -262,24 +272,44 @@ object Round8 {
       .persist()
     val kept = cachedLshPairsByBucket(s, d)
       .join(broadcast(touched), Seq("band", "bh"), "left_anti")
+      .select("doc_a", "doc_b")
     val rebuiltBk = MinHash.bucketsTouched(bandedOld, bandedIns, deleted,
         touched = Some(touched))
       .persist()
-    val rebuiltKeyed = MinHash.candidatesFromBucketsKeyed(rebuiltBk)
-      .unionByName(MinHash.starCandidatesKeyed(rebuiltBk))
-      .persist()
-    // verify ONLY the touched buckets' candidates, against the
-    // delta-filtered STORED doc-set relation (see cachedDocSetsAll)
-    val rebuiltVerified = Dedup.verifyPairs(
-        rebuiltKeyed.select("doc_a", "doc_b").distinct(),
-        cachedDocSetsAll(s, d).filter(col("doc_id") % 10 =!= 1))
-      .select("doc_a", "doc_b")
-    val rebuilt = rebuiltKeyed
-      .join(rebuiltVerified, Seq("doc_a", "doc_b"), "left_semi")
-    val pairs = kept.unionByName(rebuilt)
-      .select("doc_a", "doc_b").distinct()
+    // The flat rebuilt pairs ARE the verified distinct candidates of
+    // the touched buckets (a pair's Jaccard verdict depends only on
+    // the two docs, not the generating bucket), so no keyed
+    // enumeration + semi-join round-trip is needed on the query path —
+    // that shape cost a persist and an extra shuffle join per batch
+    // (VERDICT r9's job-granularity finding).
+    val rebuiltCands = MinHash.candidatesFromBuckets(rebuiltBk)
+      .unionByName(MinHash.starCandidates(rebuiltBk))
+      .persist() // two consumers below — generate the pairs once
+    // PAIR-LEVEL verdict pass-through: docs are immutable, so a
+    // rebuilt candidate that already sits in the stored verified-pair
+    // relation needs NO re-verification — its verdict cannot have
+    // changed (on this churn-degenerate fixture that is 77% of the
+    // rebuilt candidates; at 100 TB it is every old-doc pair of every
+    // touched bucket). The stored flat pair set is near-dup-sized
+    // (two longs per pair), so both splits are broadcast map-side
+    // joins — the candidate stream never shuffles for them. Only
+    // candidates OUTSIDE the store (pairs touching an insert, cap-
+    // reveals, and previously-failed pairs) reach the exact-Jaccard
+    // join. Verification runs against the UNFILTERED stored doc-set
+    // relation: rebuilt buckets contain no deleted docs (bucketsTouched
+    // applies the delta before grouping), so the join never looks up a
+    // deleted doc and a per-invocation filter+persist is dead weight.
+    val knownGood = broadcast(cachedLshKnownGood(s, d))
+    val rebuilt = rebuiltCands.join(knownGood, Seq("doc_a", "doc_b"), "left_semi")
+      .unionByName(Dedup.verifyPairsLazy(
+          rebuiltCands.join(knownGood, Seq("doc_a", "doc_b"), "left_anti"),
+          cachedDocSetsAll(s, d))
+        .select("doc_a", "doc_b"))
+    // ONE materialization for the whole maintenance: pass-through ∪
+    // rebuild ∪ verify fuse into this single checkpoint action.
+    val pairs = kept.unionByName(rebuilt).distinct()
       .localCheckpoint() // materialize before releasing the scratch
-    Seq(bandedIns, touched, rebuiltBk, rebuiltKeyed)
+    Seq(bandedIns, touched, rebuiltBk, rebuiltCands)
       .foreach(_.unpersist(blocking = false))
     pairs
   }
@@ -296,14 +326,23 @@ object Round8 {
                           pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Frontier/broadcast min-label propagation (minPropagate): after
+    // round 1 the changed frontier collapses to near-empty, so rounds
+    // 2-5 are broadcast-join no-ops — measured FASTER here (and the
+    // right 100 TB shape: the corpus-sized state never re-shuffles)
+    // than a fused all-nodes shuffle plan, which pays 3 shuffle
+    // stages x 5 rounds over the full state every time (measured
+    // 2.3 s vs 1.3 s warm on the sf0.1 fixture). The checkpoint runs
+    // INSIDE the conf block: Spark reads session conf at ACTION time.
     graft.iter.IterQueries.loopConf(s) {
       val state0 = docs
         .select(col("doc_id").as("node"), col("doc_id").as("label"))
       val changed0 = state0
         .select(col("node").as("cnode"), col("label").as("cval"))
       graft.iter.IterQueries
-        .minPropagate(edges, state0, changed0, "label", 0L, 5)
+        .minPropagate(edges, state0, changed0, "label", 0L, 5, matEvery = 1)
         .select(col("node").as("doc_id"), col("label").as("keep_id"))
+        .localCheckpoint()
     }
   }
 
@@ -560,10 +599,11 @@ object Round8 {
       * with the exact collapse is ≥ 90% (measured: 98%).
       * Production termination for >5-hop chains:
       * [[graft.iter.IterQueries.minPropagateUntilStable]]. */
-    "q_dedup_groups_lsh" -> ((s, d) => {
-      val out = lshCollapse(s, documents(s, d), cachedLshPairs(s, d))
-      graft.iter.IterQueries.finish(out).orderBy("doc_id")
-    }),
+    "q_dedup_groups_lsh" -> ((s, d) =>
+      // lshCollapse returns checkpointed — orderBy's range-partition
+      // sampling re-reads the materialized result, not the loop plan
+      lshCollapse(s, documents(s, d), cachedLshPairs(s, d))
+        .orderBy("doc_id")),
 
     /** q142: SIGNED incremental maintenance of an aggregated join
       * view [P §3 — the full '+'/'-' delta model on q92's
@@ -689,8 +729,7 @@ object Round8 {
       * be result-invisible. */
     "q_dedup_groups_lsh_incr" -> ((s, d) => {
       val docsPost = documents(s, d).filter(col("doc_id") % 10 =!= 1)
-      val out = lshCollapse(s, docsPost, lshPairsIncr(s, d))
-      graft.iter.IterQueries.finish(out).orderBy("doc_id")
+      lshCollapse(s, docsPost, lshPairsIncr(s, d)).orderBy("doc_id")
     })
   )
 

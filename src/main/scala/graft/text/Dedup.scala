@@ -49,20 +49,31 @@ object Dedup {
     val callerCached =
       sets.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val mat = if (callerCached) sets else sets.persist()
-    val a = mat.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+    val out = verifyPairsLazy(cands, mat)
+    if (callerCached) graft.iter.IterQueries.finish(out)
+    else graft.iter.IterQueries.finish(out, mat)
+  }
+
+  /** [[verifyPairs]] WITHOUT the eager checkpoint — the exact-Jaccard
+    * verify join as a lazy frame, for callers that materialize the
+    * pair graph themselves in ONE downstream action (the signed LSH
+    * maintenance fuses pass-through ∪ rebuild ∪ verify into a single
+    * checkpoint; an extra eager materialization here would double the
+    * job count for no reuse). `sets` must be a caller-managed stored
+    * relation (a persisted memo); this function persists nothing. */
+  def verifyPairsLazy(cands: DataFrame, sets: DataFrame): DataFrame = {
+    val a = sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       col("sz").as("sz_a"))
-    val b = mat.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+    val b = sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
       col("sz").as("sz_b"))
     // doc-set side is doc-count-sized (small next to the pair set):
     // broadcast both probes so the candidate stream never shuffles
-    val out = cands.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+    cands.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b")))
         .cast("bigint"))
       .withColumn("union_sz", (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("inter") * 2 >= col("union_sz"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
-    if (callerCached) graft.iter.IterQueries.finish(out)
-    else graft.iter.IterQueries.finish(out, mat)
   }
 
   /** Exact Jaccard-qualified pairs (J >= 0.5) over a (doc_id, tok)

@@ -171,7 +171,13 @@ object MinHash {
     bk.filter(size(col("ds")) <= maxBucket)
       .select(col("ds"), posexplode(col("ds")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
-      .repartition(col("i"), col("doc_a"))
+      // no redistribution between the two generators: the cap bounds
+      // a row's expansion at maxBucket-1 partners, so the posexplode
+      // rows (already spread by the bucket groupBy's shuffle) bound
+      // per-task work — a repartition here was one whole extra
+      // shuffle of the candidate stream per run. (The historical
+      // skew risk was the pre-cap quadratic in-row pair array; the
+      // cap + slice-explode shape removed it.)
       .select(col("doc_a"), explode(
         slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("doc_b"))
       .distinct()
@@ -213,7 +219,7 @@ object MinHash {
     bk.filter(size(col("ds")) <= maxBucket)
       .select(col("band"), col("bh"), col("ds"), posexplode(col("ds")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "doc_a")
-      .repartition(col("i"), col("doc_a"))
+      // no repartition — see [[candidatesFromBuckets]]
       .select(col("band"), col("bh"), col("doc_a"), explode(
         slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("doc_b"))
 
