@@ -29,7 +29,7 @@ object SparkEntry {
       Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
       TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
-      Round3.defs ++ Round6.defs ++ Round8.defs ++ Round9.defs ++
+      Round3.defs ++ Round6.defs ++ Round8.defs ++ Round9.defs ++ Round10.defs ++
       Curation.defs ++ HeavyHitters.defs ++ BloomPrune.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -43,6 +43,6 @@ object SparkEntry {
       Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
       TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++
-      Round3.sql ++ Round6.sql ++ Round8.sql ++ Round9.sql ++
+      Round3.sql ++ Round6.sql ++ Round8.sql ++ Round9.sql ++ Round10.sql ++
       Curation.sql ++ HeavyHitters.sql ++ BloomPrune.sql
 }

@@ -207,16 +207,20 @@ object Dedup {
       val pairs = cachedSubsetPairs(s, d)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val out = graft.iter.IterQueries.loopConf(s) {
+      // matEvery=1 + checkpoint INSIDE the conf block (conf is read at
+      // ACTION time): every round's broadcast builds from materialized
+      // rows instead of re-planning the growing join chain — the r10
+      // LSH-collapse fix applied to the whole collapse family
+      graft.iter.IterQueries.loopConf(s) {
         val state0 = cachedSubsetDocs(s, d)
           .select(col("doc_id").as("node"), col("doc_id").as("label"))
         val changed0 = state0
           .select(col("node").as("cnode"), col("label").as("cval"))
         graft.iter.IterQueries
-          .minPropagate(edges, state0, changed0, "label", 0L, 5)
+          .minPropagate(edges, state0, changed0, "label", 0L, 5, matEvery = 1)
           .select(col("node").as("doc_id"), col("label").as("keep_id"))
-      }
-      graft.iter.IterQueries.finish(out).orderBy("doc_id")
+          .localCheckpoint()
+      }.orderBy("doc_id")
     }),
 
     /** q126: CROSS-MODAL dedup collapse [N] — "same document if
@@ -245,16 +249,17 @@ object Dedup {
       val pairs = tp.unionByName(ep)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      val out = graft.iter.IterQueries.loopConf(s) {
+      // matEvery=1 + in-block checkpoint — see q108's collapse note
+      graft.iter.IterQueries.loopConf(s) {
         val state0 = documents(s, d)
           .select(col("doc_id").as("node"), col("doc_id").as("label"))
         val changed0 = state0
           .select(col("node").as("cnode"), col("label").as("cval"))
         graft.iter.IterQueries
-          .minPropagate(edges, state0, changed0, "label", 0L, 5)
+          .minPropagate(edges, state0, changed0, "label", 0L, 5, matEvery = 1)
           .select(col("node").as("doc_id"), col("label").as("keep_id"))
-      }
-      graft.iter.IterQueries.finish(out).orderBy("doc_id")
+          .localCheckpoint()
+      }.orderBy("doc_id")
     }),
 
     /** q109: asymmetric CONTAINMENT pairs — |A∩B| / |A| >= 0.8 for

@@ -84,16 +84,17 @@ object Similarity {
       val pairs = cachedCosinePairs04(s, d)
       val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      val out = graft.iter.IterQueries.loopConf(s) {
+      // matEvery=1 + in-block checkpoint — see q108's collapse note
+      graft.iter.IterQueries.loopConf(s) {
         val state0 = embeddings(s, d)
           .select(col("vec_id").as("node"), col("vec_id").as("label"))
         val changed0 = state0
           .select(col("node").as("cnode"), col("label").as("cval"))
         graft.iter.IterQueries
-          .minPropagate(edges, state0, changed0, "label", 0L, 5)
+          .minPropagate(edges, state0, changed0, "label", 0L, 5, matEvery = 1)
           .select(col("node").as("vec_id"), col("label").as("keep_id"))
-      }
-      graft.iter.IterQueries.finish(out).orderBy("vec_id")
+          .localCheckpoint()
+      }.orderBy("vec_id")
     })
   )
 
