@@ -146,4 +146,37 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("row_number"), s"no row_number window:\n$p")
     assert(p.contains("md5"), s"sample order must be the md5 hash:\n$p")
   }
+
+  test("verifyPairsLazy: doc-set probes broadcast, candidate stream never shuffles") {
+    // The exact-Jaccard verify is the hot half of every LSH batch: its
+    // contract (Dedup scaladoc) is that the doc-count-sized set
+    // relation broadcasts to BOTH probe sides and the pair stream
+    // passes through map-side. A SortMergeJoin here means the
+    // candidate stream shuffles — the r10 maintenance-cost fix relies
+    // on this staying broadcast.
+    import graft.text.Dedup
+    val toks = Dedup.tokens(spark, sfDir)
+    val sets = Dedup.docSets(toks)
+    val cands = toks.select(org.apache.spark.sql.functions.col("doc_id"))
+      .distinct().limit(50)
+      .selectExpr("doc_id AS doc_a", "doc_id + 1 AS doc_b")
+    val p = Dedup.verifyPairsLazy(cands, sets)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both doc-set probes must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate stream must not shuffle for the verify:\n$p")
+  }
+
+  test("candidatesFromBuckets: no shuffle beyond bucket agg + distinct") {
+    // r10 removed the repartition(i, doc_a) between the two pair
+    // generators (the MaxBucket cap already bounds per-row expansion)
+    // — pin its absence so the extra candidate-stream shuffle cannot
+    // silently return.
+    import graft.text.{Dedup, MinHash}
+    val p = MinHash.candidates(MinHash.signatures(Dedup.tokens(spark, sfDir)))
+      .queryExecution.executedPlan.toString
+    assert(!"hashpartitioning\\(i#".r.findFirstIn(p).isDefined,
+      s"pair generation re-shuffles on (i, doc_a):\n$p")
+  }
 }
