@@ -95,6 +95,37 @@ class FixtureContractSpec extends SparkSpecBase {
     assert(dims.length == 1, s"ragged embedding dims: ${dims.toSeq}")
   }
 
+  test("events reader unit-sniffs plain int64 ts across all four epoch units") {
+    // The current fixture exercises only the native timestamp[us]
+    // path; this pins the LongType fallback: a regenerated fixture
+    // shipping ts as a raw integer epoch in seconds/millis/micros/
+    // nanos must land on the same instant. 2024-era magnitudes sit
+    // four decades apart per unit, so one sampled row decides.
+    import org.apache.spark.sql.Row
+    import java.nio.file.Files
+    val anchorUs = java.sql.Timestamp.valueOf("2024-01-05 12:00:00")
+      .getTime * 1000L // ms -> us
+    val units = Seq("s" -> anchorUs / 1000000L, "ms" -> anchorUs / 1000L,
+      "us" -> anchorUs, "ns" -> anchorUs * 1000L)
+    for ((unit, v) <- units) {
+      val dir = Files.createTempDirectory(s"graft_tsunit_$unit").toString
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val rows = java.util.Arrays.asList(
+        Row(1L, v, 7L, "click", 1.0, "{}"), Row(2L, v + (v / 1000000L), 8L, "view", 2.0, "{}"))
+      spark.createDataFrame(rows, schema)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Tables.events(spark, dir).orderBy("event_id")
+        .select("ts").head().getTimestamp(0)
+      assert(got == java.sql.Timestamp.valueOf("2024-01-05 12:00:00"),
+        s"unit=$unit: normalized to $got")
+      deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("documents table carries the text-pipeline columns") {
     val doc = Tables.documents(spark, sfDir)
     for (c <- Seq("doc_id", "text", "lang", "source", "n_chars"))

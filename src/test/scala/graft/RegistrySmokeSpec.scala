@@ -9,6 +9,18 @@ class RegistrySmokeSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("registry size matches SURVEY §2 — a duplicate key across the merged maps would silently drop a query") {
+    // `queries` is a ++ of ~27 per-module maps; Map.++ keeps the LAST
+    // binding for a colliding key, so a copy-pasted name in a new
+    // round file would shadow an old operator with zero compile
+    // signal. Pin the declared inventory count (update alongside
+    // SURVEY §2's totals block when adding rows).
+    assert(SparkEntry.queries.size == 156,
+      s"expected 156 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
+    assert(SparkEntry.oracleSql.size == 144,
+      s"expected 144 oracle entries, found ${SparkEntry.oracleSql.size}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
