@@ -87,6 +87,12 @@ object Tables {
         case TimestampType    => df
         case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
         case LongType         => df.withColumn("ts", timestamp_micros(longEpochToMicros(df)))
+        // insurance against the next plausible drifts: a DATE column
+        // (day precision) and an ISO-8601 string both cast cleanly
+        // under the UTC session; FixtureContractSpec's 2024-range
+        // check still arbitrates whether the values are sane
+        case DateType         => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _: StringType    => df.withColumn("ts", col("ts").cast(TimestampType))
         case other => throw new IllegalStateException(
           s"events.ts: unsupported physical type $other in $path")
       }

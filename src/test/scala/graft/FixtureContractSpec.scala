@@ -126,6 +126,23 @@ class FixtureContractSpec extends SparkSpecBase {
     }
   }
 
+  test("events reader normalizes a string ts column") {
+    import org.apache.spark.sql.Row
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_tsstr").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", StringType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "2024-01-05 12:00:00", 7L, "click", 1.0, "{}"))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir).select("ts").head().getTimestamp(0)
+    assert(got == java.sql.Timestamp.valueOf("2024-01-05 12:00:00"))
+    deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("documents table carries the text-pipeline columns") {
     val doc = Tables.documents(spark, sfDir)
     for (c <- Seq("doc_id", "text", "lang", "source", "n_chars"))
