@@ -330,9 +330,12 @@ object Round8 {
     // round 1 the changed frontier collapses to near-empty, so rounds
     // 2-5 are broadcast-join no-ops — measured FASTER here (and the
     // right 100 TB shape: the corpus-sized state never re-shuffles)
-    // than a fused all-nodes shuffle plan, which pays 3 shuffle
-    // stages x 5 rounds over the full state every time (measured
-    // 2.3 s vs 1.3 s warm on the sf0.1 fixture). The checkpoint runs
+    // than BOTH a fused all-nodes shuffle plan (2.3 s vs 1.1 s warm at
+    // sf0.1: 3 shuffle stages x 5 rounds over the full state) AND an
+    // until-stable early-exit loop (the per-round emptiness count
+    // costs what the skipped no-op rounds cost; measured a wash).
+    // matEvery=1 flattens lineage each round so the broadcast builds
+    // never re-plan the growing join chain. The checkpoint runs
     // INSIDE the conf block: Spark reads session conf at ACTION time.
     graft.iter.IterQueries.loopConf(s) {
       val state0 = docs
