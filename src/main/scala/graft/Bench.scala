@@ -18,9 +18,21 @@ object Bench {
     // (the cold/single-sample-equivalent total) is emitted alongside
     // for cross-round comparison.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
+    // Host 1/5/15-min loadavg, sampled at start and end: this host
+    // carries bursty EXTERNAL load (BASELINE.md), so every bench line
+    // self-annotates with the ambient conditions it ran under
+    // (VERDICT r10 asked for exactly this provenance).
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unknown" }
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/tests: events-time queries read the same
+      // instants here as under the oracle on any host tz (ADVICE r10)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -85,10 +97,11 @@ object Bench {
     // top-40-slowest line, then the short totals line LAST — the final
     // two lines together (~1.2 KB) fit any tail capture, so the judge
     // always sees the complete heavy tail plus a parseable total.
+    val loadEnd = loadavg()
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"top40","queries":$top40,"cached_rdds":${storage.length},"cached_mem_mb":$cachedMb,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"cached_mem_mb":$cachedMb,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"cached_mem_mb":$cachedMb,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,9 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/tests: events-time queries read the same
+      // instants here as under the oracle on any host tz (ADVICE r10)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,6 +46,10 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus so this rep's counters include
+      // its own tail jobs instead of leaking into the next rep
+      if (profile) org.apache.spark.sql.graftbridge.Bridge
+        .drainListenerBus(spark, 10000L)
       val extra = if (profile)
         f" jobs=${jobs.get() - j0} jobtime=${(jobNanos.get() - n0) / 1e9}%.2f s" else ""
       println(f"[benchone] $name rep=$r rows=$n t=$t%.2f s$extra")

@@ -146,6 +146,25 @@ object SimHash {
         col("y.doc_id").as("doc_b"), col("y.sig").as("sig_b"))
       .distinct()
 
+  /** [[pairsFromBuckets]] WITH the generating bucket key — the
+    * provenance the signed PAIR-STORE maintenance needs ([P §5]
+    * per-group intermediates, [[MinHash.candidatesFromBucketsKeyed]]'s
+    * analogue): stored verified pairs keyed by bucket pass through
+    * untouched-bucket maintenance verbatim; only touched buckets
+    * re-generate. Within one bucket the (i < j) enumeration is
+    * duplicate-free, so no distinct here; the flat view is
+    * `.select("doc_a","sig_a","doc_b","sig_b").distinct()`. */
+  def pairsFromBucketsKeyed(bk: DataFrame): DataFrame =
+    bk
+      .select(col("band"), col("bh"), col("ds"), posexplode(col("ds")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+      .repartition(col("i"), col("x.doc_id"))
+      .select(col("band"), col("bh"),
+        col("x.doc_id").as("doc_a"), col("x.sig").as("sig_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("y"))
+      .select(col("band"), col("bh"), col("doc_a"), col("sig_a"),
+        col("y.doc_id").as("doc_b"), col("y.sig").as("sig_b"))
+
   /** Candidate pairs: identical 16-bit band in any of 4 bands. */
   def candidates(sig: DataFrame): DataFrame =
     pairsFromBuckets(bucketsOf(banded(sig)))
@@ -168,18 +187,26 @@ object SimHash {
 
     /** q147: q66 under a SIGNED doc delta [P §3] — the stored SimHash
       * band index of the base subset absorbs insert+delete through
-      * [[bucketsTouched]]: untouched buckets pass through VERBATIM,
-      * delta-touched buckets rebuild, and the SAME pair generation +
-      * Hamming verify runs over the maintained bucket relation. Delta
-      * convention INSIDE q66's doc_id % 5 == 0 subset (the % 10 == 1
-      * deletion class never intersects it): insert = % 50 == 0,
-      * delete = % 50 == 5 — ~10% of the subset each, both halves
-      * non-empty at every SF. The stored base index is
-      * session-memoized ([[bandedOldCached]] — production reads it
-      * from the partials store), so the measured per-run work is the
-      * delta maintenance itself. oracle=none (xxhash64, like q66);
-      * Round8Spec proves the result row-identical to the batch q66
-      * computation over the post-delta subset. */
+      * [[bucketsTouched]], and the stored PER-BUCKET verified-pair
+      * relation ([[pairsByBucketCached]] — the MRBG-style per-group
+      * intermediate store [P §5], q139's mechanism applied to this
+      * family) makes the per-batch work delta-proportional end to
+      * end: untouched buckets' VERIFIED pairs pass through VERBATIM
+      * (signatures are doc-local and the Hamming verdict is
+      * pair-local, so an untouched bucket's pairs and verdicts cannot
+      * change), and only delta-touched buckets re-generate and
+      * re-verify. The previous shape passed BUCKETS through but then
+      * re-ran pair generation + verify over ALL of them — the
+      * corpus-proportional step VERDICT r10 flagged (~7-11 s).
+      * Delta convention INSIDE q66's doc_id % 5 == 0 subset (the
+      * % 10 == 1 deletion class never intersects it): insert =
+      * % 50 == 0, delete = % 50 == 5 — ~10% of the subset each, both
+      * halves non-empty at every SF. Only STORED state is memoized
+      * (band index, per-bucket pair store — production reads both
+      * from the partials store); the delta maintenance re-runs per
+      * invocation. oracle=none (xxhash64, like q66); Round8Spec
+      * proves the result row-identical to the batch q66 computation
+      * over the post-delta subset. */
     "q_dedup_simhash_incr" -> ((s, d) => {
       val toks = Dedup.subsetTokens(s, d).persist()
       val bandedOld = bandedOldCached(s, d)
@@ -192,28 +219,52 @@ object SimHash {
         .select("doc_id").distinct()
       val touched = touchedKeys(bandedOld, bandedIns, deleted)
         .localCheckpoint()
-      val bk = bucketsOf(bandedOld)
+      val kept = pairsByBucketCached(s, d)
         .join(broadcast(touched), Seq("band", "bh"), "left_anti")
-        .unionByName(bucketsTouched(bandedOld, bandedIns, deleted,
-          touched = Some(touched)))
-      val out = verified(pairsFromBuckets(bk))
+        .select("doc_a", "doc_b", "hamming")
+      // delta-sized: bucketsTouched semi-joins the index on the
+      // touched keys before grouping, so generation AND the in-line
+      // popcount verify run over delta-touched buckets only
+      val rebuilt = verified(pairsFromBuckets(bucketsTouched(
+        bandedOld, bandedIns, deleted, touched = Some(touched))))
+      // distinct on (doc_a, doc_b, hamming): a pair colliding in
+      // several bands may arrive from both halves; hamming is a
+      // function of the pair, so this is pair-level dedup
+      val out = kept.unionByName(rebuilt).distinct()
       graft.iter.IterQueries.finish(out, toks).orderBy("doc_a", "doc_b")
     })
   )
 
-  /** The STORED band index of q147's base subset corpus (doc_id % 5
-    * == 0 minus the % 50 == 0 insert class) — the preserved state
-    * [P §3], session-memoized like `Round8`'s LSH banded index. */
+  /** The STORED state of q147's base subset corpus (doc_id % 5 == 0
+    * minus the % 50 == 0 insert class) — the preserved state [P §3],
+    * session-memoized like `Round8`'s LSH stores. */
   private val memo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
   graft.engine.Memos.register { () =>
     memo.values.foreach(_.unpersist(blocking = false)); memo.clear()
   }
   private def bandedOldCached(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame =
-    memo.getOrElseUpdate((s, d),
+    memo.getOrElseUpdate((s, d, "bandedOld"),
       banded(signatures(
         Dedup.subsetTokens(s, d).filter(col("doc_id") % 50 =!= 0)))
+        .localCheckpoint())
+
+  /** Per-(band, bh) VERIFIED near-dup pairs of the base corpus — the
+    * second half of the preserved state, the [P §5] per-group
+    * intermediate store ([[graft.ops.Round8]]'s cachedLshPairsByBucket
+    * for this family). All-integer rows (band, bh, doc_a, doc_b,
+    * hamming); production persists it next to the band index via
+    * `incr.IndexStore`. Verification here is the in-line popcount, so
+    * unlike MinHash no doc-set join is needed even at build time. */
+  private def pairsByBucketCached(s: org.apache.spark.sql.SparkSession,
+                                  d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "pairsByBucket"),
+      pairsFromBucketsKeyed(bucketsOf(bandedOldCached(s, d)))
+        .withColumn("hamming",
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+        .filter(col("hamming") <= MaxHamming)
+        .select("band", "bh", "doc_a", "doc_b", "hamming")
         .localCheckpoint())
 
   val sql: Map[String, String] = Map.empty // xxhash64 not portable to DuckDB

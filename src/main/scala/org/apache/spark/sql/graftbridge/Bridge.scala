@@ -19,4 +19,11 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Block until the listener bus has delivered all queued events —
+    * SparkListener delivery is asynchronous, so per-rep job counters
+    * sampled right after an action can miss the tail jobs (ADVICE
+    * r10). `listenerBus` is `private[spark]`, hence bridged here. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }
