@@ -79,9 +79,19 @@ object Tables {
     * not silently in the oracle. */
   def events(s: SparkSession, d: String): DataFrame = {
     val path = s"$d/events.parquet"
+    // Fall back ONLY on the schema-inference rejection the fallback
+    // is built for (TIMESTAMP(NANOS), SPARK-40819) — any other failure
+    // (missing path, corrupt footer, permissions) propagates as
+    // itself instead of resurfacing later as a confusing wrong-schema
+    // read under the nanos-specific `div 1000` (ADVICE r10).
     val native =
       try Some(s.read.parquet(path))
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch {
+        case scala.util.control.NonFatal(e)
+            if Option(e.getMessage).exists(m =>
+              m.contains("TIMESTAMP(NANOS") ||
+              m.contains("Illegal Parquet type")) => None
+      }
     native match {
       case Some(df) => df.schema("ts").dataType match {
         case TimestampType    => df

@@ -46,8 +46,14 @@ object Round10 {
       * only — at scale the text-format pattern is identical, just
       * partitioned; nothing here assumes a single file. */
     "q_source_csv_json" -> ((s, d) => {
+      // scratch keyed by fixture AND Spark application id: stable
+      // within a session (mode overwrite — no accumulation across
+      // invocations) but isolated from concurrent processes benching
+      // the same fixture, which previously raced on one shared dir
+      // (ADVICE r10); the app id also breaks cross-fixture 32-bit
+      // hashCode collisions between processes.
       val scratch = s"${sys.props("java.io.tmpdir")}/graft_srcmix_" +
-        Integer.toHexString(d.hashCode)
+        Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
       val nat = nation(s, d)
       val reg = region(s, d)
       nat.write.mode("overwrite").option("header", "true")

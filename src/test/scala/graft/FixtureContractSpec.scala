@@ -139,7 +139,12 @@ class FixtureContractSpec extends SparkSpecBase {
     spark.createDataFrame(rows, schema)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Tables.events(spark, dir).select("ts").head().getTimestamp(0)
-    assert(got == java.sql.Timestamp.valueOf("2024-01-05 12:00:00"))
+    // timezone-explicit expected value: Spark casts the string under
+    // the UTC session, so the expectation must be the UTC instant —
+    // Timestamp.valueOf would parse in the JVM default zone and fail
+    // spuriously on a non-UTC dev machine (ADVICE r10)
+    assert(got == java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-05T12:00:00Z")))
     deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
