@@ -30,7 +30,7 @@ object SparkEntry {
       TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
       Round3.defs ++ Round6.defs ++ Round8.defs ++ Round9.defs ++ Round10.defs ++
-      Curation.defs ++ HeavyHitters.defs ++ BloomPrune.defs
+      Round11.defs ++ Curation.defs ++ HeavyHitters.defs ++ BloomPrune.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
@@ -44,5 +44,5 @@ object SparkEntry {
       TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++
       Round3.sql ++ Round6.sql ++ Round8.sql ++ Round9.sql ++ Round10.sql ++
-      Curation.sql ++ HeavyHitters.sql ++ BloomPrune.sql
+      Round11.sql ++ Curation.sql ++ HeavyHitters.sql ++ BloomPrune.sql
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.engine.Dec._
+
+/** Round-11 declared queries: the plan-shape half of what the oracle
+  * hash cannot see — q157's join must consume the bucketed layout
+  * without shuffling either side, q158's scan must prune to one
+  * day=... partition directory. */
+class Round11Spec extends SparkSpecBase {
+
+  test("q_join_colocated runs a zero-exchange sort-merge join over buckets") {
+    val df = SparkEntry.queries("q_join_colocated")(spark, sfDir)
+    // the aggregate above the join shuffles on c_mktsegment (expected);
+    // the JOIN sides must not — no exchange may be keyed on custkey
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+    val flat = planStr.replaceAll("\\s", "")
+    assert(!flat.contains("Exchangehashpartitioning(o_custkey") &&
+      !flat.contains("Exchangehashpartitioning(c_custkey"),
+      s"bucketed join must not shuffle either side:\n$planStr")
+    // result identical to the plain join-aggregate over the originals
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dbl(sum(dec2(col("o_totalprice")))).as("revenue"))
+      .orderBy("c_mktsegment")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("q_scan_partition_pruned prunes to the one day=... directory") {
+    val df = SparkEntry.queries("q_scan_partition_pruned")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(day"),
+      s"day filter must reach PartitionFilters:\n$plan")
+    // result identical to the timestamp-range filter over the originals
+    val plain = Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
+}
