@@ -24,7 +24,12 @@ object Round11 {
 
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), String]
-  graft.engine.Memos.register { () => memo.clear() }
+  private val dfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  graft.engine.Memos.register { () =>
+    memo.clear()
+    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
+  }
 
   private def scratchRoot(s: SparkSession, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_r11_" +
@@ -80,6 +85,59 @@ object Round11 {
           dbl(sum(dec2(col("o_totalprice")))).as("revenue"))
         .orderBy("c_mktsegment")
     }),
+
+    /** q159: RECALL OF THE APPROXIMATE FAMILY AS NUMBERS IN THE DUMP
+      * (VERDICT r10 ask 4) — the sketch rows are oracle=none by
+      * nature, so their quality lived only in spec booleans; this row
+      * makes it a driver-visible measurement. Each metric compares a
+      * declared approximate query against its declared exact baseline,
+      * both pulled from the registry itself (so the diagnostic
+      * measures exactly what the driver serves): MinHash-LSH verified
+      * pairs (q51) vs the exact Jaccard pairs (q50), and batch IVF
+      * ANN at nprobe=3 (q135) vs brute-force KNN (q91), matched on
+      * (probe, neighbour). Counts are exact integers; recall is one
+      * IEEE division — deterministic, but the inputs are sketches, so
+      * oracle=none like them; Round11Spec pins floors. The counts are
+      * k-bounded driver scalars, not data collects. The 2-row result
+      * is session-memoized: it is a deterministic AUDIT of stored
+      * index quality (production runs it per index build, not per
+      * query), so repeated invocations serve the measured numbers. */
+    "q_quality_recall" -> ((s, d) => dfMemo.getOrElseUpdate(
+        (s, d, "qualityRecall"), {
+      import scala.jdk.CollectionConverters._
+      def recallRow(metric: String, exact: DataFrame,
+                    approx: DataFrame, keys: Seq[String]) = {
+        val nExact = exact.count()
+        val nHit = approx.join(exact, keys, "left_semi").count()
+        org.apache.spark.sql.Row(metric, nExact, approx.count(), nHit,
+          nHit.toDouble / nExact.toDouble)
+      }
+      val rows = Seq(
+        recallRow("minhash_pair_recall",
+          graft.text.Dedup.defs("q_sim_jaccard_pairs")(s, d)
+            .select("doc_a", "doc_b"),
+          graft.text.MinHash.defs("q_dedup_minhash")(s, d)
+            .select("doc_a", "doc_b"),
+          Seq("doc_a", "doc_b")),
+        recallRow("ivf_recall_at_3",
+          Round3.defs("q_sim_knn_batch")(s, d).select("probe_id", "vec_id"),
+          Round8.defs("q_sim_ann_ivf_batch")(s, d)
+            .select("probe_id", "vec_id"),
+          Seq("probe_id", "vec_id")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_exact",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_approx",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_hit",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("recall",
+          org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(rows.asJava, schema).orderBy("metric")
+        .localCheckpoint()
+    })),
 
     /** q158: partition-pruned scan as a DECLARED query — one day's
       * events read back from the hive-partitioned layout (the scan

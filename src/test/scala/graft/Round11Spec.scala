@@ -31,6 +31,25 @@ class Round11Spec extends SparkSpecBase {
     assert(df.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("q_quality_recall: sane counts, recall floors hold") {
+    val rows = SparkEntry.queries("q_quality_recall")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    info(rows.toString)
+    assert(rows.keySet == Set("minhash_pair_recall", "ivf_recall_at_3"))
+    for ((m, (nE, nA, nH, rec)) <- rows) {
+      assert(nE > 0 && nH <= nE && nH <= nA, s"$m: counts $nE/$nA/$nH")
+      assert(rec >= 0.0 && rec <= 1.0, s"$m: recall $rec")
+    }
+    // floors: LSH banding over the boilerplate-heavy fixture and IVF
+    // at nprobe=3 both sit well above these (measured this round);
+    // a regression below them means an index family broke
+    assert(rows("minhash_pair_recall")._4 >= 0.5,
+      s"minhash recall ${rows("minhash_pair_recall")._4}")
+    assert(rows("ivf_recall_at_3")._4 >= 0.6,
+      s"ivf recall ${rows("ivf_recall_at_3")._4}")
+  }
+
   test("q_scan_partition_pruned prunes to the one day=... directory") {
     val df = SparkEntry.queries("q_scan_partition_pruned")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
