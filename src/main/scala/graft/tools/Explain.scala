@@ -18,7 +18,7 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val explain = sys.env.get("EXPLAIN").isDefined
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").isDefined
     val names =
       if (args.sameElements(Array("ALL"))) graft.SparkEntry.queries.keys.toSeq
       else args.toSeq
