@@ -56,7 +56,12 @@ object Apriori {
     val toks = toks0.select(col("doc_id"), col("tok"))
     val l1 = toks.groupBy("tok").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSup)
-    // frequent single items per doc — the expansion alphabet
+    // frequent single items per doc — the expansion alphabet.
+    // (An A/B this round tried replacing the per-level dk ⋈ freqToks
+    // join with a doc-array broadcast + in-map explode(filter(...));
+    // it measured SLOWER at sf0.1 — array lambda filters are
+    // interpreted HigherOrderFunctions, not codegen, and lose to the
+    // codegen'd hash-join probe. The join shape stays.)
     val freqToks = toks.join(broadcast(l1.select("tok")), "tok")
       .persist()
     var dk = freqToks.select(col("doc_id"), array(col("tok")).as("items"))
