@@ -50,6 +50,27 @@ class Round11Spec extends SparkSpecBase {
       s"ivf recall ${rows("ivf_recall_at_3")._4}")
   }
 
+  test("autoPairs picks exact under the volume cap, LSH above, soundly") {
+    import graft.text.Dedup
+    val toks = Dedup.subsetTokens(spark, sfDir).persist()
+    try {
+      // measured Σdf² for this corpus is ~180k: default cap → exact
+      val (p1, exact) = Dedup.autoPairs(spark, toks)
+      assert(p1 == "exact")
+      // cap 0 forces the scale path on the same corpus
+      val (p2, lsh) = Dedup.autoPairs(spark, toks, exactVolumeCap = 0L)
+      assert(p2 == "lsh")
+      // sound: every LSH-verified pair is an exact J >= 0.5 pair
+      val exactSet = exact.select("doc_a", "doc_b").collect().toSet
+      val lshRows = lsh.select("doc_a", "doc_b").collect()
+      assert(lshRows.nonEmpty, "LSH branch returned no pairs")
+      assert(lshRows.forall(exactSet.contains),
+        "LSH pair outside the exact pair set")
+      // schema-compatible: downstream collapse is plan-agnostic
+      assert(exact.columns.toSeq == lsh.columns.toSeq)
+    } finally toks.unpersist(blocking = false)
+  }
+
   test("q_scan_partition_pruned prunes to the one day=... directory") {
     val df = SparkEntry.queries("q_scan_partition_pruned")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
