@@ -117,8 +117,11 @@ object Dedup {
   def autoPairs(s: SparkSession, toks: DataFrame,
                 exactVolumeCap: Long = 20L * 1000 * 1000)
       : (String, DataFrame) = {
+    // coalesce(0): an empty token relation sums to NULL — the exact
+    // path is trivially right there
     val vol = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .agg(sum(col("df") * col("df")).cast("long")).head().getLong(0)
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).cast("long"))
+      .head().getLong(0)
     if (vol <= exactVolumeCap) ("exact", exactPairs(toks))
     else ("lsh", {
       val sets = docSets(toks)

@@ -68,6 +68,9 @@ class Round11Spec extends SparkSpecBase {
         "LSH pair outside the exact pair set")
       // schema-compatible: downstream collapse is plan-agnostic
       assert(exact.columns.toSeq == lsh.columns.toSeq)
+      // empty corpus: volume coalesces to 0 -> exact path, no NPE
+      val (p3, empty) = Dedup.autoPairs(spark, toks.limit(0))
+      assert(p3 == "exact" && empty.count() == 0)
     } finally toks.unpersist(blocking = false)
   }
 
