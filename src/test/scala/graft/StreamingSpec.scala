@@ -95,6 +95,69 @@ class StreamingSpec extends SparkSpecBase {
     } finally deleteRecursively(root)
   }
 
+  test("AvailableNow + maxFilesPerTrigger drives micro-batches into an exactly-once parquet sink") {
+    // The production trigger/sink shapes MemoryStream cannot exercise:
+    // a FILE source split into MULTIPLE micro-batches (maxFilesPerTrigger=1),
+    // a real self-terminating trigger (Trigger.AvailableNow), and the
+    // PARQUET FILE SINK whose _spark_metadata transaction log is the
+    // exactly-once mechanism — then a NEW query on the SAME checkpoint
+    // + sink resumes without re-emitting closed windows. Append-mode
+    // windowed agg means every window is emitted exactly once, when
+    // the watermark passes it — across micro-batches AND across runs.
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_filesink")
+    val (in, ck, out) = (s"$root/in", s"$root/ck", s"$root/out")
+    new java.io.File(in).mkdirs()
+    def writeFile(n: Int, rows: Seq[Timestamp]): Unit = {
+      rows.map(Tuple1(_)).toDF("ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/f$n")
+      // FileStreamSource orders files by modification time; pin it so
+      // the micro-batch order (and thus watermark progression) is
+      // deterministic regardless of fs timestamp granularity
+      new java.io.File(s"$in/f$n").listFiles()
+        .foreach(_.setLastModified(1700000000000L + n * 60000L))
+    }
+    def runAvailableNow() = {
+      val q = sp.readStream
+        .schema("ts TIMESTAMP").option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("hour_start"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+      q
+    }
+    try {
+      writeFile(1, Seq(ts("10:00:00"), ts("10:05:00"))) // wm → 09:55
+      writeFile(2, Seq(ts("10:20:00"), ts("11:05:00"))) // wm → 10:55
+      writeFile(3, Seq(ts("11:40:00")))                 // wm → 11:30 closes hour 10
+      val q1 = runAvailableNow()
+      assert(q1.recentProgress.count(_.numInputRows > 0) >= 3,
+        "maxFilesPerTrigger=1 over 3 files must produce >= 3 non-empty micro-batches")
+      val run1 = sp.read.parquet(out).collect()
+        .map(r => (r.getAs[Timestamp]("hour_start"), r.getAs[Long]("n")))
+      assert(run1.toSeq == Seq((ts("10:00:00"), 3L)),
+        s"run 1 must emit exactly the closed hour-10 window, got ${run1.toSeq}")
+      writeFile(4, Seq(ts("14:00:00"))) // wm → 13:50 closes hour 11
+      runAvailableNow() // NEW query object, SAME checkpoint + sink
+      val got = sp.read.parquet(out).collect()
+        .map(r => (r.getAs[Timestamp]("hour_start"), r.getAs[Long]("n")))
+        .sortBy(_._1.getTime).toSeq
+      // hour 10 exactly once (not re-emitted by run 2), hour 11 closed
+      // by run 2's watermark, hour 14 still open → absent
+      assert(got == Seq((ts("10:00:00"), 3L), (ts("11:00:00"), 2L)),
+        s"sink after restart must be exactly-once per window: $got")
+    } finally deleteRecursively(root)
+  }
+
   test("stream-stream interval join matches within the window only") {
     val sp = spark
     import sp.implicits._
