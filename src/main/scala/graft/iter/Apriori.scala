@@ -56,19 +56,34 @@ object Apriori {
     val toks = toks0.select(col("doc_id"), col("tok"))
     val l1 = toks.groupBy("tok").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSup)
-    // frequent single items per doc — the expansion alphabet.
-    // (An A/B this round tried replacing the per-level dk ⋈ freqToks
-    // join with a doc-array broadcast + in-map explode(filter(...));
-    // it measured SLOWER at sf0.1 — array lambda filters are
-    // interpreted HigherOrderFunctions, not codegen, and lose to the
-    // codegen'd hash-join probe. The join shape stays.)
+    // frequent single items per doc — the expansion alphabet, held as
+    // ONE sorted array row per doc. Each level extends a Dk instance
+    // by the doc's tokens AFTER its last item: array_position + slice
+    // + explode, all codegen'd, against the doc-array relation — the
+    // join ships one vocabulary-bounded array per doc instead of
+    // ~|frequent toks per doc| token-instance rows. docArr is
+    // corpus-sized (one row per doc), so it is NOT broadcast-hinted:
+    // at small SF Spark auto-broadcasts it under the size threshold,
+    // at scale it stays a doc_id-partitioned shuffle join. (An
+    // earlier A/B that lost used an interpreted lambda
+    // `filter(ts, t -> t > last)` — HigherOrderFunctions don't
+    // codegen; the position-slice form does.)
     val freqToks = toks.join(broadcast(l1.select("tok")), "tok")
+      .persist()
+    val docArr = freqToks.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
       .persist()
     var dk = freqToks.select(col("doc_id"), array(col("tok")).as("items"))
     var lk = l1.select(array(col("tok")).as("items"), col("support"))
     for (_ <- 2 to k) {
-      val cand = dk.join(freqToks, "doc_id")
-        .filter(col("tok") > element_at(col("items"), -1))
+      // ts is sorted distinct and items ⊆ ts, so the slice after
+      // last(items)'s position is exactly {tok ∈ doc : tok > last} —
+      // the same candidate set as the join+filter form
+      val cand = dk.join(docArr, "doc_id")
+        .select(col("doc_id"), col("items"), explode(slice(col("ts"),
+          (array_position(col("ts"), element_at(col("items"), -1)) + 1)
+            .cast("int"),
+          size(col("ts")))).as("tok"))
         .select(col("doc_id"),
           concat(col("items"), array(col("tok"))).as("items"))
       lk = cand.groupBy("items").agg(count(lit(1)).as("support"))
@@ -77,6 +92,7 @@ object Apriori {
       dk = cand.join(lk.select("items"), Seq("items"), "left_semi")
     }
     freqToks.unpersist(blocking = false)
+    docArr.unpersist(blocking = false)
     lk
   }
 
