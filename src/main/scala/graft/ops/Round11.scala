@@ -139,6 +139,24 @@ object Round11 {
         .localCheckpoint()
     })),
 
+    /** q160: the COST-BASED pair-source selector as a DECLARED query —
+      * [[graft.text.Dedup.autoPairs]] run over the q50 subset with the
+      * production volume cap, its decision emitted alongside the
+      * verified pairs. At every oracle SF the subset's Σdf² volume
+      * sits orders of magnitude under the cap (Round11Spec pins the
+      * margin), so the selector must choose the exact branch and the
+      * pair list must equal q50's — which is exactly what the oracle
+      * hash asserts, decision column included: a selector that flipped
+      * to LSH (or an exact branch that lost pairs) both surface as a
+      * hash mismatch. The LSH branch of the same selector is exercised
+      * by Round11Spec under a forced-low cap (soundness: LSH pairs ⊆
+      * exact pairs) and by the declared LSH rows q51/q136. */
+    "q_dedup_auto" -> ((s, d) => {
+      val (plan, pairs) =
+        graft.text.Dedup.autoPairs(s, graft.text.Dedup.subsetTokens(s, d))
+      pairs.withColumn("plan", lit(plan)).orderBy("doc_a", "doc_b")
+    }),
+
     /** q158: partition-pruned scan as a DECLARED query — one day's
       * events read back from the hive-partitioned layout (the scan
       * touches exactly one day=... directory; PartitionPruneSpec
@@ -166,6 +184,29 @@ object Round11 {
              AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // q160's oracle is q50's exact pair computation with the expected
+    // decision as a constant column: the selector's choice is part of
+    // the checked result.
+    "q_dedup_auto" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           ) r WHERE length(tok) > 0 AND doc_id % 5 = 0
+         ),
+         sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id
+         )
+         SELECT doc_a, doc_b, inter,
+                sa.sz + sb.sz - inter AS union_sz,
+                'exact' AS plan
+         FROM inter
+         JOIN sz sa ON sa.doc_id = doc_a
+         JOIN sz sb ON sb.doc_id = doc_b
+         WHERE 2 * inter >= sa.sz + sb.sz - inter
+         ORDER BY doc_a, doc_b""",
     // q158's oracle filters the original events by the UTC day range —
     // partition pruning must be result-invisible.
     "q_scan_partition_pruned" ->

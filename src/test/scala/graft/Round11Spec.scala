@@ -71,7 +71,27 @@ class Round11Spec extends SparkSpecBase {
       // empty corpus: volume coalesces to 0 -> exact path, no NPE
       val (p3, empty) = Dedup.autoPairs(spark, toks.limit(0))
       assert(p3 == "exact" && empty.count() == 0)
+      // q160's oracle asserts plan='exact', so the fixture must keep a
+      // wide margin under the default cap — flag drift loudly here
+      // rather than as an opaque oracle hash mismatch
+      val vol = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L)).cast("long"))
+        .head().getLong(0)
+      assert(vol * 10 <= 20L * 1000 * 1000,
+        s"subset pair volume $vol within 10x of the exact-path cap — " +
+          "q_dedup_auto's pinned 'exact' decision is at risk")
     } finally toks.unpersist(blocking = false)
+  }
+
+  test("q_dedup_auto equals q50's pairs with the exact decision attached") {
+    val auto = SparkEntry.queries("q_dedup_auto")(spark, sfDir).collect()
+    val q50 = SparkEntry.queries("q_sim_jaccard_pairs")(spark, sfDir)
+      .collect()
+    assert(auto.map(_.getString(4)).forall(_ == "exact"))
+    assert(auto.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq ==
+      q50.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq)
   }
 
   test("q_scan_partition_pruned prunes to the one day=... directory") {
