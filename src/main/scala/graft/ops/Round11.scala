@@ -157,6 +157,24 @@ object Round11 {
       pairs.withColumn("plan", lit(plan)).orderBy("doc_a", "doc_b")
     }),
 
+    /** q161: the cost-based KNN selector as a DECLARED query —
+      * [[graft.text.Similarity.autoKnn]] over the full embeddings
+      * corpus with the q91/q135 probe set at the production cap. At
+      * every oracle SF the |probes|×|corpus| volume sits orders of
+      * magnitude under the cap (Round11Spec pins a 10× margin), so
+      * the selector must choose the exact brute scan and reproduce
+      * q91's neighbours — decision column and result both under the
+      * oracle hash. The IVF branch of the same selector is exercised
+      * spec-side (forced cap 0 at nprobe=k ≡ brute, bit-equal) and by
+      * the declared IVF rows q76/q135/q144. */
+    "q_sim_knn_auto" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      val (plan, knn) = graft.text.Similarity.autoKnn(s, emb, probes, topK = 3)
+      knn.withColumn("plan", lit(plan)).orderBy("probe_id", "vec_id")
+    }),
+
     /** q158: partition-pruned scan as a DECLARED query — one day's
       * events read back from the hive-partitioned layout (the scan
       * touches exactly one day=... directory; PartitionPruneSpec
@@ -207,6 +225,29 @@ object Round11 {
          JOIN sz sb ON sb.doc_id = doc_b
          WHERE 2 * inter >= sa.sz + sb.sz - inter
          ORDER BY doc_a, doc_b""",
+    // q161's oracle is q91's brute-force KNN with rank kept and the
+    // expected decision as a constant column.
+    "q_sim_knn_auto" ->
+      """WITH probes AS (
+           SELECT vec_id AS probe_id, embedding AS p
+           FROM embeddings WHERE vec_id < 5
+         ), sims AS (
+           SELECT probe_id, vec_id,
+             list_sum(list_transform(list_zip(embedding, p),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(list_zip(p, p),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))
+             AS sim
+           FROM embeddings, probes
+           WHERE vec_id <> probe_id
+         )
+         SELECT probe_id, vec_id, sim, rn, 'brute' AS plan FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+           FROM sims)
+         WHERE rn <= 3 ORDER BY probe_id, vec_id""",
     // q158's oracle filters the original events by the UTC day range —
     // partition pruning must be result-invisible.
     "q_scan_partition_pruned" ->

@@ -83,6 +83,46 @@ class Round11Spec extends SparkSpecBase {
     } finally toks.unpersist(blocking = false)
   }
 
+  test("autoKnn picks brute under the volume cap, IVF above; nprobe=k is bit-equal") {
+    import graft.text.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).persist()
+    try {
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      val n = emb.count()
+      // margin guard for q161's pinned 'brute' decision (fixture drift
+      // must flag here, not as an opaque oracle hash diff)
+      assert(n * 5 * 10 <= 50L * 1000 * 1000,
+        s"probe x corpus volume ${n * 5} within 10x of the brute cap")
+      val (p1, brute) = Similarity.autoKnn(spark, emb, probes, topK = 3)
+      assert(p1 == "brute")
+      // cap 0 forces the IVF path; nprobe = k (every cluster probed)
+      // must reproduce the brute result bit-for-bit
+      val k = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val (p2, ivf) = Similarity.autoKnn(spark, emb, probes, topK = 3,
+        nprobe = k, bruteVolumeCap = 0L)
+      assert(p2 == "ivf")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("probe_id", "rn").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3)))
+          .toSeq
+      assert(rows(brute) == rows(ivf), "nprobe=k IVF must equal brute")
+    } finally emb.unpersist(blocking = false)
+  }
+
+  test("q_sim_knn_auto equals q91's neighbours with the brute decision attached") {
+    val auto = SparkEntry.queries("q_sim_knn_auto")(spark, sfDir)
+      .collect()
+    val q91 = SparkEntry.queries("q_sim_knn_batch")(spark, sfDir).collect()
+    assert(auto.map(_.getString(4)).forall(_ == "brute"))
+    assert(auto.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq ==
+      q91.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq)
+  }
+
   test("q_dedup_auto equals q50's pairs with the exact decision attached") {
     val auto = SparkEntry.queries("q_dedup_auto")(spark, sfDir).collect()
     val q50 = SparkEntry.queries("q_sim_jaccard_pairs")(spark, sfDir)
