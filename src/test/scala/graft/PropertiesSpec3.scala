@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.iter.IterQueries
+
+/** Random-graph equivalence properties for the iterative/incremental
+  * graph core. Round4/Round8 prove these on the fixture graph; the
+  * fixture has a specific shape (bipartite lineitem graph, chain
+  * components), so these tests re-prove the three load-bearing claims
+  * on ARBITRARY seeded random structure:
+  *
+  *  1. frontier-filtered propagation == the full O(edges)/round loop
+  *     (the [[IterQueries.minPropagate]] invariant),
+  *  2. SSSP edge-deletion restart == from-scratch re-convergence
+  *     (the affected-closure over-approximation of
+  *     [[IterQueries.deleteRestart]] — including nodes left
+  *     unreachable, which keep the sentinel),
+  *  3. CC edge-deletion restart == from-scratch re-convergence
+  *     (component splits in [[IterQueries.componentDeleteRestart]]).
+  *
+  * Graphs are small (Spark jobs are expensive) but adversarial by
+  * randomness: multi-edges collapse via distinct, self-loops are
+  * kept (harmless to min-propagation), disconnection is common. */
+class PropertiesSpec3 extends SparkSpecBase {
+
+  private val INF = 999999999L
+
+  /** Seeded random directed edge list over nodes 0..n-1. */
+  private def randomEdges(seed: Long, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .distinct
+  }
+
+  private def edgesDf(es: Seq[(Long, Long)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    es.toDF("src", "dst")
+  }
+
+  private def nodesState0(n: Int, source: Long): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    (0 until n).map(_.toLong).toDF("node")
+      .select(col("node"),
+        when(col("node") === source, 0L).otherwise(INF).as("dist"))
+  }
+
+  test("frontier propagation == full loop on random graphs (SSSP and CC)") {
+    for (seed <- 1L to 3L) {
+      val n = 25
+      val es = randomEdges(seed, n, 50)
+      val edges = edgesDf(es).persist()
+      try {
+        // SSSP from node 0, 6 rounds
+        val s0 = nodesState0(n, 0L).persist()
+        val c0 = s0.filter(col("dist") === 0)
+          .select(col("node").as("cnode"), col("dist").as("cval"))
+        val frontier = IterQueries
+          .minPropagate(edges, s0, c0, "dist", 1L, 6, matEvery = 1)
+          .select("node", "dist").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val full = IterQueries.minFullLoop(edges, s0, "dist", 1L, 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+        assert(frontier == full, s"SSSP frontier != full, seed=$seed")
+        s0.unpersist(blocking = false)
+        // CC (symmetrized), 6 rounds
+        val sym = edges.unionByName(
+          edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+        val st0 = edgesDf(es).select(col("src").as("node"))
+          .unionByName(edgesDf(es).select(col("dst").as("node"))).distinct()
+          .select(col("node"), col("node").as("label")).persist()
+        val ch0 = st0.select(col("node").as("cnode"), col("label").as("cval"))
+        val fcc = IterQueries
+          .minPropagate(sym, st0, ch0, "label", 0L, 6, matEvery = 1)
+          .select("node", "label").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val fullCc = IterQueries.minFullLoop(sym, st0, "label", 0L, 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1).toSeq
+        assert(fcc == fullCc, s"CC frontier != full, seed=$seed")
+        Seq(sym, st0).foreach(_.unpersist(blocking = false))
+      } finally edges.unpersist(blocking = false)
+    }
+  }
+
+  test("SSSP deleteRestart == from-scratch on random graphs with random deletions") {
+    for (seed <- 11L to 13L) {
+      val n = 25
+      val es = randomEdges(seed, n, 55)
+      val rnd = new scala.util.Random(seed * 7)
+      val (delEs, keepEs) = es.partition(_ => rnd.nextInt(4) == 0)
+      val edges = edgesDf(es).persist()
+      val post = edgesDf(keepEs).persist()
+      try {
+        val s0 = nodesState0(n, 0L)
+        val c0 = s0.filter(col("dist") === 0)
+          .select(col("node").as("cnode"), col("dist").as("cval"))
+        val (base, _) = IterQueries
+          .minPropagateUntilStable(edges, s0, c0, "dist", 1L, 64)
+        val (restarted, _, _) = IterQueries.deleteRestart(
+          post, edgesDf(delEs), base.localCheckpoint(), "dist", 1L)
+        val got = restarted.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val (scratch, _) = IterQueries
+          .minPropagateUntilStable(post, s0, c0, "dist", 1L, 64)
+        val want = scratch.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        assert(got == want, s"SSSP restart != scratch, seed=$seed " +
+          s"(deleted ${delEs.length}/${es.length} edges)")
+      } finally Seq(edges, post).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  test("CC componentDeleteRestart == from-scratch on random graphs with random deletions") {
+    for (seed <- 21L to 23L) {
+      val n = 24
+      // sparse: disconnection and component splits must actually occur
+      val base0 = randomEdges(seed, n, 18)
+      val rnd = new scala.util.Random(seed * 13)
+      val (delHalf, keepHalf) = base0.partition(_ => rnd.nextInt(3) == 0)
+      def symDf(es: Seq[(Long, Long)]): DataFrame =
+        edgesDf(es).unionByName(
+          edgesDf(es).select(col("dst").as("src"), col("src").as("dst")))
+      val sp = spark
+      import sp.implicits._
+      val allNodes = (0 until n).map(_.toLong).toDF("node")
+      val full = symDf(base0).persist()
+      val post = symDf(keepHalf).persist()
+      try {
+        val st0 = allNodes.select(col("node"), col("node").as("label"))
+        val ch0 = st0.select(col("node").as("cnode"), col("label").as("cval"))
+        val (baseLabels, _) = IterQueries
+          .minPropagateUntilStable(full, st0, ch0, "label", 0L, 64)
+        val got = IterQueries.componentDeleteRestart(
+            baseLabels.localCheckpoint(), symDf(delHalf), post)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val (scratch, _) = IterQueries
+          .minPropagateUntilStable(post, st0, ch0, "label", 0L, 64)
+        val want = scratch.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        assert(got == want, s"CC restart != scratch, seed=$seed " +
+          s"(deleted ${delHalf.length}/${base0.length} edges)")
+      } finally Seq(full, post).foreach(_.unpersist(blocking = false))
+    }
+  }
+}
