@@ -115,6 +115,56 @@ class PropertiesSpec3 extends SparkSpecBase {
     }
   }
 
+  test("signed LSH bucket maintenance == batch rebuild for random corpora") {
+    // The pass-through soundness claim behind the q139/q147 speedups:
+    // untouched buckets are byte-identical pre/post delta, so the
+    // maintained bucket relation (untouched ∪ rebuilt-touched) must
+    // equal a from-scratch rebuild over the post corpus — here on
+    // random template-based corpora with random insert/delete splits,
+    // not the fixture's %10 split.
+    import graft.text.MinHash
+    val sp = spark
+    import sp.implicits._
+    val vocab = ('a' to 't').map(_.toString)
+    for (seed <- 31L to 33L) {
+      val rnd = new scala.util.Random(seed)
+      val templates = (0 until 6).map(_ => vocab.filter(_ => rnd.nextBoolean()))
+      val docs = (0L until 60L).map { id =>
+        val t = templates(rnd.nextInt(6))
+        val flipped = vocab.filter { v =>
+          val in = t.contains(v)
+          if (rnd.nextInt(10) == 0) !in else in
+        }
+        (id, if (flipped.isEmpty) Seq("a") else flipped)
+      }
+      val insIds = docs.map(_._1).filter(_ => rnd.nextInt(5) == 0).toSet
+      val delIds = docs.map(_._1)
+        .filterNot(insIds).filter(_ => rnd.nextInt(5) == 0).toSet
+      def toksOf(ids: Long => Boolean): DataFrame =
+        docs.filter(d => ids(d._1))
+          .flatMap { case (id, ts) => ts.map((id, _)) }.toDF("doc_id", "tok")
+      val bandedOld = MinHash.banded(
+        MinHash.signatures(toksOf(!insIds.contains(_)))).localCheckpoint()
+      val bandedIns = MinHash.banded(MinHash.signatures(
+        toksOf(insIds.contains)))
+      val deleted = delIds.toSeq.toDF("doc_id")
+      val touched = MinHash.touchedKeys(bandedOld, bandedIns, deleted)
+        .localCheckpoint()
+      val maintained = MinHash.bucketsOf(bandedOld)
+        .join(touched, Seq("band", "bh"), "left_anti")
+        .unionByName(MinHash.bucketsTouched(bandedOld, bandedIns, deleted,
+          touched = Some(touched)))
+      val batch = MinHash.buckets(
+        MinHash.signatures(toksOf(id => !delIds.contains(id))))
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(rows(maintained) == rows(batch),
+        s"maintained buckets != batch rebuild, seed=$seed " +
+          s"(ins=${insIds.size} del=${delIds.size})")
+    }
+  }
+
   test("CC componentDeleteRestart == from-scratch on random graphs with random deletions") {
     for (seed <- 21L to 23L) {
       val n = 24
