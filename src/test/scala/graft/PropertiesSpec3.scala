@@ -115,6 +115,44 @@ class PropertiesSpec3 extends SparkSpecBase {
     }
   }
 
+  test("viewApplyDelta == full reaggregation for arbitrary signed batches") {
+    // The abelian-group IVM merge behind q92/q142/q153, on random data
+    // instead of the fixture: for arbitrary base/insert/delete splits
+    // (deletes ⊆ base), merging aggregated partials with negated
+    // retractions must equal aggregating the post-delta facts — and
+    // groups whose multiplicity hits 0 must VANISH (the small key
+    // space makes full-group deletion common across seeds).
+    import graft.engine.Dec._
+    import graft.ops.Round8
+    val sp = spark
+    import sp.implicits._
+    def view(rows: Seq[(String, Double)]): DataFrame =
+      rows.toDF("n_name", "v")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum(dec2(col("v"))).as("rev"))
+    for (seed <- 41L to 44L) {
+      val rnd = new scala.util.Random(seed)
+      val keys = Seq("a", "b", "c", "d")
+      val base = (1 to 30).map(_ =>
+        (keys(rnd.nextInt(4)), rnd.nextInt(1000) / 100.0))
+      val ins = (1 to rnd.nextInt(10)).map(_ =>
+        (keys(rnd.nextInt(4)), rnd.nextInt(1000) / 100.0))
+      // delete a random subset of base — sometimes an entire group
+      val delKey = keys(rnd.nextInt(4))
+      val del = base.filter { case (k, _) =>
+        k == delKey || rnd.nextInt(4) == 0 }
+      val merged = Round8.viewApplyDelta(view(base), view(ins), view(del))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val post = base.diff(del) ++ ins
+      val want = view(post)
+        .select(col("n_name"), col("n"), dbl(col("rev")).as("rev"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(merged == want, s"seed=$seed del=${del.length}/${base.length}")
+    }
+  }
+
   test("signed LSH bucket maintenance == batch rebuild for random corpora") {
     // The pass-through soundness claim behind the q139/q147 speedups:
     // untouched buckets are byte-identical pre/post delta, so the
