@@ -115,6 +115,50 @@ class PropertiesSpec3 extends SparkSpecBase {
     }
   }
 
+  test("signed Apriori delta == full recompute for random corpora and splits") {
+    // The relaxed-threshold soundness argument (base support >=
+    // minSup - |ins docs| for any post-frequent itemset; deletions
+    // need no relaxation) on random corpora: template-based docs so
+    // itemsets actually recur, random insert/delete splits, k=2 and
+    // k=3, compared against the level-wise recompute of the post
+    // corpus.
+    import graft.iter.Apriori
+    val sp = spark
+    import sp.implicits._
+    val vocab = ('a' to 'j').map(_.toString)
+    for (seed <- 51L to 53L) {
+      val rnd = new scala.util.Random(seed)
+      val templates = (0 until 4).map(_ => vocab.filter(_ => rnd.nextBoolean()))
+      val docs = (0L until 40L).map { id =>
+        val t = templates(rnd.nextInt(4))
+        val toks = vocab.filter { v =>
+          val in = t.contains(v)
+          if (rnd.nextInt(8) == 0) !in else in
+        }
+        (id, if (toks.isEmpty) Seq("a") else toks)
+      }
+      val insIds = docs.map(_._1).filter(_ => rnd.nextInt(5) == 0).toSet
+      val delIds = docs.map(_._1)
+        .filterNot(insIds).filter(_ => rnd.nextInt(6) == 0).toSet
+      def toksOf(p: Long => Boolean): DataFrame =
+        docs.filter(d => p(d._1))
+          .flatMap { case (id, ts) => ts.map((id, _)) }.toDF("doc_id", "tok")
+      val k = 2 + (seed % 2).toInt
+      val minSup = 6L
+      val got = Apriori.frequentItemsetsDelta(
+          toksOf(id => !insIds.contains(id)), toksOf(insIds.contains),
+          delIds.toSeq.toDF("doc_id"), k, minSup)
+        .collect().map(r => (r.getSeq[String](0).toSeq, r.getLong(1)))
+        .sortBy(_._1.mkString(",")).toSeq
+      val want = Apriori.frequentItemsets(
+          toksOf(id => !delIds.contains(id)), k, minSup)
+        .collect().map(r => (r.getSeq[String](0).toSeq, r.getLong(1)))
+        .sortBy(_._1.mkString(",")).toSeq
+      assert(got == want, s"seed=$seed k=$k ins=${insIds.size} " +
+        s"del=${delIds.size}")
+    }
+  }
+
   test("viewApplyDelta == full reaggregation for arbitrary signed batches") {
     // The abelian-group IVM merge behind q92/q142/q153, on random data
     // instead of the fixture: for arbitrary base/insert/delete splits
