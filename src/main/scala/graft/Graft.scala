@@ -53,6 +53,28 @@ object Graft {
     Dedup.verifyPairs(MinHash.candidates(MinHash.signatures(tokens)),
       Dedup.docSets(tokens))
 
+  /** COST-BASED near-duplicate pairs: costs the exact token-self-join
+    * (Σ_tok df² pair instances) in one aggregate pass, then runs the
+    * recall-free exact join at/below the cap or the capped MinHash-LSH
+    * pipeline above it. Same verified output schema either way.
+    * Returns (chosen plan, pairs). */
+  def autoNearDupPairs(tokens: DataFrame,
+                       exactVolumeCap: Long = 20L * 1000 * 1000)
+      : (String, DataFrame) =
+    Dedup.autoPairs(tokens.sparkSession, tokens, exactVolumeCap)
+
+  /** COST-BASED batch KNN: costs the |probes| × |corpus| brute
+    * dot-product volume from two counts, then runs the exact brute
+    * scan at/below the cap or the √n-centroid IVF index above it.
+    * Both branches emit (probe_id, vec_id, sim, rn) with the same
+    * IEEE op order and tie-break. Returns (chosen plan, neighbours). */
+  def autoKnn(corpus: DataFrame, probes: DataFrame, topK: Int,
+              nprobe: Int = 3,
+              bruteVolumeCap: Long = 50L * 1000 * 1000)
+      : (String, DataFrame) =
+    Similarity.autoKnn(corpus.sparkSession, corpus, probes, topK,
+      nprobe, bruteVolumeCap)
+
   /** Brute-force cosine top-k against the embedding of `probeId`. */
   def cosineTopK(vecs: DataFrame, probeId: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -61,6 +61,36 @@ class FacadeSpec2 extends SparkSpecBase {
     assert(s1.values.sum == 2000)
   }
 
+  test("autoNearDupPairs and autoKnn choose by the cap and keep schemas stable") {
+    val sp = spark
+    import sp.implicits._
+    val toks = Seq(
+      (1L, "alpha"), (1L, "beta"), (1L, "gamma"),
+      (2L, "alpha"), (2L, "beta"), (2L, "gamma"),
+      (3L, "delta"), (3L, "epsilon")
+    ).toDF("doc_id", "tok")
+    val (p1, exact) = Graft.autoNearDupPairs(toks)
+    assert(p1 == "exact")
+    assert(exact.columns.toSeq ==
+      Seq("doc_a", "doc_b", "inter", "union_sz"))
+    assert(exact.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((1L, 2L)))
+    val (p2, _) = Graft.autoNearDupPairs(toks, exactVolumeCap = 0L)
+    assert(p2 == "lsh")
+    val vecs = (0L until 12L).map(i =>
+      (i, Array.fill(4)((i % 3).toFloat + 1f))).toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val (k1, knn) = Graft.autoKnn(vecs, probes, topK = 2)
+    assert(k1 == "brute")
+    assert(knn.columns.toSeq == Seq("probe_id", "vec_id", "sim", "rn"))
+    assert(knn.groupBy("probe_id").count().collect()
+      .forall(_.getLong(1) == 2L))
+    val (k2, _) = Graft.autoKnn(vecs, probes, topK = 2,
+      bruteVolumeCap = 0L)
+    assert(k2 == "ivf")
+  }
+
   test("simhashPairs finds identical docs at Hamming 0") {
     val sp = spark
     import sp.implicits._
