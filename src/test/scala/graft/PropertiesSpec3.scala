@@ -247,6 +247,57 @@ class PropertiesSpec3 extends SparkSpecBase {
     }
   }
 
+  test("signed SimHash bucket maintenance == batch rebuild for random corpora") {
+    // The SimHash analogue of the MinHash property above (the q147
+    // signed path shares SignedLsh but carries signatures inside the
+    // bucket member structs — the in-line Hamming verify depends on
+    // them riding through the maintenance unchanged).
+    import graft.text.SimHash
+    val sp = spark
+    import sp.implicits._
+    val vocab = ('a' to 't').map(_.toString)
+    for (seed <- 61L to 62L) {
+      val rnd = new scala.util.Random(seed)
+      val templates = (0 until 5).map(_ => vocab.filter(_ => rnd.nextBoolean()))
+      val docs = (0L until 50L).map { id =>
+        val t = templates(rnd.nextInt(5))
+        val toks = vocab.filter { v =>
+          val in = t.contains(v)
+          if (rnd.nextInt(12) == 0) !in else in
+        }
+        (id, if (toks.isEmpty) Seq("a") else toks)
+      }
+      val insIds = docs.map(_._1).filter(_ => rnd.nextInt(5) == 0).toSet
+      val delIds = docs.map(_._1)
+        .filterNot(insIds).filter(_ => rnd.nextInt(5) == 0).toSet
+      def toksOf(p: Long => Boolean): DataFrame =
+        docs.filter(d => p(d._1))
+          .flatMap { case (id, ts) => ts.map((id, _)) }.toDF("doc_id", "tok")
+      val bandedOld = SimHash.banded(
+        SimHash.signatures(toksOf(!insIds.contains(_)))).localCheckpoint()
+      val bandedIns = SimHash.banded(SimHash.signatures(
+        toksOf(insIds.contains)))
+      val deleted = delIds.toSeq.toDF("doc_id")
+      val touched = SimHash.touchedKeys(bandedOld, bandedIns, deleted)
+        .localCheckpoint()
+      val maintained = SimHash.bucketsOf(bandedOld)
+        .join(touched, Seq("band", "bh"), "left_anti")
+        .unionByName(SimHash.bucketsTouched(bandedOld, bandedIns, deleted,
+          touched = Some(touched)))
+      val batch = SimHash.bucketsOf(SimHash.banded(
+        SimHash.signatures(toksOf(id => !delIds.contains(id)))))
+      def rows(df: DataFrame) = df.collect()
+        .map { r =>
+          val ds = r.getSeq[org.apache.spark.sql.Row](2)
+            .map(m => (m.getLong(0), m.getLong(1)))
+          (r.getInt(0), r.get(1).toString, ds)
+        }.sortBy(t => (t._1, t._2)).toSeq
+      assert(rows(maintained) == rows(batch),
+        s"SimHash maintained buckets != batch, seed=$seed " +
+          s"(ins=${insIds.size} del=${delIds.size})")
+    }
+  }
+
   test("CC componentDeleteRestart == from-scratch on random graphs with random deletions") {
     for (seed <- 21L to 23L) {
       val n = 24
