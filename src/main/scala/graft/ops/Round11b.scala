@@ -1,0 +1,245 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Round-11 second batch: five declared queries that widen the
+  * relational surface (window distribution functions, multi-distinct
+  * aggregation, event pathing) and add two curation capabilities a
+  * training-data pipeline runs corpus-wide (bigram-LM rarity scoring,
+  * temperature-based source rebalancing). Every row here is
+  * oracle=SQL — fully deterministic cross-engine: counts are exact
+  * integers, every emitted double is the result of ONE IEEE operation
+  * sequence identical in both engines (a single division, or
+  * floor(sqrt(a/b)*2^16) where the *2^16 step is an exact exponent
+  * shift), and rarity thresholds compare integers (8*c2 < c1), never
+  * floats.
+  *
+  * The reference tree at /root/reference is absent (SURVEY.md §0);
+  * semantics follow SURVEY §2 rows 162-166.
+  */
+object Round11b {
+
+  val defs: Map[String, Q] = Map(
+
+    /** q162: WINDOW DISTRIBUTION FUNCTIONS — percent_rank + cume_dist
+      * of each order's price within its priority class. Completes the
+      * ranking-window family (q26 rank/dense_rank, q71 ntile) with the
+      * two relative-position functions: percent_rank = (rank-1)/(n-1)
+      * and cume_dist = |peers ≤ x| / n, each ONE IEEE division of two
+      * exact integers, tie rows receiving identical values in both
+      * engines. One window sort per priority partition — the same
+      * shuffle any ranked window pays; nothing extra at 100 TB. */
+    "q_win_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+      orders(s, d).filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    /** q163: EVENT PATHING — the user-journey transition matrix:
+      * for each (event_type -> next event_type) step observed in any
+      * user's timeline, the number of transitions and of distinct
+      * users taking it. The per-user next step is lead() over the
+      * user's (ts, event_id) order — ONE user-keyed window sort (the
+      * sessionize shuffle, reused shape), then a tiny
+      * |types|²-bounded aggregate. The product analytics primitive
+      * behind funnels (q88) generalized to ALL pairs. Integer
+      * counts end to end. */
+    "q_events_pathing" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n_transitions"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type", "next_type")
+    }),
+
+    /** q164: MULTI-DISTINCT AGGREGATION — three count(DISTINCT ...)
+      * over DIFFERENT columns in one aggregate, plus a plain count.
+      * This is the one aggregate shape Catalyst cannot serve with a
+      * single hash-agg: RewriteDistinctAggregates expands each row
+      * once per distinct group (an Expand node) and re-aggregates —
+      * the declared row pins that the expand-based plan produces
+      * exactly the naive per-column answer. At 100 TB the expand
+      * multiplies the shuffle by the number of distinct clauses;
+      * the scaladoc'd alternative when approximation is acceptable
+      * is one pass of approx_count_distinct (q23). */
+    "q_agg_distinct_multi" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_linestatus")
+        .agg(count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey")).as("n_supps"),
+          count_distinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_linestatus")
+    }),
+
+    /** q165: BIGRAM-LM RARITY SCORING [N] — the KenLM-style quality
+      * signal production corpus filters cut on: score every document
+      * against the n-gram language model of the corpus ITSELF. The
+      * conditional probability of each bigram occurrence is
+      * p(w2|w1) = c(w1,w2) / c(w1·) over bigram positions; per doc we
+      * report the bigram count, the number of RARE occurrences, and
+      * the minimum conditional probability. Determinism by
+      * construction: the rare test is the INTEGER comparison
+      * 32*c2 < c1 (p < 1/32 without any float at the threshold —
+      * chosen between the fixture's Q1 and median conditional
+      * probability so the column discriminates), and
+      * min_p is a min over values each produced by one IEEE division
+      * — min is order-independent, so partial aggregation cannot
+      * perturb it. Corpus-scale shape: two partial-aggregated counts
+      * build the LM (vocabulary-bounded, far smaller than the
+      * corpus), then one join of bigram occurrences to the LM keyed
+      * on the bigram; at 100 TB the LM is pruned to min-count and
+      * broadcast so the corpus never shuffles twice. Docs under two
+      * tokens carry no bigram and drop out (identically in the
+      * oracle via the empty range()). */
+    "q_text_lm_rarity" -> ((s, d) => {
+      val b = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+                 i -> named_struct('w1', element_at(toks, i),
+                                   'w2', element_at(toks, i + 1)))"""))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = b.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+      val c1 = b.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+      val lm = c2.join(c1, "w1")
+      b.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt2") * 32 < col("cnt1"), 1L).otherwise(0L))
+            .as("n_rare"),
+          min(col("cnt2").cast("double") / col("cnt1").cast("double"))
+            .as("min_p"))
+        .orderBy("doc_id")
+    }),
+
+    /** q166: TEMPERATURE-BASED LANGUAGE REBALANCING [N] — the
+      * multilingual mixing step of a training pipeline: downsample
+      * each language toward balance with acceptance rate
+      * r_l = sqrt(c_min / c_l) (temperature α = 0.5 flattening; the
+      * smallest language keeps everything, a 100× language keeps
+      * 10% — the fixture's en/fr skew is 3.4×, so en visibly thins).
+      * Seed-free and cluster-size-independent like q77/q113: a doc
+      * survives iff the first 4 hex chars of md5(doc_id) fall under
+      * the language's threshold floor(r_l · 2^16) — a map-side
+      * filter once the O(|langs|) rate relation is broadcast, so the
+      * corpus never shuffles to be sampled. Rate determinism:
+      * c_min/c_l is one IEEE division, sqrt is IEEE-exact, ·2^16 is
+      * an exact exponent shift, floor exact — both engines compute
+      * the same integer threshold; the md5-prefix comparison is
+      * string-equal across engines (q77 contract). The c_l = c_min
+      * language is kept by the explicit equality branch (its
+      * threshold 2^16 has no 4-hex representation). Output: per
+      * language the pre-count, threshold, kept count/chars and min
+      * kept doc. */
+    "q_sample_temperature" -> ((s, d) => {
+      val doc = documents(s, d)
+      val counts = doc.groupBy("lang").agg(count(lit(1)).as("c_docs"))
+      val cmin = counts.agg(min(col("c_docs")).as("c_min"))
+      val rates = counts.crossJoin(broadcast(cmin))
+        .withColumn("t_int",
+          floor(sqrt(col("c_min").cast("double") /
+              col("c_docs").cast("double")) * lit(65536.0)).cast("long"))
+        .withColumn("t_hex", lpad(lower(hex(col("t_int"))), 4, "0"))
+      doc.withColumn("h4",
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("c_docs") === col("c_min") || col("h4") < col("t_hex"))
+        .groupBy(col("lang"), col("c_docs"), col("t_int"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy("lang")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_win_cume_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER
+             (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pr,
+           cume_dist() OVER
+             (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+         FROM orders WHERE o_custkey < 200
+         ORDER BY o_orderpriority, o_orderkey""",
+    "q_events_pathing" ->
+      """WITH nxt AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events
+         )
+         SELECT event_type, next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM nxt WHERE next_type IS NOT NULL
+         GROUP BY event_type, next_type
+         ORDER BY event_type, next_type""",
+    "q_agg_distinct_multi" ->
+      """SELECT l_linestatus,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_text_lm_rarity" ->
+      """WITH bb AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i]))
+               AS w1,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i + 1]))
+               AS w2
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents) t
+         ), c2 AS (
+           SELECT w1, w2, count(*) AS cnt2 FROM bb GROUP BY w1, w2
+         ), c1 AS (
+           SELECT w1, count(*) AS cnt1 FROM bb GROUP BY w1
+         )
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN cnt2 * 32 < cnt1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_rare,
+           min(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE)) AS min_p
+         FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_sample_temperature" ->
+      """WITH c AS (
+           SELECT lang, count(*) AS c_docs FROM documents GROUP BY lang
+         ), m AS (
+           SELECT min(c_docs) AS c_min FROM c
+         ), r AS (
+           SELECT lang, c_docs, c_min,
+             CAST(floor(sqrt(CAST(c_min AS DOUBLE) / CAST(c_docs AS DOUBLE))
+               * 65536.0) AS BIGINT) AS t_int
+           FROM c, m
+         ), r2 AS (
+           SELECT lang, c_docs, c_min, t_int,
+             lpad(lower(to_hex(t_int)), 4, '0') AS t_hex
+           FROM r
+         )
+         SELECT lang, c_docs, t_int,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc
+         FROM documents JOIN r2 USING (lang)
+         WHERE c_docs = c_min
+            OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < t_hex
+         GROUP BY lang, c_docs, t_int
+         ORDER BY lang"""
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Round-11 second batch (SURVEY §2 rows 162-166): structural
+  * invariants the oracle hash does not express — conservation laws for
+  * the pathing counts, monotonicity of the temperature thresholds, the
+  * distribution-function bounds, and discrimination of the rarity
+  * score (the failure mode where a threshold silently saturates to
+  * all-rare or none-rare on fixture drift). */
+class Round11bSpec extends SparkSpecBase {
+
+  test("q_win_cume_dist: pr in [0,1], cd in (0,1], partition max cd is 1") {
+    val df = SparkEntry.queries("q_win_cume_dist")(spark, sfDir).cache()
+    val bad = df.filter(col("pr") < 0 || col("pr") > 1 ||
+      col("cd") <= 0 || col("cd") > 1).count()
+    assert(bad == 0, s"$bad rows outside distribution-function bounds")
+    val maxCd = df.groupBy("o_orderpriority").agg(max("cd").as("m"))
+      .filter(col("m") =!= 1.0).count()
+    assert(maxCd == 0, "every partition's top cume_dist must be exactly 1")
+    df.unpersist()
+  }
+
+  test("q_events_pathing: transitions conserve — sum == events - users") {
+    val df = SparkEntry.queries("q_events_pathing")(spark, sfDir)
+    val total = df.agg(sum("n_transitions")).head().getLong(0)
+    val ev = Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user with k events contributes exactly k-1 transitions
+    assert(total == nEvents - nUsers,
+      s"sum(n_transitions)=$total, events=$nEvents, users=$nUsers")
+  }
+
+  test("q_agg_distinct_multi equals independently computed per-column distincts") {
+    val df = SparkEntry.queries("q_agg_distinct_multi")(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    df.collect().foreach { r =>
+      val st = r.getString(r.fieldIndex("l_linestatus"))
+      val sub = li.filter(col("l_linestatus") === st)
+      assert(r.getLong(r.fieldIndex("n_parts")) ==
+        sub.select("l_partkey").distinct().count())
+      assert(r.getLong(r.fieldIndex("n_supps")) ==
+        sub.select("l_suppkey").distinct().count())
+      assert(r.getLong(r.fieldIndex("n_orders")) ==
+        sub.select("l_orderkey").distinct().count())
+      assert(r.getLong(r.fieldIndex("n_rows")) == sub.count())
+    }
+  }
+
+  test("q_text_lm_rarity: bounds hold and the threshold discriminates") {
+    val df = SparkEntry.queries("q_text_lm_rarity")(spark, sfDir).cache()
+    val bad = df.filter(col("n_rare") > col("n_bigrams") ||
+      col("min_p") <= 0 || col("min_p") > 1).count()
+    assert(bad == 0, s"$bad rows violate rarity bounds")
+    // the p < 1/32 bar must split the fixture: some docs carry rare
+    // bigrams, no doc is all-rare (saturation = the threshold stopped
+    // measuring anything; this is what flagged the original 1/8 bar)
+    assert(df.filter(col("n_rare") > 0).count() > 0, "no rare bigrams found")
+    assert(df.filter(col("n_rare") === col("n_bigrams")).count() < df.count(),
+      "every doc fully rare — threshold saturated")
+    df.unpersist()
+  }
+
+  test("q_sample_temperature: min lang intact, thresholds monotone, kept <= pre") {
+    val rows = SparkEntry.queries("q_sample_temperature")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq // (lang, c_docs, t_int, n_kept)
+    val cMin = rows.map(_._2).min
+    rows.foreach { case (lang, cDocs, tInt, nKept) =>
+      assert(nKept <= cDocs, s"$lang kept more than it had")
+      if (cDocs == cMin)
+        assert(nKept == cDocs && tInt == 65536L,
+          s"min-count lang $lang must keep everything")
+    }
+    // acceptance threshold decreases as the language count grows
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Seq((_, c1, t1, _), (_, c2, t2, _)) =>
+        if (c1 < c2) assert(t1 >= t2, s"threshold not monotone: " +
+          s"c=$c1 t=$t1 vs c=$c2 t=$t2")
+      case _ =>
+    }
+    // the skewed fixture must actually thin the largest language
+    val (maxLang, maxC, _, maxKept) = rows.maxBy(_._2)
+    if (maxC > cMin * 2)
+      assert(maxKept < maxC, s"skewed lang $maxLang was not downsampled")
+  }
+}
