@@ -4,23 +4,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
+import graft.engine.Dec._
 
-/** Round-11 second batch: five declared queries that widen the
-  * relational surface (window distribution functions, multi-distinct
-  * aggregation, event pathing) and add two curation capabilities a
-  * training-data pipeline runs corpus-wide (bigram-LM rarity scoring,
-  * temperature-based source rebalancing). Every row here is
-  * oracle=SQL — fully deterministic cross-engine: counts are exact
+/** Round-11 second/third batches (SURVEY §2 rows 162-170): declared
+  * queries that widen the relational surface (window distribution
+  * functions, multi-distinct aggregation, min_by/max_by, event
+  * pathing + dwell, 2-hop graph) and add curation/incremental
+  * capabilities a training-data pipeline runs corpus-wide (bigram-LM
+  * rarity scoring, temperature-based language rebalancing, signed
+  * incremental pathing). Every row here is oracle=SQL — fully
+  * deterministic cross-engine: counts and durations are exact
   * integers, every emitted double is the result of ONE IEEE operation
   * sequence identical in both engines (a single division, or
   * floor(sqrt(a/b)*2^16) where the *2^16 step is an exact exponent
-  * shift), and rarity thresholds compare integers (8*c2 < c1), never
-  * floats.
+  * shift), rarity thresholds compare integers (32*c2 < c1), and
+  * arg-min/max ordering keys are made UNIQUE integers so ties cannot
+  * exist.
   *
   * The reference tree at /root/reference is absent (SURVEY.md §0);
-  * semantics follow SURVEY §2 rows 162-166.
+  * semantics follow SURVEY §2 rows 162-170.
   */
 object Round11b {
+
+  /** Per-user transition counts (event_type, next_type, n_transitions)
+    * — q163's matrix shape (q163 itself computes it inline to add the
+    * distinct-user count in the same pass), used by q169's signed
+    * incremental maintenance for the stored matrix and both signed
+    * contributions. One user-keyed window sort; the aggregate is
+    * |types|²-bounded. */
+  private def transitionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
 
   val defs: Map[String, Q] = Map(
 
@@ -164,6 +182,115 @@ object Round11b {
           sum(col("n_chars")).as("n_chars"),
           min(col("doc_id")).as("min_doc"))
         .orderBy("lang")
+    }),
+
+    /** q167: DWELL-TIME ANALYTICS — per event type, how long users
+      * linger before their next action: transition count, exact
+      * BIGINT total wait in µs, max wait, and mean wait as ONE IEEE
+      * division of the exact sum by the exact count. The same
+      * user-keyed window sort as pathing/sessionize; integer µs
+      * arithmetic end to end, so partial-aggregation order cannot
+      * perturb anything. */
+    "q_events_dwell" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("wait_us", col("next_us") - col("us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("wait_us")).as("total_wait_us"),
+          max(col("wait_us")).as("max_wait_us"),
+          avgd(sum(col("wait_us")), count(lit(1))).as("mean_wait_us"))
+        .orderBy("event_type")
+    }),
+
+    /** q168: ARG-MIN/ARG-MAX AGGREGATION — min_by/max_by: per order
+      * priority, WHICH order carries the highest and lowest price.
+      * The one thing that makes arg-extremes oracle-safe is a UNIQUE
+      * ordering key: ties on raw price would leave both engines free
+      * to return different orderkeys, so the key is the exact integer
+      * cents·10^10 + orderkey (cents exact via DECIMAL(18,2)·100;
+      * bounded ≪ 2^63) — total order, no ties, identical on both
+      * engines. Single partial-aggregable pass (max_by is an ordinary
+      * mergeable aggregate — no window, no shuffle beyond the
+      * groupBy), which is exactly why it beats q29's row_number
+      * window when only the extreme row is wanted at 100 TB. */
+    "q_agg_min_max_by" -> ((s, d) => {
+      val ordKey = (dec2(col("o_totalprice")) * 100).cast("long") *
+        lit(10000000000L) + col("o_orderkey")
+      orders(s, d).groupBy("o_orderpriority")
+        .agg(max_by(col("o_orderkey"), ordKey).as("top_order"),
+          min_by(col("o_orderkey"), ordKey).as("bottom_order"),
+          dbl(max(dec2(col("o_totalprice")))).as("top_price"),
+          dbl(min(dec2(col("o_totalprice")))).as("bottom_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    /** q169: SIGNED INCREMENTAL PATHING [P §3] — q163's transition
+      * matrix maintained under the event-family signed delta (inserts
+      * = ts ≥ the cut, deletes = base events with event_id % 10 == 1,
+      * the q140 shape). Transitions are USER-LOCAL, so the matrix is
+      * a sum of per-user contributions and the group-level recompute
+      * rule applies with user = group: the STORED matrix (production:
+      * read back from the partials store) absorbs the delta as
+      *   matrix_post = stored − contrib_base(affected)
+      *                        + contrib_post(affected)
+      * merged by SIGNED counts — the i2MapReduce '+/−' pair shape on
+      * the (event_type, next_type) key. Deletion can re-link a user's
+      * neighbors into a transition that never existed in the base
+      * (the bridging-event argument from sessionize), which is why
+      * the affected users re-derive from their full post-delta
+      * timeline rather than patching edges. Delta-proportional: only
+      * affected users' timelines are re-sorted; untouched users never
+      * leave the stored aggregate. Oracle = the full lead-window
+      * recompute over the post-delta log: signed maintenance must be
+      * result-invisible. */
+    "q_incr_pathing" -> ((s, d) => {
+      val cut = lit("2024-01-20").cast("timestamp")
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+      val base = ev.filter(col("ts") < cut)
+      val ins = ev.filter(col("ts") >= cut)
+      val delPred = col("event_id") % 10 === 1
+      val affected = broadcast(ins.select("user_id")
+        .unionByName(base.filter(delPred).select("user_id"))
+        .distinct())
+      val stored = transitionsOf(base) // production: partials store
+      val neg = transitionsOf(base.join(affected, Seq("user_id"), "left_semi"))
+        .withColumn("n_transitions", -col("n_transitions"))
+      val pos = transitionsOf(base.filter(!delPred).unionByName(ins)
+        .join(affected, Seq("user_id"), "left_semi"))
+      stored.unionByName(neg).unionByName(pos)
+        .groupBy("event_type", "next_type")
+        .agg(sum(col("n_transitions")).as("n_transitions"))
+        .filter(col("n_transitions") > 0)
+        .orderBy("event_type", "next_type")
+    }),
+
+    /** q170: 2-HOP GRAPH NEIGHBORHOOD — for each target part, the
+      * distinct parts reachable through a shared supplier and the
+      * number of co-listing paths, on the q41 lineitem bipartite
+      * graph. The exact-baseline shape: distinct edges first (the
+      * dedup that keeps the self-join linear in TRUE edges, not line
+      * items), target side subset (part < 100) so the fan-out is
+      * bounded and the filter pushes to the scan; the join keys on
+      * supplier — the 100 TB skew guard is the documented salted-join
+      * swap (q84) if one supplier dominates. Integer counts only. */
+    "q_graph_2hop" -> ((s, d) => {
+      val e = lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      e.filter(col("p") < 100).as("a")
+        .join(e.as("b"), col("a.sk") === col("b.sk"))
+        .filter(col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("part"))
+        .agg(count_distinct(col("b.p")).as("n_2hop"),
+          count(lit(1)).as("n_paths"))
+        .orderBy("part")
     })
   )
 
@@ -240,6 +367,63 @@ object Round11b {
          WHERE c_docs = c_min
             OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < t_hex
          GROUP BY lang, c_docs, t_int
-         ORDER BY lang"""
+         ORDER BY lang""",
+    "q_events_dwell" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+           FROM events
+         ), w AS (
+           SELECT event_type, next_us - us AS wait_us
+           FROM e WHERE next_us IS NOT NULL
+         )
+         SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(wait_us) AS BIGINT) AS total_wait_us,
+           CAST(max(wait_us) AS BIGINT) AS max_wait_us,
+           CAST(sum(wait_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_wait_us
+         FROM w GROUP BY event_type ORDER BY event_type""",
+    "q_agg_min_max_by" ->
+      """SELECT o_orderpriority,
+           max_by(o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * 10000000000 + o_orderkey) AS top_order,
+           min_by(o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * 10000000000 + o_orderkey) AS bottom_order,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS top_price,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS bottom_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // q169's oracle is q163's transition matrix over the POST-DELTA
+    // event log: signed maintenance must be result-invisible.
+    "q_incr_pathing" ->
+      """WITH post AS (
+           SELECT user_id, event_id, ts, event_type FROM events
+           WHERE NOT (ts < TIMESTAMP '2024-01-20' AND event_id % 10 = 1)
+         ), nxt AS (
+           SELECT event_type,
+             lead(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM post
+         )
+         SELECT event_type, next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions
+         FROM nxt WHERE next_type IS NOT NULL
+         GROUP BY event_type, next_type
+         ORDER BY event_type, next_type""",
+    "q_graph_2hop" ->
+      """WITH e AS (
+           SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+         )
+         SELECT a.p AS part,
+           CAST(count(DISTINCT b.p) AS BIGINT) AS n_2hop,
+           CAST(count(*) AS BIGINT) AS n_paths
+         FROM e a JOIN e b ON a.sk = b.sk AND a.p <> b.p
+         WHERE a.p < 100
+         GROUP BY a.p ORDER BY a.p"""
   )
 }

@@ -15,10 +15,10 @@ class RegistrySmokeSpec extends SparkSpecBase {
     // round file would shadow an old operator with zero compile
     // signal. Pin the declared inventory count (update alongside
     // SURVEY §2's totals block when adding rows).
-    assert(SparkEntry.queries.size == 166,
-      s"expected 166 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
-    assert(SparkEntry.oracleSql.size == 153,
-      s"expected 153 oracle entries, found ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 170,
+      s"expected 170 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
+    assert(SparkEntry.oracleSql.size == 157,
+      s"expected 157 oracle entries, found ${SparkEntry.oracleSql.size}")
   }
 
   test("entry returns rows") {

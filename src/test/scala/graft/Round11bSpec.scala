@@ -86,4 +86,59 @@ class Round11bSpec extends SparkSpecBase {
     if (maxC > cMin * 2)
       assert(maxKept < maxC, s"skewed lang $maxLang was not downsampled")
   }
+
+  test("q_events_dwell: mean is exactly total/n, max bounds mean") {
+    SparkEntry.queries("q_events_dwell")(spark, sfDir).collect().foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val total = r.getLong(r.fieldIndex("total_wait_us"))
+      val mx = r.getLong(r.fieldIndex("max_wait_us"))
+      val mean = r.getDouble(r.fieldIndex("mean_wait_us"))
+      assert(n > 0 && total >= 0 && mx >= 0)
+      // bitwise: the declared mean must be the single division of the
+      // exact operands, nothing re-rounded
+      assert(mean == total.toDouble / n.toDouble)
+      assert(mean <= mx.toDouble)
+    }
+  }
+
+  test("q_agg_min_max_by: arg rows carry the extreme prices") {
+    val df = SparkEntry.queries("q_agg_min_max_by")(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    df.collect().foreach { r =>
+      assert(ord(r.getLong(r.fieldIndex("top_order"))) ==
+        r.getDouble(r.fieldIndex("top_price")))
+      assert(ord(r.getLong(r.fieldIndex("bottom_order"))) ==
+        r.getDouble(r.fieldIndex("bottom_price")))
+    }
+  }
+
+  test("q_incr_pathing: signed maintenance is row-identical to the batch matrix") {
+    val incr = SparkEntry.queries("q_incr_pathing")(spark, sfDir)
+    // batch recompute over the post-delta log, via the DECLARED q163
+    // shape (drop its n_users column — the matrix is the maintained
+    // state)
+    val cut = lit("2024-01-20").cast("timestamp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val post = Tables.events(spark, sfDir)
+      .filter(!(col("ts") < cut && col("event_id") % 10 === 1))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("event_type", "next_type")
+    assert(incr.collect().toSeq == post.collect().toSeq)
+  }
+
+  test("q_graph_2hop: neighbor count bounded by paths and by the part universe") {
+    val df = SparkEntry.queries("q_graph_2hop")(spark, sfDir).cache()
+    val nParts = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+    val bad = df.filter(col("n_2hop") > col("n_paths") ||
+      col("n_2hop") >= nParts).count()
+    assert(bad == 0, s"$bad rows violate 2-hop bounds (parts=$nParts)")
+    df.unpersist()
+  }
 }
