@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables._
 import graft.engine.Dec._
 
-/** Round-11 second/third batches (SURVEY §2 rows 162-170): declared
+/** Round-11 second/third/fourth batches (SURVEY §2 rows 162-174): declared
   * queries that widen the relational surface (window distribution
   * functions, multi-distinct aggregation, min_by/max_by, event
   * pathing + dwell, 2-hop graph) and add curation/incremental
@@ -22,7 +22,7 @@ import graft.engine.Dec._
   * exist.
   *
   * The reference tree at /root/reference is absent (SURVEY.md §0);
-  * semantics follow SURVEY §2 rows 162-170.
+  * semantics follow SURVEY §2 rows 162-174.
   */
 object Round11b {
 
@@ -291,6 +291,115 @@ object Round11b {
         .agg(count_distinct(col("b.p")).as("n_2hop"),
           count(lit(1)).as("n_paths"))
         .orderBy("part")
+    }),
+
+    /** q171: BALANCED CLASS SAMPLING [N] — exact per-class
+      * downsampling to the minority class size (the complement of
+      * q166's temperature FLATTENING: classification/eval sets want
+      * exact balance, mixing wants flattening). Deterministic and
+      * seed-free: within each label, rows rank by md5(vec_id) (the
+      * q77 cross-engine hash contract; vec_id tie-break makes the
+      * order total) and the first c_min survive. One label-keyed
+      * window sort + a broadcast scalar — at 100 TB each label sorts
+      * independently; no global order exists anywhere. Output is a
+      * membership fingerprint per label (count + exact id sum +
+      * min/max), so a single divergent kept-row flips the hash. */
+    "q_sample_balanced" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("label"))
+      val cmin = emb.groupBy("label").agg(count(lit(1)).as("c_n"))
+        .agg(min(col("c_n")).as("c_min"))
+      val w = Window.partitionBy("label")
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
+          col("vec_id"))
+      emb.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(cmin))
+        .filter(col("rn") <= col("c_min"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).as("sum_ids"),
+          min(col("vec_id")).as("min_id"),
+          max(col("vec_id")).as("max_id"))
+        .orderBy("label")
+    }),
+
+    /** q172: ACTIVITY STREAKS (gaps-and-islands) — per user, the
+      * runs of CONSECUTIVE active days: total active days, number of
+      * streaks, longest streak. The classic islands derivation —
+      * day-number minus per-user row_number is constant within an
+      * island — done per user, so each user's tiny distinct-day list
+      * sorts locally; nothing is globally ordered at 100 TB. Integer
+      * day arithmetic (datediff from a fixed epoch), UTC dates both
+      * sides (session pinned / DuckDB naive). */
+    "q_events_streaks" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("dnum",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+        .withColumn("grp", col("dnum") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    }),
+
+    /** q173: TIME-WINDOWED FUNNEL — q88's funnel with the conversion
+      * CLOCK: per user, the first view, the first purchase at or
+      * after it, and whether conversion landed inside 30 minutes
+      * (1800000000 µs — integer µs comparison, no float). min() over
+      * timestamps is deterministic; non-converting viewers keep a
+      * NULL purchase and conv_30m = 0, identical on both engines.
+      * Two filtered partial aggregates + one user-keyed join — the
+      * conversion-window analytics shape at any scale. */
+    "q_events_funnel_window" -> ((s, d) => {
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      v.join(p, col("user_id") === col("p_user") &&
+          col("p_ts") >= col("first_view"), "left")
+        .groupBy("user_id", "first_view")
+        .agg(min(col("p_ts")).as("first_purchase"))
+        .withColumn("conv_30m",
+          when(col("first_purchase").isNotNull &&
+            unix_micros(col("first_purchase")) -
+              unix_micros(col("first_view")) <= 1800000000L, 1L)
+            .otherwise(0L))
+        .orderBy("user_id")
+    }),
+
+    /** q174: NEAREST AS-OF JOIN — q16's as-of join completed with
+      * NEAREST semantics (absolute time distance, either direction):
+      * each error event finds its user's closest purchase. Determinism
+      * is the q168 unique-key trick applied to an argmin under a
+      * JOIN: the ordering key is the exact integer
+      * |Δt| in ms · 10^7 + purchase_id (ms truncation bounds the key
+      * ≪ 2^63; sub-ms ties then break by id — a total order both
+      * engines agree on), and ONE min() recovers both the chosen
+      * purchase and its distance by integer div/mod — never an FP
+      * division (10^7·2.6e9 ms exceeds 2^53, an IEEE quotient would
+      * corrupt the id). Per-user join fan-out is bounded by the
+      * user's own history — embarrassingly parallel at 100 TB. */
+    "q_join_asof_nearest" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id"),
+          col("us").as("e_us"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("us").as("p_us"))
+      err.join(pur, "user_id")
+        .groupBy(col("e_id"), col("user_id"))
+        .agg(min(expr("abs(p_us - e_us) div 1000") * lit(10000000L)
+          + col("p_id")).as("mk"))
+        .select(col("e_id").as("event_id"), col("user_id"),
+          (col("mk") % 10000000L).as("nearest_purchase_id"),
+          expr("mk div 10000000").as("diff_ms"))
+        .orderBy("event_id")
     })
   )
 
@@ -424,6 +533,71 @@ object Round11b {
            CAST(count(*) AS BIGINT) AS n_paths
          FROM e a JOIN e b ON a.sk = b.sk AND a.p <> b.p
          WHERE a.p < 100
-         GROUP BY a.p ORDER BY a.p"""
+         GROUP BY a.p ORDER BY a.p""",
+    "q_sample_balanced" ->
+      """WITH c AS (
+           SELECT label, count(*) AS c_n FROM embeddings GROUP BY label
+         ), m AS (
+           SELECT min(c_n) AS c_min FROM c
+         ), r AS (
+           SELECT vec_id, label, row_number() OVER
+             (PARTITION BY label
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM embeddings
+         )
+         SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+           min(vec_id) AS min_id, max(vec_id) AS max_id
+         FROM r, m WHERE rn <= c_min
+         GROUP BY label ORDER BY label""",
+    "q_events_streaks" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         ), g AS (
+           SELECT user_id,
+             CAST(day - DATE '2024-01-01' AS BIGINT)
+               - CAST(row_number() OVER
+                   (PARTITION BY user_id ORDER BY day) AS BIGINT) AS grp
+           FROM d
+         ), i AS (
+           SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp
+         )
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+         FROM i GROUP BY user_id ORDER BY user_id""",
+    "q_events_funnel_window" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS first_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id
+         ), p AS (
+           SELECT v.user_id, v.first_view, min(e.ts) AS first_purchase
+           FROM v LEFT JOIN events e
+             ON e.user_id = v.user_id AND e.event_type = 'purchase'
+            AND e.ts >= v.first_view
+           GROUP BY v.user_id, v.first_view
+         )
+         SELECT user_id, first_view, first_purchase,
+           CAST(CASE WHEN first_purchase IS NOT NULL
+             AND epoch_us(first_purchase) - epoch_us(first_view)
+                 <= 1800000000
+             THEN 1 ELSE 0 END AS BIGINT) AS conv_30m
+         FROM p ORDER BY user_id""",
+    "q_join_asof_nearest" ->
+      """WITH err AS (
+           SELECT event_id AS e_id, user_id, epoch_us(ts) AS e_us
+           FROM events WHERE event_type = 'error'
+         ), pur AS (
+           SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'
+         ), j AS (
+           SELECT e_id, err.user_id AS user_id,
+             min(abs(p_us - e_us) // 1000 * 10000000 + p_id) AS mk
+           FROM err JOIN pur USING (user_id) GROUP BY e_id, err.user_id
+         )
+         SELECT e_id AS event_id, user_id,
+           CAST(mk % 10000000 AS BIGINT) AS nearest_purchase_id,
+           CAST(mk // 10000000 AS BIGINT) AS diff_ms
+         FROM j ORDER BY event_id"""
   )
 }

@@ -141,4 +141,69 @@ class Round11bSpec extends SparkSpecBase {
     assert(bad == 0, s"$bad rows violate 2-hop bounds (parts=$nParts)")
     df.unpersist()
   }
+
+  test("q_sample_balanced: every class kept at exactly the minority size") {
+    val df = SparkEntry.queries("q_sample_balanced")(spark, sfDir)
+    val counts = Tables.tbl(spark, sfDir, "embeddings")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cMin = counts.values.min
+    val rows = df.collect()
+    assert(rows.length == counts.size, "a label vanished")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_kept")) == cMin,
+        s"label ${r.getInt(0)} kept ${r.getLong(1)} != minority $cMin")
+    }
+  }
+
+  test("q_events_streaks: day conservation and streak bounds") {
+    val df = SparkEntry.queries("q_events_streaks")(spark, sfDir).cache()
+    val bad = df.filter(col("longest_streak") > col("n_active_days") ||
+      col("n_streaks") > col("n_active_days") ||
+      col("n_streaks") < 1).count()
+    assert(bad == 0, s"$bad rows violate streak bounds")
+    val totalDays = df.agg(sum("n_active_days")).head().getLong(0)
+    val distinctUserDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(totalDays == distinctUserDays,
+      s"active days $totalDays != distinct (user, day) $distinctUserDays")
+    df.unpersist()
+  }
+
+  test("q_events_funnel_window: purchase after view, conv flag consistent") {
+    SparkEntry.queries("q_events_funnel_window")(spark, sfDir)
+      .collect().foreach { r =>
+        val fv = r.getTimestamp(r.fieldIndex("first_view"))
+        val fpIdx = r.fieldIndex("first_purchase")
+        val conv = r.getLong(r.fieldIndex("conv_30m"))
+        if (r.isNullAt(fpIdx)) assert(conv == 0)
+        else {
+          val fp = r.getTimestamp(fpIdx)
+          assert(!fp.before(fv), "first_purchase precedes first_view")
+          val within = fp.getTime - fv.getTime <= 1800000L
+          assert(conv == (if (within) 1L else 0L), "conv flag wrong")
+        }
+      }
+  }
+
+  test("q_join_asof_nearest: the chosen purchase minimizes ms distance") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+    val purByUser = ev.filter(_.getString(2) == "purchase")
+      .groupBy(_.getLong(1))
+      .map { case (u, rs) => u -> rs.map(r => (r.getLong(0), r.getLong(3))) }
+    val errUs = ev.filter(_.getString(2) == "error")
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    SparkEntry.queries("q_join_asof_nearest")(spark, sfDir)
+      .collect().foreach { r =>
+        val (eId, u) = (r.getLong(0), r.getLong(1))
+        val (pId, diffMs) = (r.getLong(2), r.getLong(3))
+        val best = purByUser(u)
+          .map { case (id, pUs) => (math.abs(pUs - errUs(eId)) / 1000, id) }
+          .min // (diff_ms, id) lexicographic = the declared tie-break
+        assert((diffMs, pId) == best,
+          s"error $eId: got ($diffMs, $pId), brute says $best")
+      }
+  }
 }
