@@ -212,4 +212,48 @@ object Graft {
         (col("tf").cast("double") *
           log(col("n_docs") / col("df").cast("double"))).as("tfidf"))
   }
+
+  /** Temperature rebalance (α = 0.5): keep each `classCol` group at
+    * acceptance rate √(c_min/c_class) via a seed-free md5(idCol)
+    * threshold — the multilingual/multi-source mixing step. Map-side
+    * once the O(|classes|) rate relation broadcasts. Returns the
+    * surviving rows with `c_docs`/`t_int` attached. */
+  def temperatureRebalance(df: DataFrame, classCol: String,
+                           idCol: String): DataFrame =
+    ops.Round11b.temperatureRebalance(df, classCol, idCol)
+
+  /** Exact balanced class sample: downsample every `classCol` group
+    * to the minority class size, rows ranked by md5(idCol) + id
+    * tie-break within each class (deterministic, seed-free; each
+    * class sorts independently). */
+  def balancedSample(df: DataFrame, classCol: String,
+                     idCol: String): DataFrame =
+    ops.Round11b.balancedSample(df, classCol, idCol)
+
+  /** User-journey transition matrix: (`typeCol` → next) counts over
+    * each `userCol` timeline ordered by (`tsCol`, `tieCol`). */
+  def transitionMatrix(ev: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame =
+    ops.Round11b.transitionMatrix(ev, userCol, tsCol, tieCol, typeCol)
+
+  /** Consecutive-day activity streaks per `userCol`:
+    * (user, n_active_days, n_streaks, longest_streak). */
+  def activityStreaks(ev: DataFrame, userCol: String,
+                      tsCol: String): DataFrame =
+    ops.Round11b.activityStreaks(ev, userCol, tsCol)
+
+  /** Nearest as-of join: for each left row the same-`key` right row
+    * closest in absolute time (ms distance, sub-ms ties by right id;
+    * right ids must be < 10^7). Output (l_id, key, r_id, diff_ms). */
+  def nearestAsofJoin(left: DataFrame, lId: String, lTs: String,
+                      right: DataFrame, rId: String, rTs: String,
+                      key: String): DataFrame =
+    ops.Round11b.nearestAsofJoin(left, lId, lTs, right, rId, rTs, key)
+
+  /** Bigram-LM rarity scoring: per doc the bigram count, occurrences
+    * rarer than 1/`rarityDenom` under the corpus's own bigram LM
+    * (integer threshold test) and the min conditional probability. */
+  def lmRarity(docs: DataFrame, idCol: String, textCol: String,
+               rarityDenom: Int = 32): DataFrame =
+    ops.Round11b.lmRarity(docs, idCol, textCol, rarityDenom)
 }

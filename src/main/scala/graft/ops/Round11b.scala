@@ -26,18 +26,127 @@ import graft.engine.Dec._
   */
 object Round11b {
 
-  /** Per-user transition counts (event_type, next_type, n_transitions)
-    * — q163's matrix shape (q163 itself computes it inline to add the
-    * distinct-user count in the same pass), used by q169's signed
-    * incremental maintenance for the stored matrix and both signed
-    * contributions. One user-keyed window sort; the aggregate is
-    * |types|²-bounded. */
-  private def transitionsOf(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+  /** GENERIC transition matrix (the q163 shape on caller columns):
+    * per-`userCol` timeline ordered by (`tsCol`, `tieCol`), the
+    * (`typeCol` → next) transition counts. One user-keyed window
+    * sort; the aggregate is |types|²-bounded. Used by q163/q169 and
+    * exposed on [[graft.Graft.transitionMatrix]]. */
+  def transitionMatrix(ev: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+    ev.withColumn("next_type", lead(col(typeCol), 1).over(w))
       .filter(col("next_type").isNotNull)
-      .groupBy("event_type", "next_type")
+      .groupBy(typeCol, "next_type")
       .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  private def transitionsOf(ev: DataFrame): DataFrame =
+    transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+
+  /** GENERIC temperature rebalance (q166's filter on caller columns):
+    * keeps each `classCol` group at acceptance rate √(c_min/c_class)
+    * via the seed-free md5(idCol)-prefix threshold. Returns the
+    * surviving rows with `c_docs` (pre-count) and `t_int` (threshold)
+    * attached. Map-side once the O(|classes|) rate relation
+    * broadcasts — the corpus never shuffles to be sampled. */
+  def temperatureRebalance(df: DataFrame, classCol: String,
+                           idCol: String): DataFrame = {
+    val counts = df.groupBy(classCol).agg(count(lit(1)).as("c_docs"))
+    val cmin = counts.agg(min(col("c_docs")).as("c_min"))
+    val rates = counts.crossJoin(broadcast(cmin))
+      .withColumn("t_int",
+        floor(sqrt(col("c_min").cast("double") /
+            col("c_docs").cast("double")) * lit(65536.0)).cast("long"))
+      .withColumn("t_hex", lpad(lower(hex(col("t_int"))), 4, "0"))
+    df.withColumn("h4",
+        substring(md5(col(idCol).cast("string").cast("binary")), 1, 4))
+      .join(broadcast(rates), Seq(classCol))
+      .filter(col("c_docs") === col("c_min") || col("h4") < col("t_hex"))
+      .drop("h4", "t_hex", "c_min")
+  }
+
+  /** GENERIC balanced class sample (q171's filter on caller columns):
+    * exact per-class downsampling to the minority class size, rows
+    * ranked by md5(idCol) + id tie-break within each class. Each
+    * class sorts independently — no global order. Returns the
+    * surviving rows. */
+  def balancedSample(df: DataFrame, classCol: String,
+                     idCol: String): DataFrame = {
+    val cmin = df.groupBy(classCol).agg(count(lit(1)).as("c_n"))
+      .agg(min(col("c_n")).as("c_min"))
+    val w = Window.partitionBy(classCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(cmin))
+      .filter(col("rn") <= col("c_min"))
+      .drop("rn", "c_min")
+  }
+
+  /** GENERIC activity streaks (q172 on caller columns): per
+    * `userCol`, islands of consecutive active days derived from
+    * `tsCol` — (user, n_active_days, n_streaks, longest_streak). */
+  def activityStreaks(ev: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy("day")
+    ev.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+      .withColumn("dnum",
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+      .withColumn("grp", col("dnum") - row_number().over(w))
+      .groupBy(userCol, "grp").agg(count(lit(1)).as("len"))
+      .groupBy(userCol)
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  /** GENERIC nearest as-of join (q174 on caller columns): for each
+    * left row, the same-`key` right row nearest in absolute time —
+    * millisecond distance, sub-ms ties by right id; the argmin rides
+    * ONE min() of the exact composite integer |Δt|ms·10^7 + r_id
+    * (div/mod recovery — never FP, the key exceeds 2^53). Output
+    * (l_id, key, r_id, diff_ms). Right ids must be < 10^7. */
+  def nearestAsofJoin(left: DataFrame, lId: String, lTs: String,
+                      right: DataFrame, rId: String, rTs: String,
+                      key: String): DataFrame = {
+    val l = left.select(col(lId).as("l_id"), col(key),
+      unix_micros(col(lTs)).as("l_us"))
+    val r = right.select(col(rId).as("r_id"), col(key),
+      unix_micros(col(rTs)).as("r_us"))
+    l.join(r, key)
+      .groupBy(col("l_id"), col(key))
+      .agg(min(expr("abs(r_us - l_us) div 1000") * lit(10000000L)
+        + col("r_id")).as("mk"))
+      .select(col("l_id"), col(key),
+        (col("mk") % 10000000L).as("r_id"),
+        expr("mk div 10000000").as("diff_ms"))
+  }
+
+  /** GENERIC bigram-LM rarity scoring (q165 on caller columns): per
+    * doc the bigram count, occurrences rarer than 1/`rarityDenom`
+    * under the corpus's own bigram LM (INTEGER threshold test), and
+    * the min conditional probability. */
+  def lmRarity(docs: DataFrame, idCol: String, textCol: String,
+               rarityDenom: Int = 32): DataFrame = {
+    val b = docs
+      .withColumn("toks", split(col(textCol), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol),
+        explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+               i -> named_struct('w1', element_at(toks, i),
+                                 'w2', element_at(toks, i + 1)))"""))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = b.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val c1 = b.groupBy("w1").agg(count(lit(1)).as("cnt1"))
+    val lm = c2.join(c1, "w1")
+    b.join(lm, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt2") * rarityDenom < col("cnt1"), 1L)
+          .otherwise(0L)).as("n_rare"),
+        min(col("cnt2").cast("double") / col("cnt1").cast("double"))
+          .as("min_p"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -121,29 +230,9 @@ object Round11b {
       * broadcast so the corpus never shuffles twice. Docs under two
       * tokens carry no bigram and drop out (identically in the
       * oracle via the empty range()). */
-    "q_text_lm_rarity" -> ((s, d) => {
-      val b = documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"),
-          explode(expr(
-            """transform(sequence(1, size(toks) - 1),
-                 i -> named_struct('w1', element_at(toks, i),
-                                   'w2', element_at(toks, i + 1)))"""))
-          .as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val c2 = b.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-      val c1 = b.groupBy("w1").agg(count(lit(1)).as("cnt1"))
-      val lm = c2.join(c1, "w1")
-      b.join(lm, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("cnt2") * 32 < col("cnt1"), 1L).otherwise(0L))
-            .as("n_rare"),
-          min(col("cnt2").cast("double") / col("cnt1").cast("double"))
-            .as("min_p"))
-        .orderBy("doc_id")
-    }),
+    "q_text_lm_rarity" -> ((s, d) =>
+      lmRarity(documents(s, d), "doc_id", "text", rarityDenom = 32)
+        .orderBy("doc_id")),
 
     /** q166: TEMPERATURE-BASED LANGUAGE REBALANCING [N] — the
       * multilingual mixing step of a training pipeline: downsample
@@ -164,25 +253,13 @@ object Round11b {
       * threshold 2^16 has no 4-hex representation). Output: per
       * language the pre-count, threshold, kept count/chars and min
       * kept doc. */
-    "q_sample_temperature" -> ((s, d) => {
-      val doc = documents(s, d)
-      val counts = doc.groupBy("lang").agg(count(lit(1)).as("c_docs"))
-      val cmin = counts.agg(min(col("c_docs")).as("c_min"))
-      val rates = counts.crossJoin(broadcast(cmin))
-        .withColumn("t_int",
-          floor(sqrt(col("c_min").cast("double") /
-              col("c_docs").cast("double")) * lit(65536.0)).cast("long"))
-        .withColumn("t_hex", lpad(lower(hex(col("t_int"))), 4, "0"))
-      doc.withColumn("h4",
-          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
-        .join(broadcast(rates), Seq("lang"))
-        .filter(col("c_docs") === col("c_min") || col("h4") < col("t_hex"))
+    "q_sample_temperature" -> ((s, d) =>
+      temperatureRebalance(documents(s, d), "lang", "doc_id")
         .groupBy(col("lang"), col("c_docs"), col("t_int"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("n_chars"),
           min(col("doc_id")).as("min_doc"))
-        .orderBy("lang")
-    }),
+        .orderBy("lang")),
 
     /** q167: DWELL-TIME ANALYTICS — per event type, how long users
       * linger before their next action: transition count, exact
@@ -304,23 +381,15 @@ object Round11b {
       * independently; no global order exists anywhere. Output is a
       * membership fingerprint per label (count + exact id sum +
       * min/max), so a single divergent kept-row flips the hash. */
-    "q_sample_balanced" -> ((s, d) => {
-      val emb = embeddings(s, d).select(col("vec_id"), col("label"))
-      val cmin = emb.groupBy("label").agg(count(lit(1)).as("c_n"))
-        .agg(min(col("c_n")).as("c_min"))
-      val w = Window.partitionBy("label")
-        .orderBy(md5(col("vec_id").cast("string").cast("binary")),
-          col("vec_id"))
-      emb.withColumn("rn", row_number().over(w))
-        .crossJoin(broadcast(cmin))
-        .filter(col("rn") <= col("c_min"))
+    "q_sample_balanced" -> ((s, d) =>
+      balancedSample(embeddings(s, d).select(col("vec_id"), col("label")),
+        "label", "vec_id")
         .groupBy("label")
         .agg(count(lit(1)).as("n_kept"),
           sum(col("vec_id")).as("sum_ids"),
           min(col("vec_id")).as("min_id"),
           max(col("vec_id")).as("max_id"))
-        .orderBy("label")
-    }),
+        .orderBy("label")),
 
     /** q172: ACTIVITY STREAKS (gaps-and-islands) — per user, the
       * runs of CONSECUTIVE active days: total active days, number of
@@ -330,20 +399,8 @@ object Round11b {
       * sorts locally; nothing is globally ordered at 100 TB. Integer
       * day arithmetic (datediff from a fixed epoch), UTC dates both
       * sides (session pinned / DuckDB naive). */
-    "q_events_streaks" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("day")
-      events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        .withColumn("dnum",
-          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
-        .withColumn("grp", col("dnum") - row_number().over(w))
-        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
-        .groupBy("user_id")
-        .agg(sum(col("len")).as("n_active_days"),
-          count(lit(1)).as("n_streaks"),
-          max(col("len")).as("longest_streak"))
-        .orderBy("user_id")
-    }),
+    "q_events_streaks" -> ((s, d) =>
+      activityStreaks(events(s, d), "user_id", "ts").orderBy("user_id")),
 
     /** q173: TIME-WINDOWED FUNNEL — q88's funnel with the conversion
       * CLOCK: per user, the first view, the first purchase at or
@@ -384,21 +441,13 @@ object Round11b {
       * corrupt the id). Per-user join fan-out is bounded by the
       * user's own history — embarrassingly parallel at 100 TB. */
     "q_join_asof_nearest" -> ((s, d) => {
-      val ev = events(s, d).select(col("event_id"), col("user_id"),
-        col("event_type"), unix_micros(col("ts")).as("us"))
-      val err = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("e_id"), col("user_id"),
-          col("us").as("e_us"))
-      val pur = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          col("us").as("p_us"))
-      err.join(pur, "user_id")
-        .groupBy(col("e_id"), col("user_id"))
-        .agg(min(expr("abs(p_us - e_us) div 1000") * lit(10000000L)
-          + col("p_id")).as("mk"))
-        .select(col("e_id").as("event_id"), col("user_id"),
-          (col("mk") % 10000000L).as("nearest_purchase_id"),
-          expr("mk div 10000000").as("diff_ms"))
+      val ev = events(s, d)
+      nearestAsofJoin(
+        ev.filter(col("event_type") === "error"), "event_id", "ts",
+        ev.filter(col("event_type") === "purchase"), "event_id", "ts",
+        "user_id")
+        .select(col("l_id").as("event_id"), col("user_id"),
+          col("r_id").as("nearest_purchase_id"), col("diff_ms"))
         .orderBy("event_id")
     })
   )
