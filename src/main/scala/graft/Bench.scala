@@ -58,7 +58,18 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Deterministic sorted-name execution order. The registry is a
+    // hash Map whose iteration order RESHUFFLES whenever keys are
+    // added, which silently changes which queries warm the shared
+    // session memos for which (r11: adding 13 keys moved an
+    // incremental query AHEAD of the batch query that builds its
+    // stored index, charging the one-time index build to a different
+    // row than in every earlier round). Sorted order is stable across
+    // registry growth, reproducible for A/B, and has the natural
+    // property that `x` sorts before `x_incr`/`x_delete` — batch
+    // builds its stored state before the maintenance query reads it,
+    // which is the documented production sequence.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to repeats).map(_ => timeOnce(fn))
       val samples = runs.map(_._1)
       val sortedS = samples.sorted
@@ -74,8 +85,8 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, _, _, false)) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = r3(if (results.nonEmpty) results.values.map(_._1).sum else 0.0)
-    val totalFirst = r3(if (results.nonEmpty) results.values.map(_._3).sum else 0.0)
+    val total = r3(if (results.nonEmpty) results.map(_._2._1).sum else 0.0)
+    val totalFirst = r3(if (results.nonEmpty) results.map(_._2._3).sum else 0.0)
     // Storage audit: what the session memos have pinned by the end of
     // the run (cache growth is the first suspect when code-unchanged
     // queries regress — see BASELINE.md round-8 note).
