@@ -26,6 +26,26 @@ import graft.engine.Dec._
   */
 object Round11b {
 
+  private val dfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  graft.engine.Memos.register { () =>
+    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
+  }
+
+  /** Distinct bipartite (part, supplier) edge relation — q170's
+    * structure data, session-memoized like [[graft.iter.Graphs]]'
+    * symmetric graph (which canonicalizes endpoints and so cannot
+    * serve the bipartite shape). Persisted: the self-join reads it
+    * twice per execution. */
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    dfMemo.getOrElseUpdate((s, d, "bipartite"), {
+      val e = lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct().persist()
+      e.count() // materialize so both join sides read cached rows
+      e
+    })
+
   /** GENERIC transition matrix (the q163 shape on caller columns):
     * per-`userCol` timeline ordered by (`tsCol`, `tieCol`), the
     * (`typeCol` → next) transition counts. One user-keyed window
@@ -358,9 +378,7 @@ object Round11b {
       * supplier — the 100 TB skew guard is the documented salted-join
       * swap (q84) if one supplier dominates. Integer counts only. */
     "q_graph_2hop" -> ((s, d) => {
-      val e = lineitem(s, d)
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-        .distinct()
+      val e = bipartiteEdges(s, d)
       e.filter(col("p") < 100).as("a")
         .join(e.as("b"), col("a.sk") === col("b.sk"))
         .filter(col("a.p") =!= col("b.p"))
