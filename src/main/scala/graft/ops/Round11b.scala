@@ -356,7 +356,12 @@ object Round11b {
       val affected = broadcast(ins.select("user_id")
         .unionByName(base.filter(delPred).select("user_id"))
         .distinct())
-      val stored = transitionsOf(base) // production: partials store
+      // the STORED matrix — session-memoized like the rest of the
+      // stored-state family (production reads it from the partials
+      // store; it is immutable for a given base corpus)
+      val stored = dfMemo.getOrElseUpdate((s, d, "transBase"), {
+        val t = transitionsOf(base).persist(); t.count(); t
+      })
       val neg = transitionsOf(base.join(affected, Seq("user_id"), "left_semi"))
         .withColumn("n_transitions", -col("n_transitions"))
       val pos = transitionsOf(base.filter(!delPred).unionByName(ins)
