@@ -91,4 +91,33 @@ class EdgeCaseSpec extends SparkSpecBase {
       KMeans.runOn(spark, tiny, k = 3, iters = 1)
     }
   }
+
+  test("round-11 generics survive degenerate inputs") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // single-user single-event log: no transitions, one 1-day streak
+    val one = Seq((1L, 1L, "2024-03-05 10:00:00", "a"))
+      .toDF("u", "id", "t", "typ")
+      .withColumn("t", col("t").cast("timestamp"))
+    assert(graft.ops.Round11b.transitionMatrix(one, "u", "t", "id", "typ")
+      .count() == 0)
+    val st = Graft.activityStreaks(one, "u", "t").head()
+    assert((st.getLong(1), st.getLong(2), st.getLong(3)) == ((1L, 1L, 1L)))
+    // single-class frame: balancedSample and temperatureRebalance are
+    // identity (threshold branch c == c_min)
+    val mono = (0L until 7L).map((_, "only")).toDF("id", "cls")
+    assert(Graft.balancedSample(mono, "cls", "id").count() == 7)
+    assert(Graft.temperatureRebalance(mono, "cls", "id").count() == 7)
+    // nearestAsofJoin with an empty right side emits nothing
+    val l = Seq((1L, 1L, "2024-03-05 10:00:00")).toDF("lid", "k", "lt")
+      .withColumn("lt", col("lt").cast("timestamp"))
+    val r = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("rid", "k", "rt")
+    assert(Graft.nearestAsofJoin(l, "lid", "lt", r, "rid", "rt", "k")
+      .count() == 0)
+    // lmRarity: corpus of sub-2-token docs is empty output, not a crash
+    assert(Graft.lmRarity(Seq((1L, "solo"), (2L, ""))
+      .toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
 }
