@@ -472,6 +472,65 @@ object Round11b {
         .select(col("l_id").as("event_id"), col("user_id"),
           col("r_id").as("nearest_purchase_id"), col("diff_ms"))
         .orderBy("event_id")
+    }),
+
+    /** q175: GRAPH-NEIGHBOR JACCARD — structural similarity of two
+      * parts by their supplier sets (the co-occurrence similarity
+      * behind "items supplied together" / link prediction; also graph
+      * dedup — the q50 set-Jaccard with the SET coming from graph
+      * adjacency instead of tokens). Same bounded-subset exact
+      * baseline discipline as q170 on the same memoized bipartite
+      * relation: both sides restricted to part < 100 (pushed to the
+      * cached scan), intersections from one supplier-keyed self-join,
+      * union by inclusion-exclusion from exact degrees, jaccard ONE
+      * division. The LSH swap (q51) is the documented scale path when
+      * the pair set cannot be subset-bounded. */
+    "q_graph_jaccard_neighbors" -> ((s, d) => {
+      val e = bipartiteEdges(s, d).filter(col("p") < 100)
+      val deg = e.groupBy("p").agg(count(lit(1)).as("dg"))
+      val inter = e.as("a")
+        .join(e.as("b"), col("a.sk") === col("b.sk") &&
+          col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(deg.select(col("p").as("part_a"), col("dg").as("da")), "part_a")
+        .join(deg.select(col("p").as("part_b"), col("dg").as("db")), "part_b")
+        .select(col("part_a"), col("part_b"), col("inter"),
+          (col("da") + col("db") - col("inter")).as("union_sz"),
+          (col("inter").cast("double") /
+            (col("da") + col("db") - col("inter")).cast("double"))
+            .as("jacc"))
+        .orderBy("part_a", "part_b")
+    }),
+
+    /** q176: SIGNED INCREMENTAL STREAKS [P §3] — q172 maintained
+      * under the event-family signed delta (q140 shape). Streaks are
+      * user-local like sessions, so the group-level recompute rule
+      * applies verbatim: untouched users' streak rows pass through
+      * (production: from the partials store), touched users re-derive
+      * from their post-delta timeline — deletion can SPLIT a streak
+      * (removing the bridging day), insertion can FUSE two (filling
+      * the gap day), so per-user re-derivation is the only rule
+      * consistent with island semantics. Oracle = q172's islands SQL
+      * over the post-delta log: maintenance must be
+      * result-invisible. */
+    "q_incr_streaks" -> ((s, d) => {
+      val cut = lit("2024-01-20").cast("timestamp")
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val base = ev.filter(col("ts") < cut)
+      val ins = ev.filter(col("ts") >= cut)
+      val delPred = col("event_id") % 10 === 1
+      val affected = broadcast(ins.select("user_id")
+        .unionByName(base.filter(delPred).select("user_id"))
+        .distinct())
+      val preserved = activityStreaks(
+        base.join(affected, Seq("user_id"), "left_anti"), "user_id", "ts")
+      val recomputed = activityStreaks(
+        base.filter(!delPred).unionByName(ins)
+          .join(affected, Seq("user_id"), "left_semi"), "user_id", "ts")
+      preserved.unionByName(recomputed).orderBy("user_id")
     })
   )
 
@@ -670,6 +729,46 @@ object Round11b {
          SELECT e_id AS event_id, user_id,
            CAST(mk % 10000000 AS BIGINT) AS nearest_purchase_id,
            CAST(mk // 10000000 AS BIGINT) AS diff_ms
-         FROM j ORDER BY event_id"""
+         FROM j ORDER BY event_id""",
+    "q_graph_jaccard_neighbors" ->
+      """WITH e AS (
+           SELECT DISTINCT l_partkey AS p, l_suppkey AS sk
+           FROM lineitem WHERE l_partkey < 100
+         ), deg AS (
+           SELECT p, count(*) AS dg FROM e GROUP BY p
+         ), i AS (
+           SELECT a.p AS part_a, b.p AS part_b, count(*) AS inter
+           FROM e a JOIN e b ON a.sk = b.sk AND a.p < b.p
+           GROUP BY a.p, b.p
+         )
+         SELECT part_a, part_b, CAST(inter AS BIGINT) AS inter,
+           CAST(da.dg + db.dg - inter AS BIGINT) AS union_sz,
+           CAST(inter AS DOUBLE) /
+             CAST(da.dg + db.dg - inter AS DOUBLE) AS jacc
+         FROM i
+         JOIN deg da ON da.p = part_a
+         JOIN deg db ON db.p = part_b
+         ORDER BY part_a, part_b""",
+    // q176's oracle is q172's islands SQL over the POST-DELTA event
+    // log: signed maintenance must be result-invisible.
+    "q_incr_streaks" ->
+      """WITH post AS (
+           SELECT user_id, event_id, ts FROM events
+           WHERE NOT (ts < TIMESTAMP '2024-01-20' AND event_id % 10 = 1)
+         ), d AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM post
+         ), g AS (
+           SELECT user_id,
+             CAST(day - DATE '2024-01-01' AS BIGINT)
+               - CAST(row_number() OVER
+                   (PARTITION BY user_id ORDER BY day) AS BIGINT) AS grp
+           FROM d
+         ), i AS (
+           SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp
+         )
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+         FROM i GROUP BY user_id ORDER BY user_id"""
   )
 }

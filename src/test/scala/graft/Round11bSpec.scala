@@ -186,6 +186,27 @@ class Round11bSpec extends SparkSpecBase {
       }
   }
 
+  test("q_graph_jaccard_neighbors: jaccard bounds and inclusion-exclusion hold") {
+    val df = SparkEntry.queries("q_graph_jaccard_neighbors")(spark, sfDir)
+      .cache()
+    val bad = df.filter(col("inter") < 1 || col("inter") > col("union_sz") ||
+      col("jacc") <= 0 || col("jacc") > 1 ||
+      col("jacc") =!= col("inter").cast("double") /
+        col("union_sz").cast("double")).count()
+    assert(bad == 0, s"$bad rows violate jaccard bounds")
+    df.unpersist()
+  }
+
+  test("q_incr_streaks: signed maintenance is row-identical to the batch islands") {
+    val incr = SparkEntry.queries("q_incr_streaks")(spark, sfDir)
+    val cut = lit("2024-01-20").cast("timestamp")
+    val post = Tables.events(spark, sfDir)
+      .filter(!(col("ts") < cut && col("event_id") % 10 === 1))
+    val batch = graft.ops.Round11b
+      .activityStreaks(post, "user_id", "ts").orderBy("user_id")
+    assert(incr.collect().toSeq == batch.collect().toSeq)
+  }
+
   test("q_join_asof_nearest: the chosen purchase minimizes ms distance") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
