@@ -256,4 +256,16 @@ object Graft {
   def lmRarity(docs: DataFrame, idCol: String, textCol: String,
                rarityDenom: Int = 32): DataFrame =
     ops.Round11b.lmRarity(docs, idCol, textCol, rarityDenom)
+
+  /** The group-level incremental recompute rule as a combinator: for
+    * any per-group derivation whose output depends only on its own
+    * group's rows (sessions, SCD2 histories, streaks, per-user
+    * stats), maintain it under a delta by passing untouched groups
+    * through and re-deriving exactly the groups in `affected` from
+    * their post-delta rows. `affected` (the delta's group-key set) is
+    * broadcast — delta-proportional, never a corpus shuffle. */
+  def incrGroupRecompute(base: DataFrame, post: DataFrame,
+                         groupCols: Seq[String], affected: DataFrame)
+                        (derive: DataFrame => DataFrame): DataFrame =
+    ops.Round11b.incrGroupRecompute(base, post, groupCols, affected)(derive)
 }

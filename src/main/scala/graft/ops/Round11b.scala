@@ -46,6 +46,24 @@ object Round11b {
       e
     })
 
+  /** GENERIC group-level incremental recompute — the i2MapReduce
+    * rule behind the whole signed-delta family (sessionize q140, SCD2
+    * q143, streaks q176, …) as a reusable combinator: any per-group
+    * derivation whose output depends only on its own group's rows is
+    * maintained under a delta by passing untouched groups' results
+    * THROUGH (production: read back from the partials store — `derive`
+    * over the anti-join is the from-scratch stand-in with identical
+    * rows) and re-deriving exactly the touched groups from their
+    * post-delta rows. `affected` is the delta's group-key set —
+    * delta-proportional, broadcast (never a corpus shuffle). */
+  def incrGroupRecompute(base: DataFrame, post: DataFrame,
+                         groupCols: Seq[String], affected: DataFrame)
+                        (derive: DataFrame => DataFrame): DataFrame = {
+    val aff = broadcast(affected)
+    derive(base.join(aff, groupCols, "left_anti"))
+      .unionByName(derive(post.join(aff, groupCols, "left_semi")))
+  }
+
   /** GENERIC transition matrix (the q163 shape on caller columns):
     * per-`userCol` timeline ordered by (`tsCol`, `tieCol`), the
     * (`typeCol` → next) transition counts. One user-keyed window
@@ -522,15 +540,12 @@ object Round11b {
       val base = ev.filter(col("ts") < cut)
       val ins = ev.filter(col("ts") >= cut)
       val delPred = col("event_id") % 10 === 1
-      val affected = broadcast(ins.select("user_id")
+      val affected = ins.select("user_id")
         .unionByName(base.filter(delPred).select("user_id"))
-        .distinct())
-      val preserved = activityStreaks(
-        base.join(affected, Seq("user_id"), "left_anti"), "user_id", "ts")
-      val recomputed = activityStreaks(
-        base.filter(!delPred).unionByName(ins)
-          .join(affected, Seq("user_id"), "left_semi"), "user_id", "ts")
-      preserved.unionByName(recomputed).orderBy("user_id")
+        .distinct()
+      incrGroupRecompute(base, base.filter(!delPred).unionByName(ins),
+        Seq("user_id"), affected)(activityStreaks(_, "user_id", "ts"))
+        .orderBy("user_id")
     })
   )
 

@@ -131,6 +131,37 @@ class PropertiesSpec4 extends SparkSpecBase {
     }
   }
 
+  test("incrGroupRecompute == derive(post) for random group derivations and deltas") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 40L to 42L) {
+      val rnd = new scala.util.Random(seed)
+      val all = randomEvents(seed, nUsers = 7, nEvents = 90)
+      val (base, ins) = all.partition(_ => rnd.nextDouble() < 0.65)
+      val delIds = base.filter(_ => rnd.nextDouble() < 0.2).map(_._2).toSet
+      val baseDf = evDf(base)
+      val insDf = evDf(ins)
+      val delDf = delIds.toSeq.toDF("event_id")
+      val post = baseDf.join(delDf, Seq("event_id"), "left_anti")
+        .unionByName(insDf)
+      val affected = insDf.select("user_id")
+        .unionByName(baseDf.join(delDf, "event_id").select("user_id"))
+        .distinct()
+      // a group-local derivation: per-user event count + distinct types
+      def derive(ev: org.apache.spark.sql.DataFrame) = ev
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"))
+      val incr = Graft.incrGroupRecompute(baseDf, post,
+          Seq("user_id"), affected)(derive)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val full = derive(post).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(incr == full, s"seed $seed")
+    }
+  }
+
   test("balancedSample: exact minority size and (class, id)-determinism under skew") {
     val sp = spark
     import sp.implicits._
