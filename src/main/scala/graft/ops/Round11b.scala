@@ -546,7 +546,67 @@ object Round11b {
       incrGroupRecompute(base, base.filter(!delPred).unionByName(ins),
         Seq("user_id"), affected)(activityStreaks(_, "user_id", "ts"))
         .orderBy("user_id")
-    })
+    }),
+
+    /** q177: TRUE STREAMING EXECUTION UNDER THE ORACLE HASH — the one
+      * streaming surface the declared rows lacked (q57-59 verify the
+      * WINDOW SEMANTICS on batch-equivalent plans; StreamingSpec
+      * verifies the runtime behaviors spec-side): a real
+      * `readStream` file source split into micro-batches
+      * (maxFilesPerTrigger=1 over a 4-file copy), event-time
+      * watermark, append-mode windowed aggregate, Trigger.AvailableNow
+      * self-termination, and the exactly-once PARQUET FILE SINK —
+      * whose contents the driver then hashes. Determinism: append
+      * mode emits exactly the CLOSED windows, and at AvailableNow
+      * termination the final no-data batch flushes with the global
+      * watermark max(ts) − 1 min (StreamingSpec pins this flush), so
+      * the emitted set is the pure function {days d : end(d) ≤
+      * max(ts) − 1 min} of the input — which is exactly what the
+      * oracle SQL computes; micro-batch file order cannot change it
+      * (a window closed early is emitted once either way). The
+      * stream runs ONCE per (session, fixture) — the sink is stored
+      * layout a production pipeline maintains continuously (q157/q158
+      * convention), with appId-isolated scratch. The copy is written
+      * by the proven batch reader so the fixture's physical ts layout
+      * is normalized before the stream source reads it. */
+    "q_stream_sink_roundtrip" -> ((s, d) => dfMemo.getOrElseUpdate(
+        (s, d, "streamRoundtrip"), {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_r11s_" +
+        Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
+      val (src, ck, out) = (s"$root/src", s"$root/ck", s"$root/out")
+      val norm = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      // RANGE-partitioned by event time, mtimes pinned ascending: the
+      // file source replays micro-batches in event-time order, so the
+      // watermark progresses monotonically and no row is late in its
+      // own batch (a round-robin split would let file 1 carry the
+      // global max and mark the other files' rows late — dropped).
+      // Production equivalent: time-ordered landing files.
+      norm.repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(src)
+      new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 60000L) }
+      val q = s.readStream
+        .schema(norm.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("date").as("day"),
+          col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000L)
+      s.read.parquet(out).orderBy("day", "event_type").localCheckpoint()
+    }))
   )
 
   val sql: Map[String, String] = Map(
@@ -784,6 +844,22 @@ object Round11b {
          SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
            CAST(count(*) AS BIGINT) AS n_streaks,
            CAST(max(len) AS BIGINT) AS longest_streak
-         FROM i GROUP BY user_id ORDER BY user_id"""
+         FROM i GROUP BY user_id ORDER BY user_id""",
+    // q177's oracle: the closed-window set is the pure function
+    // {days : day end <= max(ts) - 1 min} of the input — what
+    // append-mode + AvailableNow's final watermark flush emits.
+    "q_stream_sink_roundtrip" ->
+      """WITH mx AS (
+           SELECT max(ts) AS m FROM events
+         ), agg AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type, count(*) AS n
+           FROM events GROUP BY 1, 2
+         )
+         SELECT day, event_type, CAST(n AS BIGINT) AS n
+         FROM agg, mx
+         WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+               <= m - INTERVAL 1 MINUTE
+         ORDER BY day, event_type"""
   )
 }

@@ -207,6 +207,20 @@ class Round11bSpec extends SparkSpecBase {
     assert(incr.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("q_stream_sink_roundtrip equals the batch closed-window set") {
+    val streamed = SparkEntry.queries("q_stream_sink_roundtrip")(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(date_add(col("day"), 1).cast("timestamp") <=
+        lit(new java.sql.Timestamp(maxTs.getTime - 60000L)))
+      .orderBy("day", "event_type")
+    assert(streamed.collect().toSeq == batch.collect().toSeq,
+      "streamed sink must equal the batch closed-window aggregate")
+  }
+
   test("q_join_asof_nearest: the chosen purchase minimizes ms distance") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
