@@ -606,6 +606,64 @@ object Round11b {
         .start()
       q.awaitTermination(180000L)
       s.read.parquet(out).orderBy("day", "event_type").localCheckpoint()
+    })),
+
+    /** q178: CHECKPOINT RESTART + EXACTLY-ONCE UNDER THE ORACLE HASH
+      * — the other half of the streaming fault-tolerance story (q177
+      * covers one self-terminating run): the SAME windowed aggregate
+      * executed as TWO AvailableNow runs — a NEW query object the
+      * second time, resuming from the SAME checkpoint + sink after
+      * the first run already emitted its closed windows. The restored
+      * state store and the sink's _spark_metadata log must together
+      * produce each closed window EXACTLY once across both runs —
+      * a re-emitted window would be a duplicate (day, type) row and a
+      * dropped one a missing row, and either flips the oracle hash.
+      * The final emitted set is the same pure closed-window function
+      * as q177 (the restart is result-invisible — the streaming
+      * analogue of the signed-delta family's contract). Stream pair
+      * runs once per (session, fixture); appId-isolated scratch. */
+    "q_stream_restart_exactly_once" -> ((s, d) => dfMemo.getOrElseUpdate(
+        (s, d, "streamRestart"), {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val root = s"${sys.props("java.io.tmpdir")}/graft_r11r_" +
+        Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
+      val (stage, src, ck, out) = (s"$root/stage", s"$root/src",
+        s"$root/ck", s"$root/out")
+      val norm = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      norm.repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      new java.io.File(src).mkdirs()
+      def land(fs: Array[java.io.File], base: Int): Unit =
+        fs.zipWithIndex.foreach { case (f, i) =>
+          val dst = Paths.get(src, f.getName)
+          Files.copy(f.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1700000000000L + (base + i) * 60000L)
+        }
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .schema(norm.schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(src)
+          .withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").cast("date").as("day"),
+            col("event_type"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000L)
+      }
+      land(parts.take(2), 0); runOnce()   // run 1: first half landed
+      land(parts.drop(2), 2); runOnce()   // run 2: restart on the rest
+      s.read.parquet(out).orderBy("day", "event_type").localCheckpoint()
     }))
   )
 
@@ -849,6 +907,22 @@ object Round11b {
     // {days : day end <= max(ts) - 1 min} of the input — what
     // append-mode + AvailableNow's final watermark flush emits.
     "q_stream_sink_roundtrip" ->
+      """WITH mx AS (
+           SELECT max(ts) AS m FROM events
+         ), agg AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type, count(*) AS n
+           FROM events GROUP BY 1, 2
+         )
+         SELECT day, event_type, CAST(n AS BIGINT) AS n
+         FROM agg, mx
+         WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+               <= m - INTERVAL 1 MINUTE
+         ORDER BY day, event_type""",
+    // q178: identical closed-window function — the checkpoint restart
+    // must be result-invisible, and a duplicate/dropped window from a
+    // broken exactly-once path flips this hash.
+    "q_stream_restart_exactly_once" ->
       """WITH mx AS (
            SELECT max(ts) AS m FROM events
          ), agg AS (

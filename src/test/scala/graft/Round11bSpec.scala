@@ -221,6 +221,15 @@ class Round11bSpec extends SparkSpecBase {
       "streamed sink must equal the batch closed-window aggregate")
   }
 
+  test("q_stream_restart_exactly_once matches the single-run sink row for row") {
+    // both are the same pure closed-window function of the input; the
+    // restart path must neither duplicate nor drop a window
+    val restarted = SparkEntry
+      .queries("q_stream_restart_exactly_once")(spark, sfDir)
+    val single = SparkEntry.queries("q_stream_sink_roundtrip")(spark, sfDir)
+    assert(restarted.collect().toSeq == single.collect().toSeq)
+  }
+
   test("q_join_asof_nearest: the chosen purchase minimizes ms distance") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
