@@ -664,7 +664,36 @@ object Round11b {
       land(parts.take(2), 0); runOnce()   // run 1: first half landed
       land(parts.drop(2), 2); runOnce()   // run 2: restart on the rest
       s.read.parquet(out).orderBy("day", "event_type").localCheckpoint()
-    }))
+    })),
+
+    /** q179: ORC SOURCE as a declared oracle row — completes the
+      * source-format matrix (parquet everywhere, CSV/JSON q156,
+      * hive-partitioned q158, bucketed tables q157) with Spark's
+      * other first-class columnar format. Same contract as q156:
+      * supplier and nation round-trip through ORC (explicit schemas,
+      * mode OVERWRITE, appId-isolated scratch), then the
+      * join-aggregate runs over the ORC reads while the oracle reads
+      * the parquet originals — any ORC encode/decode defect (type
+      * mapping, decimal/double round-trip, nulls) flips the hash.
+      * Doubles round-trip bit-exact through ORC's IEEE encoding;
+      * money still aggregates in exact decimal (Dec contract). */
+    "q_source_orc" -> ((s, d) => {
+      val scratch = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
+        Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
+      val sup = supplier(s, d)
+      val nat = nation(s, d)
+      sup.write.mode("overwrite").orc(s"$scratch/supplier_orc")
+      nat.write.mode("overwrite").orc(s"$scratch/nation_orc")
+      val supBack = s.read.schema(sup.schema).orc(s"$scratch/supplier_orc")
+      val natBack = s.read.schema(nat.schema).orc(s"$scratch/nation_orc")
+      supBack.join(broadcast(natBack),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          dbl(sum(dec2(col("s_acctbal")))).as("acctbal_sum"),
+          min(col("s_name")).as("first_supplier"))
+        .orderBy("n_name")
+    })
   )
 
   val sql: Map[String, String] = Map(
@@ -934,6 +963,16 @@ object Round11b {
          FROM agg, mx
          WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
                <= m - INTERVAL 1 MINUTE
-         ORDER BY day, event_type"""
+         ORDER BY day, event_type""",
+    // q179's oracle reads the parquet originals — the Spark side must
+    // produce identical values through the ORC round-trip.
+    "q_source_orc" ->
+      """SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS acctbal_sum,
+           min(s_name) AS first_supplier
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name"""
   )
 }
