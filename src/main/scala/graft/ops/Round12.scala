@@ -165,35 +165,28 @@ object Round12 {
 
     /** q185: COLUMN PROFILING (ANALYZE-style stats collection) — the
       * lake-maintenance pass every optimizer depends on (row counts,
-      * NDV, min/max bounds, sums for avg), computed for the four
-      * lineitem measures in ONE scan: a single aggregate with four
-      * count_distincts (Catalyst expands ×4 — the q164-documented
-      * cost; the approximate production variant swaps in HLL q23)
-      * then a stack() unpivot to one row per column. Raw double
-      * min/max compare bitwise; sums go through exact decimal. */
+      * NDV, min/max bounds, sums for avg) for the four lineitem
+      * measures, as a UNION of four single-column aggregates. The
+      * one-scan multi-distinct alternative loses: Catalyst's
+      * RewriteDistinctAggregates expands every row ×4 (the q164 plan)
+      * and an interleaved A/B at sf0.1 measured it 3× slower (3.3-3.7
+      * s vs 1.1 s warm) — whereas each union branch scans ONE pruned
+      * parquet column (same total bytes as one 4-column scan) and
+      * runs the cheap single-distinct two-stage aggregate, all four
+      * branches scheduled concurrently in one job. Raw double min/max
+      * compare bitwise; sums go through exact decimal. The
+      * approximate production variant swaps count_distinct for HLL
+      * (q23) and folds back to one scan. */
     "q_profile_stats" -> ((s, d) => {
-      lineitem(s, d).agg(
-          count(lit(1)).as("n"),
-          count_distinct(col("l_quantity")).as("nd0"),
-          min(col("l_quantity")).as("mn0"), max(col("l_quantity")).as("mx0"),
-          dbl(sum(dec2(col("l_quantity")))).as("sm0"),
-          count_distinct(col("l_extendedprice")).as("nd1"),
-          min(col("l_extendedprice")).as("mn1"),
-          max(col("l_extendedprice")).as("mx1"),
-          dbl(sum(dec2(col("l_extendedprice")))).as("sm1"),
-          count_distinct(col("l_discount")).as("nd2"),
-          min(col("l_discount")).as("mn2"), max(col("l_discount")).as("mx2"),
-          dbl(sum(dec2(col("l_discount")))).as("sm2"),
-          count_distinct(col("l_tax")).as("nd3"),
-          min(col("l_tax")).as("mn3"), max(col("l_tax")).as("mx3"),
-          dbl(sum(dec2(col("l_tax")))).as("sm3"))
-        .selectExpr("""stack(4,
-            'l_quantity',      n, nd0, mn0, mx0, sm0,
-            'l_extendedprice', n, nd1, mn1, mx1, sm1,
-            'l_discount',      n, nd2, mn2, mx2, sm2,
-            'l_tax',           n, nd3, mn3, mx3, sm3)
-          AS (col_name, n_rows, n_distinct, min_v, max_v, sum_v)""")
-        .orderBy("col_name")
+      val li = lineitem(s, d)
+      def prof(c: String) = li.select(col(c)).agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).as("min_v"), max(col(c)).as("max_v"),
+        dbl(sum(dec2(col(c)))).as("sum_v"))
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(prof).reduce(_ unionByName _).orderBy("col_name")
     }),
 
     /** q186: SMALL-FILE COMPACTION (lake maintenance) — the other
