@@ -268,4 +268,38 @@ object Graft {
                          groupCols: Seq[String], affected: DataFrame)
                         (derive: DataFrame => DataFrame): DataFrame =
     ops.Round11b.incrGroupRecompute(base, post, groupCols, affected)(derive)
+
+  /** Signed incremental wordcount (the i²MapReduce motivating
+    * example): maintain token counts from the stored base counts
+    * (`word`, `n`) plus insert/delete doc sets — delta-proportional
+    * after the state scan; zero-count tokens vanish. */
+  def incrTokenCounts(baseCounts: DataFrame, insertDocs: DataFrame,
+                      deleteDocs: DataFrame, textCol: String): DataFrame =
+    ops.Round12.incrTokenCounts(baseCounts, insertDocs, deleteDocs, textCol)
+
+  /** Chunk-level exact dedup: fixed `chunkTokens`-token chunks,
+    * md5-hashed; returns chunks occurring in ≥2 docs as
+    * (h, n_occ, n_docs, keep_id). */
+  def chunkDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 16): DataFrame =
+    ops.Round12.chunkDupGroups(docs, idCol, textCol, chunkTokens)
+
+  /** Winnowing fingerprints (MOSS scheme): per doc the distinct
+    * selected (k-shingle, w-window-min) hashes as (doc_id, fp) —
+    * any two docs sharing a ≥ k+w−1 token run share a fingerprint. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame =
+    ops.Round12.winnowFingerprints(docs, idCol, textCol, k, w)
+
+  /** ANALYZE-style column profiling: per column one row
+    * (col_name, n_rows, n_distinct, min_v, max_v, sum_v). Columns
+    * must be numeric with ≤2 decimal places (exact-decimal sums). */
+  def profileStats(df: DataFrame, cols: Seq[String]): DataFrame =
+    ops.Round12.profileStats(df, cols)
+
+  /** Small-file compaction: rewrite a hive-partitioned directory with
+    * exactly one file per `partCol` partition. */
+  def compactPartitions(s: SparkSession, inPath: String, outPath: String,
+                        partCol: String): Unit =
+    ops.Round12.compactPartitions(s, inPath, outPath, partCol)
 }

@@ -47,6 +47,87 @@ object Round12 {
   private def tokens(docs: DataFrame, p: Column): DataFrame =
     docs.filter(p).select(explode(split(col("text"), " ")).as("word"))
 
+  /** GENERIC signed incremental wordcount (q180's merge on caller
+    * frames): maintain token counts under a corpus delta from the
+    * stored base counts plus insert/delete doc sets — the i²MapReduce
+    * motivating example. Work after the state scan is
+    * delta-proportional; counts reaching zero vanish, matching the
+    * from-scratch wordcount of the post-delta corpus. */
+  def incrTokenCounts(baseCounts: DataFrame, insertDocs: DataFrame,
+                      deleteDocs: DataFrame, textCol: String): DataFrame = {
+    def toks(dd: DataFrame, sign: Int) = dd
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg((count(lit(1)) * sign).as("n"))
+    baseCounts.unionByName(toks(insertDocs, 1))
+      .unionByName(toks(deleteDocs, -1))
+      .groupBy("word").agg(sum(col("n")).as("n_total"))
+      .filter(col("n_total") > 0)
+  }
+
+  /** GENERIC chunk-level dedup (q181 on caller columns): cut each doc
+    * into fixed `chunkTokens`-token chunks (full chunks only), hash,
+    * and report chunks occurring in ≥2 docs. One partial-aggregated
+    * shuffle on the 16-byte hash key. */
+  def chunkDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int): DataFrame = {
+    val n = chunkTokens
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .withColumn("ci", explode(expr(s"sequence(0, size(toks) div $n - 1)")))
+      .withColumn("chunk", expr(s"concat_ws(' ', slice(toks, ci * $n + 1, $n))"))
+      .groupBy(md5(col("chunk").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** GENERIC winnowing fingerprint relation (q188's sketch on caller
+    * columns): per doc the DISTINCT selected fingerprints of the
+    * (k-token shingle, w-window min-hash) scheme — any two docs
+    * sharing a token run of ≥ k+w−1 share a fingerprint. Returns
+    * (doc_id, fp); docs under k+w−1 tokens have no row. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .withColumn("hs", expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> md5(cast(concat_ws(' ', slice(toks, i, $k)) as binary)))"))
+      .withColumn("fp", explode(expr(
+        s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"j -> array_min(slice(hs, j, $w))))")))
+      .select(col("doc_id"), col("fp"))
+
+  /** GENERIC column profiling (q185 on caller columns): per named
+    * column one row (col_name, n_rows, n_distinct, min_v, max_v,
+    * sum_v) — a union of single-column aggregates (each branch scans
+    * one pruned column; see the q185 scaladoc for the A/B vs the
+    * multi-distinct Expand plan). Columns must be numeric with ≤2
+    * decimal places for the exact-decimal sum. */
+  def profileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def prof(c: String) = df.select(col(c)).agg(
+      lit(c).as("col_name"),
+      count(lit(1)).as("n_rows"),
+      count_distinct(col(c)).as("n_distinct"),
+      min(col(c)).as("min_v"), max(col(c)).as("max_v"),
+      dbl(sum(dec2(col(c)))).as("sum_v"))
+    cols.map(prof).reduce(_ unionByName _)
+  }
+
+  /** GENERIC small-file compaction (q186's rewrite on caller paths):
+    * read a hive-partitioned directory and rewrite each `partCol`
+    * partition as ONE file (each partition value hashes to exactly
+    * one task). Skew caveat: a giant partition becomes one task —
+    * split via maxRecordsPerFile + AQE rebalance when that matters. */
+  def compactPartitions(s: SparkSession, inPath: String, outPath: String,
+                        partCol: String): Unit =
+    s.read.parquet(inPath)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(outPath)
+
   val defs: Map[String, Q] = Map(
 
     /** q180: SIGNED INCREMENTAL WORDCOUNT [P §1] — the i²MapReduce
@@ -67,13 +148,9 @@ object Round12 {
       val docs = documents(s, d)
       val baseState = tokens(docs, col("doc_id") % 10 =!= 0)
         .groupBy("word").agg(count(lit(1)).as("n"))
-      val plus = tokens(docs, col("doc_id") % 10 === 0)
-        .groupBy("word").agg(count(lit(1)).as("n"))
-      val minus = tokens(docs, col("doc_id") % 10 === 1)
-        .groupBy("word").agg((count(lit(1)) * -1).as("n"))
-      baseState.unionByName(plus).unionByName(minus)
-        .groupBy("word").agg(sum(col("n")).as("n_total"))
-        .filter(col("n_total") > 0)
+      incrTokenCounts(baseState,
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 === 1), "text")
         .orderBy("word")
     }),
 
@@ -89,19 +166,9 @@ object Round12 {
       * combines map-side, so at 100 TB this stays a single
       * corpus-proportional shuffle (production follows with a
       * semi-join of kept chunks back to docs, the same shape). */
-    "q_dedup_chunks" -> ((s, d) => {
-      documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 16)
-        .withColumn("ci", explode(expr("sequence(0, size(toks) div 16 - 1)")))
-        .withColumn("chunk", expr("concat_ws(' ', slice(toks, ci * 16 + 1, 16))"))
-        .groupBy(md5(col("chunk").cast("binary")).as("h"))
-        .agg(count(lit(1)).as("n_occ"),
-          count_distinct(col("doc_id")).as("n_docs"),
-          min(col("doc_id")).as("keep_id"))
-        .filter(col("n_docs") >= 2)
-        .orderBy("h")
-    }),
+    "q_dedup_chunks" -> ((s, d) =>
+      chunkDupGroups(documents(s, d), "doc_id", "text", chunkTokens = 16)
+        .orderBy("h")),
 
     /** q182: EXACT MEDIAN — Spark's exact `median` aggregate (the
       * sort-based exact percentile, not approx_percentile q81) per
@@ -177,17 +244,10 @@ object Round12 {
       * compare bitwise; sums go through exact decimal. The
       * approximate production variant swaps count_distinct for HLL
       * (q23) and folds back to one scan. */
-    "q_profile_stats" -> ((s, d) => {
-      val li = lineitem(s, d)
-      def prof(c: String) = li.select(col(c)).agg(
-        lit(c).as("col_name"),
-        count(lit(1)).as("n_rows"),
-        count_distinct(col(c)).as("n_distinct"),
-        min(col(c)).as("min_v"), max(col(c)).as("max_v"),
-        dbl(sum(dec2(col(c)))).as("sum_v"))
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        .map(prof).reduce(_ unionByName _).orderBy("col_name")
-    }),
+    "q_profile_stats" -> ((s, d) =>
+      profileStats(lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")),
 
     /** q186: SMALL-FILE COMPACTION (lake maintenance) — the other
       * table-maintenance operator every 100 TB lake runs on a
@@ -210,9 +270,7 @@ object Round12 {
         val ev = events(s, d).withColumn("day", to_date(col("ts")))
         ev.repartition(8)
           .write.mode("overwrite").partitionBy("day").parquet(s"$r/landing")
-        s.read.parquet(s"$r/landing")
-          .repartition(col("day"))
-          .write.mode("overwrite").partitionBy("day").parquet(s"$r/compacted")
+        compactPartitions(s, s"$r/landing", s"$r/compacted", "day")
         r
       })
       s.read.parquet(s"$root/compacted")
@@ -300,16 +358,8 @@ object Round12 {
       * fingerprint-vocabulary-bounded: at 100 TB it min-count-prunes
       * and broadcasts like the q165 LM. */
     "q_text_winnowing" -> ((s, d) => {
-      val fps = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 7)
-        .withColumn("hs", expr(
-          "transform(sequence(1, size(toks) - 3), " +
-            "i -> md5(cast(concat_ws(' ', slice(toks, i, 4)) as binary)))"))
-        .withColumn("fp", explode(expr(
-          "array_distinct(transform(sequence(1, size(hs) - 3), " +
-            "j -> array_min(slice(hs, j, 4))))")))
-        .select(col("doc_id"), col("fp"))
+      val fps = winnowFingerprints(documents(s, d), "doc_id", "text",
+        k = 4, w = 4)
       val freq = fps.groupBy("fp")
         .agg(count_distinct(col("doc_id")).as("n_docs"))
       fps.join(freq, "fp")
