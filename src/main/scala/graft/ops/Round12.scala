@@ -64,24 +64,57 @@ object Round12 {
       .filter(col("n_total") > 0)
   }
 
-  /** GENERIC chunk-level dedup (q181 on caller columns): cut each doc
-    * into fixed `chunkTokens`-token chunks (full chunks only), hash,
-    * and report chunks occurring in ≥2 docs. One partial-aggregated
-    * shuffle on the 16-byte hash key. */
-  def chunkDupGroups(docs: DataFrame, idCol: String, textCol: String,
-                     chunkTokens: Int): DataFrame = {
+  /** Chunk occurrence relation: (h, doc_id) — one row per full
+    * `chunkTokens`-token chunk instance. Shared by the batch (q181)
+    * and the signed-incremental (q191) chunk dedup. */
+  def chunkOccurrences(docs: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int): DataFrame = {
     val n = chunkTokens
     docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .withColumn("ci", explode(expr(s"sequence(0, size(toks) div $n - 1)")))
       .withColumn("chunk", expr(s"concat_ws(' ', slice(toks, ci * $n + 1, $n))"))
-      .groupBy(md5(col("chunk").cast("binary")).as("h"))
+      .select(md5(col("chunk").cast("binary")).as("h"), col("doc_id"))
+  }
+
+  private def chunkGroupsOf(occ: DataFrame): DataFrame =
+    occ.groupBy("h")
       .agg(count(lit(1)).as("n_occ"),
         count_distinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("keep_id"))
       .filter(col("n_docs") >= 2)
+
+  /** GENERIC chunk-level dedup (q181 on caller columns): cut each doc
+    * into fixed `chunkTokens`-token chunks (full chunks only), hash,
+    * and report chunks occurring in ≥2 docs. One partial-aggregated
+    * shuffle on the 16-byte hash key. */
+  def chunkDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int): DataFrame =
+    chunkGroupsOf(chunkOccurrences(docs, idCol, textCol, chunkTokens))
+
+  /** GENERIC incremental profile state: per-value counts of column
+    * `c` — the exact-NDV preserved state [P §3]. Signed merge of
+    * base/insert/delete value counts; zero-count values vanish. */
+  def valueCountState(base: DataFrame, insert: DataFrame,
+                      delete: DataFrame, c: String): DataFrame = {
+    def vc(df: DataFrame, sign: Int) = df
+      .groupBy(col(c).as("v")).agg((count(lit(1)) * sign).as("n"))
+    vc(base, 1).unionByName(vc(insert, 1)).unionByName(vc(delete, -1))
+      .groupBy("v").agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
   }
+
+  /** Profile row (q185 shape) derived from a per-value count state —
+    * every statistic is a fold over the NDV-sized state, never the
+    * corpus: n_rows = Σn, NDV = |state|, min/max over values, exact
+    * decimal sum as Σ v·n. */
+  def profileOfState(state: DataFrame, colName: String): DataFrame =
+    state.agg(lit(colName).as("col_name"),
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_distinct"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+      dbl(sum(dec2(col("v")) * col("n"))).as("sum_v"))
 
   /** GENERIC winnowing fingerprint relation (q188's sketch on caller
     * columns): per doc the DISTINCT selected fingerprints of the
@@ -378,6 +411,114 @@ object Round12 {
           count_if(col("n_docs") >= 2).as("n_shared"),
           min(col("fp")).as("min_fp"))
         .orderBy("doc_id")
+    }),
+
+    /** q189: SQL-TEXT FRONT-END — the other entry point a reference
+      * user expects: register the tables as temp views and run a
+      * QUERY STRING through spark.sql (TPC-H Q3 shape adapted to the
+      * fixture schema: top-10 'BUILDING' orders by unshipped revenue
+      * around a date cut). The string goes through the full
+      * parser → analyzer → Catalyst path — a parser or analyzer
+      * regression fails this row even when the DataFrame-API rows
+      * stay green. Determinism: the Dec idiom inline in SQL (exact
+      * decimal revenue, one double cast), LIMIT only after a total
+      * order with the unique orderkey tiebreak (rule D6). */
+    "q_sql_text_frontend" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("g189_lineitem")
+      orders(s, d).createOrReplaceTempView("g189_orders")
+      customer(s, d).createOrReplaceTempView("g189_customer")
+      s.sql("""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            CAST(1 - l_discount AS DECIMAL(8,4))) AS DECIMAL(18,4))
+            AS DOUBLE) AS revenue
+        FROM g189_lineitem
+        JOIN g189_orders ON l_orderkey = o_orderkey
+        JOIN g189_customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")
+    }),
+
+    /** q190: HLL SKETCH BUILD / STORE / UNION [N] — the mergeable
+      * approximate-distinct pattern every 100 TB lake uses for
+      * pre-aggregation: per event day an hll_sketch_agg(user_id)
+      * DataSketches sketch (a BINARY column — the storable,
+      * re-mergeable artifact, unlike q23's scalar estimate), the
+      * daily sketches round-tripped through parquet (the stored
+      * rollup table), then hll_union_agg merges the stored sketches
+      * into the ALL estimate without touching raw events again.
+      * Deterministic for a fixed input set (HLL registers are
+      * order-independent maxima; lgConfigK pinned at 12) but not
+      * cross-engine — oracle=none; Round12bSpec pins per-day and
+      * union estimates within 5% of the exact distincts and that the
+      * union estimate is served from the stored sketches alone. */
+    "q_agg_sketch_union" -> ((s, d) => dfMemo.getOrElseUpdate(
+        (s, d, "hllSketches"), {
+      val path = s"${scratchRoot(s, d)}/hll_daily"
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .write.mode("overwrite").parquet(path)
+      val stored = s.read.parquet(path)
+      val perDay = stored.select(col("day").cast("string").as("scope"),
+        expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").as("est_users"))
+      val all = stored.agg(
+        expr("CAST(hll_sketch_estimate(hll_union_agg(sk, false)) AS BIGINT)")
+          .as("est_users"))
+        .select(lit("ALL").as("scope"), col("est_users"))
+      perDay.unionByName(all).orderBy("scope").localCheckpoint()
+    })),
+
+    /** q191: SIGNED INCREMENTAL CHUNK DEDUP [P §3] — q181's duplicate
+      * chunk groups maintained under the corpus delta (q125/q134
+      * doc_id%10 convention) through the GENERIC group-level
+      * recompute combinator with group = chunk hash: untouched
+      * hashes' groups pass through (production: the partials store),
+      * and exactly the hashes occurring in any inserted or deleted
+      * doc re-derive from the post-delta occurrence relation. The
+      * affected-hash set is delta-proportional (chunks of the delta
+      * docs only) and broadcast. Oracle = the batch chunker over the
+      * post-delta corpus — maintenance must be result-invisible. */
+    "q_incr_chunks" -> ((s, d) => {
+      val docs = documents(s, d)
+      def occ(p: Column) = chunkOccurrences(
+        docs.filter(p), "doc_id", "text", chunkTokens = 16)
+      val affected = occ(col("doc_id") % 10 === 0 ||
+        col("doc_id") % 10 === 1).select("h").distinct()
+      Round11b.incrGroupRecompute(
+          occ(col("doc_id") % 10 =!= 0),
+          occ(col("doc_id") % 10 =!= 1),
+          Seq("h"), affected)(chunkGroupsOf)
+        .orderBy("h")
+    }),
+
+    /** q192: INCREMENTAL COLUMN PROFILING [P §3] — q185's ANALYZE
+      * stats maintained under a fact-table delta from per-value count
+      * state (the paper's preserved state, wordcount-shaped per
+      * column): inserts increment a value's count, deletes decrement,
+      * zero counts vanish — and every profile statistic is then a
+      * fold over the NDV-sized state, never the corpus: n_rows = Σn,
+      * NDV = |state| (EXACTLY maintained under deletion, which plain
+      * min/max/HLL cannot do), min/max over surviving values, exact
+      * decimal sum as Σ v·n. The honest cost is state size = NDV per
+      * column; the approximate alternative with O(1) state is the
+      * mergeable HLL rollup (q190) — insert-only. Delta convention:
+      * l_orderkey%10==0 insert, ==1 delete (the doc-family rule on
+      * the fact key). Oracle = the batch profile over the post-delta
+      * table. */
+    "q_incr_profile" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val base = li.filter(col("l_orderkey") % 10 =!= 0)
+      val ins = li.filter(col("l_orderkey") % 10 === 0)
+      val del = li.filter(col("l_orderkey") % 10 === 1)
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => profileOfState(valueCountState(base, ins, del, c), c))
+        .reduce(_ unionByName _)
+        .orderBy("col_name")
     })
   )
 
@@ -506,6 +647,77 @@ object Round12 {
            CAST(count(*) FILTER (WHERE n_docs >= 2) AS BIGINT) AS n_shared,
            min(fp) AS min_fp
          FROM f JOIN q USING (fp)
-         GROUP BY doc_id ORDER BY doc_id"""
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_sql_text_frontend" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(CAST(sum(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)) *
+             CAST(ROUND(1 - l_discount, 4) AS DECIMAL(8,4)))
+             AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+           AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
+    // q190 is oracle=none (DataSketches HLL is not cross-engine);
+    // Round12bSpec pins estimate accuracy and stored-sketch serving.
+    // q191's oracle: the batch chunker over the POST-DELTA corpus —
+    // the group-level maintenance must be result-invisible.
+    "q_incr_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE doc_id % 10 <> 1
+         ), x AS (
+           SELECT doc_id, unnest(range(0, len(toks) // 16)) AS ci, toks
+           FROM t WHERE len(toks) >= 16
+         ), c AS (
+           SELECT doc_id,
+             md5(array_to_string(toks[ci * 16 + 1 : ci * 16 + 16], ' ')) AS h
+           FROM x
+         )
+         SELECT h, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+         FROM c GROUP BY h
+         HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""",
+    // q192's oracle: the batch per-column profile over the POST-DELTA
+    // fact table — the value-count state maintenance must be
+    // result-invisible.
+    "q_incr_profile" ->
+      """WITH post AS (
+           SELECT * FROM lineitem WHERE l_orderkey % 10 <> 1
+         ), p AS (
+           SELECT 'l_quantity' AS col_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+             min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+           FROM post
+           UNION ALL
+           SELECT 'l_extendedprice',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+             min(l_extendedprice), max(l_extendedprice),
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           FROM post
+           UNION ALL
+           SELECT 'l_discount',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l_discount) AS BIGINT),
+             min(l_discount), max(l_discount),
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           FROM post
+           UNION ALL
+           SELECT 'l_tax',
+             CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l_tax) AS BIGINT),
+             min(l_tax), max(l_tax),
+             CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE)
+           FROM post
+         )
+         SELECT * FROM p ORDER BY col_name"""
   )
 }
