@@ -179,4 +179,39 @@ class PlanSpec extends SparkSpecBase {
     assert(!"hashpartitioning\\(i#".r.findFirstIn(p).isDefined,
       s"pair generation re-shuffles on (i, doc_a):\n$p")
   }
+
+  test("q_profile_stats: each union branch scans exactly one column, no Expand") {
+    val p = plan("q_profile_stats")
+    // the q185 A/B rationale: 4 pruned scans beat the 4-way
+    // multi-distinct Expand — pin both halves of that choice
+    assert(!p.contains("Expand"),
+      s"multi-distinct Expand crept back into the profile plan:\n$p")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(schemas.size == 4, s"expected 4 scans, got ${schemas.size}:\n$p")
+    schemas.foreach(sch => assert(!sch.contains(","),
+      s"a profile scan reads more than one column: $sch"))
+  }
+
+  test("q_incr_chunks: the affected-hash partition joins are broadcast") {
+    val p = plan("q_incr_chunks")
+    // the combinator's delta-proportionality claim: the affected set
+    // broadcasts to both the anti (pass-through) and semi (recompute)
+    // sides — a SortMergeJoin here means the corpus-sized occurrence
+    // relation shuffled for the partition step
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"pass-through side must anti-join against a broadcast:\n$p")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"recompute side must semi-join against a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"occurrence relation shuffles for the affected partition:\n$p")
+  }
+
+  test("q_agg_filtered: one aggregation pass, no join, no expand") {
+    val p = plan("q_agg_filtered")
+    assert(!p.contains("Join"), s"filtered aggregates must not self-join:\n$p")
+    assert(!p.contains("Expand"), s"no distinct-rewrite expected:\n$p")
+    // exactly one data shuffle (the groupBy key) + the output sort
+    val exch = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exch == 1, s"expected 1 hash exchange, got $exch:\n$p")
+  }
 }
