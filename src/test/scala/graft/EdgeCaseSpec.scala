@@ -120,4 +120,46 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(Graft.lmRarity(Seq((1L, "solo"), (2L, ""))
       .toDF("doc_id", "text"), "doc_id", "text").count() == 0)
   }
+
+  test("round-12 generics survive degenerate inputs") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val two = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // incrTokenCounts with empty deltas == base counts; a delta that
+    // deletes the whole corpus leaves nothing
+    val baseCounts = two
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val same = Graft.incrTokenCounts(baseCounts, empty, empty, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(same == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    assert(Graft.incrTokenCounts(baseCounts, empty, two, "text").count() == 0,
+      "deleting every doc must drive all counts to zero")
+    // chunkDupGroups: docs shorter than one chunk produce nothing
+    assert(Graft.chunkDupGroups(two, "doc_id", "text", 16).count() == 0)
+    // identical docs >= 1 chunk share every chunk
+    val twin = Seq((1L, ("t " * 16).trim), (2L, ("t " * 16).trim))
+      .toDF("doc_id", "text")
+    val g = Graft.chunkDupGroups(twin, "doc_id", "text", 16).head()
+    assert((g.getLong(1), g.getLong(2), g.getLong(3)) == ((2L, 2L, 1L)))
+    // winnowFingerprints: sub-(k+w-1) docs have no fingerprints
+    assert(Graft.winnowFingerprints(two, "doc_id", "text").count() == 0)
+    // profileStats of an empty frame: one row per column with zero
+    // counts and NULL extremes, not a crash
+    val pEmpty = Graft.profileStats(
+      Seq.empty[(Double, Double)].toDF("x", "y"), Seq("x", "y")).collect()
+    assert(pEmpty.length == 2 &&
+      pEmpty.forall(r => r.getLong(1) == 0L && r.isNullAt(3)))
+    // valueCountState: delete of a never-seen value nets negative and
+    // is dropped rather than corrupting the state
+    val vs = graft.ops.Round12.valueCountState(
+      Seq((1L, 1.0)).toDF("id", "x"), Seq.empty[(Long, Double)].toDF("id", "x"),
+      Seq((9L, 9.0)).toDF("id", "x"), "x")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(vs == Map(1.0 -> 1L), s"phantom delete leaked into state: $vs")
+  }
 }
