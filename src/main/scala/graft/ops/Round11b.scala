@@ -37,7 +37,7 @@ object Round11b {
     * symmetric graph (which canonicalizes endpoints and so cannot
     * serve the bipartite shape). Persisted: the self-join reads it
     * twice per execution. */
-  private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+  private[ops] def bipartiteEdges(s: SparkSession, d: String): DataFrame =
     dfMemo.getOrElseUpdate((s, d, "bipartite"), {
       val e = lineitem(s, d)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))

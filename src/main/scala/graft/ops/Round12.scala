@@ -496,6 +496,126 @@ object Round12 {
         .orderBy("h")
     }),
 
+    /** q193: STREAMING DEDUP OF AT-LEAST-ONCE DELIVERY — the input
+      * half of the exactly-once story (q177/q178 covered the sink
+      * half): every landing file is delivered TWICE (the duplicate
+      * delivery every at-least-once ingestion pipeline produces),
+      * and the stream recovers exactly-once semantics with
+      * watermarked stateful dropDuplicates on (event_id, ts) before
+      * the windowed aggregate. Each duplicate copy lands in the same
+      * or the next micro-batch as its original: the second copy is
+      * either state-deduplicated (ts ≥ watermark — state retained)
+      * or dropped as late (ts < watermark) — BOTH paths erase it, so
+      * every event aggregates exactly once and the sink equals the
+      * closed-window function of the DISTINCT events, which is what
+      * the oracle computes over the original table. Runs once per
+      * (session, fixture); appId-isolated scratch. */
+    "q_stream_dedup" -> ((s, d) => dfMemo.getOrElseUpdate(
+        (s, d, "streamDedup"), {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val root = s"${scratchRoot(s, d)}/sdedup"
+      val (stage, src, ck, out) = (s"$root/stage", s"$root/src",
+        s"$root/ck", s"$root/out")
+      val norm = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      norm.repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      new java.io.File(src).mkdirs()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        for ((tag, off) <- Seq(("a", 0), ("b", 1))) {
+          val dst = Paths.get(src, s"dup${tag}_${f.getName}")
+          Files.copy(f.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1700000000000L + (2 * i + off) * 60000L)
+        }
+      }
+      val q = s.readStream.schema(norm.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id", "ts")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("date").as("day"),
+          col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000L)
+      s.read.parquet(out).orderBy("day", "event_type").localCheckpoint()
+    })),
+
+    /** q194: HITS HUB/AUTHORITY (integer form) — the other classic
+      * link-analysis algorithm beside PageRank (q41), on the q170
+      * memoized bipartite part↔supplier graph: hubs = parts,
+      * authorities = suppliers. Declared in its UNNORMALIZED integer
+      * form — per-step normalization is a positive scalar, so two
+      * unnormalized iterations produce the SAME RANKING as two HITS
+      * iterations while every score stays an exact BIGINT path count
+      * (auth₁ = distinct-part degree; hub₁ = Σ auth₁ over the part's
+      * suppliers; auth₂ = Σ hub₁ — 3-step path counts), making the
+      * row hashable where float HITS would be FP-order-sensitive
+      * (the q41 scaled-integer lesson applied to HITS). Top-20 by
+      * auth₂ with the unique suppkey tiebreak (D6). */
+    "q_graph_hits" -> ((s, d) => {
+      val e = Round11b.bipartiteEdges(s, d)
+      val auth1 = e.groupBy("sk").agg(count(lit(1)).as("auth1"))
+      val hub1 = e.join(auth1, "sk")
+        .groupBy("p").agg(sum("auth1").as("h1"))
+      val auth2 = e.join(hub1, "p")
+        .groupBy("sk").agg(sum("h1").as("auth2"))
+      auth2.join(auth1, "sk")
+        .select(col("sk").as("suppkey"), col("auth1"), col("auth2"))
+        .orderBy(col("auth2").desc, col("suppkey"))
+        .limit(20)
+    }),
+
+    /** q195: INCREMENTAL EXACT MEDIAN [P §3] — the q192 value-count
+      * state put to work on an ORDER STATISTIC: exact median per
+      * priority maintained under the fact delta. Min/max partials and
+      * sketches cannot give an exact median under DELETION; the
+      * per-(group, value) count state can — median = the k₁/k₂-th
+      * values by cumulative count over the state, k = (n+1)÷2 and
+      * (n+2)÷2, then ONE IEEE interpolation v₁ + (v₂−v₁)·0.5
+      * (identical to both engines' exact-percentile arithmetic,
+      * q182's argument). The cumulative window runs over the
+      * NDV-sized STATE, not the corpus — the whole point of keeping
+      * value counts. Delta convention: o_orderkey%10==0 insert,
+      * ==1 delete. Oracle = DuckDB median over the post-delta table. */
+    "q_incr_median" -> ((s, d) => {
+      val o = orders(s, d)
+        .withColumn("cents", (dec2(col("o_totalprice")) * 100).cast("long"))
+      def vc(p: Column, sign: Int) = o.filter(p)
+        .groupBy(col("o_orderpriority"), col("cents"))
+        .agg((count(lit(1)) * sign).as("n"))
+      val state = vc(col("o_orderkey") % 10 =!= 0, 1)
+        .unionByName(vc(col("o_orderkey") % 10 === 0, 1))
+        .unionByName(vc(col("o_orderkey") % 10 === 1, -1))
+        .groupBy("o_orderpriority", "cents")
+        .agg(sum(col("n")).as("n")).filter(col("n") > 0)
+      val w = Window.partitionBy("o_orderpriority").orderBy("cents")
+      val totals = state.groupBy("o_orderpriority")
+        .agg(sum(col("n")).as("n_rows"))
+      val cum = state.withColumn("cum", sum(col("n")).over(w))
+        .join(totals, "o_orderpriority")
+      def kth(k: Column, alias: String) =
+        cum.filter(col("cum") >= k).groupBy("o_orderpriority")
+          .agg(min(col("cents")).as(alias))
+      kth(expr("(n_rows + 1) div 2"), "v1")
+        .join(kth(expr("(n_rows + 2) div 2"), "v2"), "o_orderpriority")
+        .join(totals, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_rows"),
+          (col("v1").cast("double") +
+            (col("v2") - col("v1")).cast("double") * 0.5)
+            .as("median_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     /** q192: INCREMENTAL COLUMN PROFILING [P §3] — q185's ANALYZE
       * stats maintained under a fact-table delta from per-value count
       * state (the paper's preserved state, wordcount-shaped per
@@ -683,6 +803,47 @@ object Round12 {
            min(doc_id) AS keep_id
          FROM c GROUP BY h
          HAVING count(DISTINCT doc_id) >= 2 ORDER BY h""",
+    // q193's oracle: the closed-window aggregate over the ORIGINAL
+    // (distinct) events — the duplicated landing plus the stateful
+    // dedup must be result-invisible; a survived duplicate inflates a
+    // count, a lost original deflates one, either flips the hash.
+    "q_stream_dedup" ->
+      """WITH mx AS (
+           SELECT max(ts) AS m FROM events
+         ), agg AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type, count(*) AS n
+           FROM events GROUP BY 1, 2
+         )
+         SELECT day, event_type, CAST(n AS BIGINT) AS n
+         FROM agg, mx
+         WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+               <= m - INTERVAL 10 MINUTE
+         ORDER BY day, event_type""",
+    "q_graph_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT l_partkey AS p, l_suppkey AS sk FROM lineitem
+         ), a1 AS (
+           SELECT sk, CAST(count(*) AS BIGINT) AS auth1 FROM e GROUP BY sk
+         ), h1 AS (
+           SELECT p, CAST(sum(auth1) AS BIGINT) AS h1
+           FROM e JOIN a1 USING (sk) GROUP BY p
+         ), a2 AS (
+           SELECT sk, CAST(sum(h1) AS BIGINT) AS auth2
+           FROM e JOIN h1 USING (p) GROUP BY sk
+         )
+         SELECT sk AS suppkey, auth1, auth2
+         FROM a2 JOIN a1 USING (sk)
+         ORDER BY auth2 DESC, suppkey LIMIT 20""",
+    // q195's oracle: DuckDB's exact median over the POST-DELTA table —
+    // the value-count-state maintenance and the k-th-by-cumulative-
+    // count derivation must reproduce the engine median bitwise.
+    "q_incr_median" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+           median(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS median_cents
+         FROM orders WHERE o_orderkey % 10 <> 1
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // q192's oracle: the batch per-column profile over the POST-DELTA
     // fact table — the value-count state maintenance must be
     // result-invisible.

@@ -74,6 +74,96 @@ class Round12bSpec extends SparkSpecBase {
       "state-derived profile differs from the batch profile")
   }
 
+  test("q_stream_dedup: duplicated landing erased — sink == closed windows of distinct events") {
+    val got = SparkEntry.queries("q_stream_dedup")(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = ev.groupBy(to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("day").cast("timestamp") + expr("INTERVAL 1 DAY")
+        <= lit(mx) - expr("INTERVAL 10 MINUTES"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "dedup sink differs from the closed-window set of distinct events")
+    // the at-least-once landing really contains every file twice
+    val src = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}").listFiles()
+      .filter(f => f.getName.startsWith("graft_r12_") &&
+        f.getName.endsWith(spark.sparkContext.applicationId))
+      .map(f => new java.io.File(f, "sdedup/src")).find(_.exists())
+    assert(src.isDefined, "dedup landing dir not found")
+    val names = src.get.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(names.count(_.startsWith("dupa_")) == 4 &&
+      names.count(_.startsWith("dupb_")) == 4,
+      s"expected 4 originals + 4 duplicates, got ${names.toSeq}")
+  }
+
+  test("q_graph_hits == in-JVM HITS path counts") {
+    val edges = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val auth1 = edges.groupBy(_._2).map { case (s, xs) => (s, xs.size.toLong) }
+    val hub1 = edges.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.map(e => auth1(e._2)).sum)
+    }
+    val auth2 = edges.groupBy(_._2).map { case (s, xs) =>
+      (s, xs.map(e => hub1(e._1)).sum)
+    }
+    val expected = auth2.toSeq.map { case (s, a2) => (s, auth1(s), a2) }
+      .sortBy(t => (-t._3, t._1)).take(20)
+    val got = SparkEntry.queries("q_graph_hits")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "HITS path counts differ from the brute fold")
+  }
+
+  test("q_incr_median == Spark exact median over the post-delta table, bitwise") {
+    val got = SparkEntry.queries("q_incr_median")(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val direct = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 10 =!= 1)
+      .withColumn("cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), median(col("cents")).as("m"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got == direct,
+      s"state-derived median differs from the engine median: $got vs $direct")
+  }
+
+  test("state-derived median == sorted-array median on random multisets") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(77)
+    // random multiset with heavy ties, both parities across groups
+    val rows = (0 until 501).map(i =>
+      (if (i % 2 == 0) "even_grp" else "odd_grp", rnd.nextInt(20).toLong))
+    val df = rows.toDF("g", "cents")
+    val state = df.groupBy("g", "cents")
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("cents")
+    val totals = state.groupBy("g").agg(sum("n").as("n_rows"))
+    val cum = state.withColumn("cum", sum(col("n")).over(w))
+      .join(totals, "g")
+    def kth(k: org.apache.spark.sql.Column, a: String) =
+      cum.filter(col("cum") >= k).groupBy("g").agg(min("cents").as(a))
+    val got = kth(expr("(n_rows + 1) div 2"), "v1")
+      .join(kth(expr("(n_rows + 2) div 2"), "v2"), "g")
+      .select(col("g"), (col("v1").cast("double") +
+        (col("v2") - col("v1")).cast("double") * 0.5).as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val brute = rows.groupBy(_._1).map { case (g, xs) =>
+      val v = xs.map(_._2).sorted.toIndexedSeq
+      val m = if (v.size % 2 == 1) v(v.size / 2).toDouble
+        else v(v.size / 2 - 1).toDouble +
+          (v(v.size / 2) - v(v.size / 2 - 1)).toDouble * 0.5
+      (g, m)
+    }
+    assert(got == brute, s"$got vs $brute")
+  }
+
   test("valueCountState == from-scratch counts on random frames with random deltas") {
     val sp = spark
     import sp.implicits._
