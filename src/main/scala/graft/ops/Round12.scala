@@ -616,6 +616,68 @@ object Round12 {
         .orderBy("o_orderpriority")
     }),
 
+    /** q196: NULL-AWARE ANTI JOIN — `NOT IN (subquery)` under
+      * three-valued logic, the classic SQL footgun pinned as a
+      * declared row: the 'no_null' branch is a plain anti join
+      * (non-null subquery), while the 'with_null' branch injects one
+      * NULL into the subquery and must return ZERO rows — x NOT IN
+      * (…, NULL) is never TRUE. Catalyst plans this as the
+      * null-aware anti join (broadcast single-column NAAJ /
+      * BroadcastNestedLoopJoin), a different physical operator from
+      * q13's LeftAnti — both engines implement the same standard
+      * semantics, so the hash pins them. Runs through spark.sql
+      * (NOT IN is not expressible in the Column DSL). */
+    "q_join_null_aware_anti" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("g196_lineitem")
+      supplier(s, d).createOrReplaceTempView("g196_supplier")
+      s.sql("""
+        SELECT 'no_null' AS variant, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        FROM g196_lineitem
+        WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM g196_supplier WHERE s_acctbal > 5000)
+        UNION ALL
+        SELECT 'with_null', CAST(count(*) AS BIGINT),
+          CAST(count(DISTINCT l_suppkey) AS BIGINT)
+        FROM g196_lineitem
+        WHERE l_suppkey NOT IN
+          (SELECT CASE WHEN s_acctbal <= 5000 THEN NULL
+                       ELSE s_suppkey END
+           FROM g196_supplier)
+        ORDER BY variant""")
+    }),
+
+    /** q197: RAW TEXT-LINE SOURCE — the log-ingestion path that
+      * completes the source-format matrix (parquet, CSV/JSON q156,
+      * ORC q179, hive-partitioned q158, bucketed q157): nation
+      * round-trips as pipe-delimited TEXT LINES, read back with
+      * spark.read.text (one `value` column) and parsed with
+      * split()/element_at — the classic raw-log ETL shape where the
+      * PARSER, not a format reader, owns the schema. The
+      * join-aggregate runs over the parsed lines while the oracle
+      * reads the parquet original: any quoting/splitting/coercion
+      * defect flips the hash. appId-isolated scratch, mode
+      * OVERWRITE (q156 convention). */
+    "q_source_text_lines" -> ((s, d) => {
+      val scratch = s"${scratchRoot(s, d)}/nation_txt"
+      val nat = nation(s, d)
+      nat.select(concat_ws("|", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(scratch)
+      val parsed = s.read.text(scratch)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(element_at(col("f"), 1).cast("int").as("n_nationkey"),
+          element_at(col("f"), 2).as("n_name"),
+          element_at(col("f"), 3).cast("int").as("n_regionkey"))
+      parsed.join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_nation"),
+          sum(col("n_nationkey")).as("key_sum"))
+        .orderBy("r_name")
+    }),
+
     /** q192: INCREMENTAL COLUMN PROFILING [P §3] — q185's ANALYZE
       * stats maintained under a fact-table delta from per-value count
       * state (the paper's preserved state, wordcount-shaped per
@@ -844,6 +906,29 @@ object Round12 {
              AS median_cents
          FROM orders WHERE o_orderkey % 10 <> 1
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_null_aware_anti" ->
+      """SELECT 'no_null' AS variant, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+         FROM lineitem
+         WHERE l_suppkey NOT IN
+           (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+         UNION ALL
+         SELECT 'with_null', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_suppkey) AS BIGINT)
+         FROM lineitem
+         WHERE l_suppkey NOT IN
+           (SELECT CASE WHEN s_acctbal <= 5000 THEN NULL
+                        ELSE s_suppkey END
+            FROM supplier)
+         ORDER BY variant""",
+    // q197's oracle reads the parquet original — the text write,
+    // line parse and type coercion must be result-invisible.
+    "q_source_text_lines" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_nation,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
     // q192's oracle: the batch per-column profile over the POST-DELTA
     // fact table — the value-count state maintenance must be
     // result-invisible.

@@ -164,6 +164,36 @@ class Round12bSpec extends SparkSpecBase {
     assert(got == brute, s"$got vs $brute")
   }
 
+  test("q_join_null_aware_anti: NOT IN three-valued logic holds") {
+    val byV = SparkEntry.queries("q_join_null_aware_anti")(spark, sfDir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // the null branch MUST be empty (x NOT IN (..., NULL) is never TRUE)
+    assert(byV("with_null") == ((0L, 0L)),
+      s"NULL in the subquery must empty the result: ${byV("with_null")}")
+    // the no-null branch equals a plain anti join computed independently
+    val li = Tables.lineitem(spark, sfDir)
+    val excl = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") > 5000).select(col("s_suppkey"))
+    val anti = li.join(excl, col("l_suppkey") === col("s_suppkey"),
+      "left_anti")
+    assert(byV("no_null") ==
+      ((anti.count(), anti.select("l_suppkey").distinct().count())))
+    assert(byV("no_null")._1 > 0, "no-null branch is vacuous")
+  }
+
+  test("q_source_text_lines == the same aggregate over the parquet original") {
+    val got = SparkEntry.queries("q_source_text_lines")(spark, sfDir)
+    val direct = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"),
+        sum(col("n_nationkey")).as("key_sum"))
+    assert(got.exceptAll(direct).isEmpty && direct.exceptAll(got).isEmpty,
+      "text-line round-trip changed the aggregate")
+  }
+
   test("valueCountState == from-scratch counts on random frames with random deltas") {
     val sp = spark
     import sp.implicits._
