@@ -678,6 +678,28 @@ object Round12 {
         .orderBy("r_name")
     }),
 
+    /** q198: TOP-K PER GROUP VIA THE TIER-(c) CUSTOM OPERATOR — the
+      * top-3 lineitems per return flag by price, executed by
+      * [[graft.plans.TopKPerGroupExec]]: per-input-partition bounded
+      * heaps shuffle AT MOST |groups|·k·|partitions| rows (3·3·32 =
+      * 288 at sf0.1) where q29's window form shuffles and sorts all
+      * 600 000 — the custom LogicalPlan/SparkStrategy/SparkPlan
+      * extension path demonstrated on a declared, oracle-hashed row.
+      * Sort order is TOTAL ((price desc, orderkey, linenumber) —
+      * the operator's determinism contract), so the oracle's
+      * row_number window computes the identical set; `Round12cSpec`
+      * additionally proves operator ≡ window form on random frames
+      * and pins the physical plan. */
+    "q_topk_native" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      graft.Graft.topKPerGroup(li, Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber")), k = 3)
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     /** q192: INCREMENTAL COLUMN PROFILING [P §3] — q185's ANALYZE
       * stats maintained under a fact-table delta from per-value count
       * state (the paper's preserved state, wordcount-shaped per
@@ -929,6 +951,20 @@ object Round12 {
            CAST(sum(n_nationkey) AS BIGINT) AS key_sum
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    // q198's oracle: the window formulation — the custom operator
+    // must produce exactly the rows row_number() <= k selects under
+    // the same total order.
+    "q_topk_native" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+         FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+               AS rn
+           FROM lineitem
+         ) t WHERE rn <= 3
+         ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey,
+           l_linenumber""",
     // q192's oracle: the batch per-column profile over the POST-DELTA
     // fact table — the value-count state maintenance must be
     // result-invisible.

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDotSafe].getCanonicalName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDotSafe(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => FloatDotRewrite)
+    // tier-(c): the whole-operator extension — plans TopKPerGroupPlan
+    // to its map-side-pruning physical operator
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal bridge into `private[sql]` surface needed to expose a
@@ -26,4 +27,24 @@ object Bridge {
     * r10). `listenerBus` is `private[spark]`, hence bridged here. */
   def drainListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** Wrap a custom LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — needed to hand tier-(c) operator plans like
+    * [[graft.plans.TopKPerGroupPlan]] back to the user API. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** EAGER Column → catalyst Expression conversion via the session's
+    * ColumnNode converter. `ExpressionUtils.expression` (above) wraps
+    * the Column AST lazily in a `ColumnNodeExpression`, which the
+    * analyzer only unwraps inside node types it knows — expressions
+    * destined for a CUSTOM LogicalPlan must convert eagerly or the
+    * unserializable internal AST leaks into task closures. */
+  def expressionEager(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .expression(c)
 }

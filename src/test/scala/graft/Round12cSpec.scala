@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier-(c) custom operator (TopKPerGroupPlan/Strategy/Exec, SURVEY
+  * §2 row 198): result identity to the window formulation on the
+  * fixture AND on random frames (group skew, k larger than some
+  * groups, single-row groups), plus the physical-plan pin — the
+  * declared row must actually execute through TopKPerGroupExec, with
+  * no Window and no full-row sort before it. */
+class Round12cSpec extends SparkSpecBase {
+
+  private def windowTopK(df: DataFrame, group: String,
+                         sortCols: Seq[org.apache.spark.sql.Column],
+                         k: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(sortCols: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  test("q_topk_native executes through TopKPerGroupExec (no Window, no corpus sort)") {
+    val df = SparkEntry.queries("q_topk_native")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), s"custom operator not planned:\n$p")
+    assert(!p.contains("Window"), s"fell back to the window form:\n$p")
+    // the only Sort allowed is the final presentation orderBy (range
+    // partitioning) — no hashpartition+sort of the corpus
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled for the top-k:\n$p")
+  }
+
+  test("custom operator == window form on the fixture") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+    val sortCols = Seq(col("l_extendedprice").desc, col("l_orderkey"),
+      col("l_linenumber"))
+    val native = Graft.topKPerGroup(li, Seq("l_returnflag"), sortCols, 3)
+    val window = windowTopK(li, "l_returnflag", sortCols, 3)
+    assert(native.exceptAll(window).isEmpty &&
+      window.exceptAll(native).isEmpty,
+      "operator result differs from the window formulation")
+    assert(native.count() == window.count())
+  }
+
+  test("custom operator == window form on random frames (skew, small groups, k > group size)") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed * 389)
+      val rows = (0 until 400).map { i =>
+        // zipf-ish group skew: group 0 huge, tail groups tiny
+        val g = math.min(rnd.nextInt(1 << (1 + rnd.nextInt(5))), 12)
+        (s"g$g", i.toLong, rnd.nextInt(50).toDouble)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(7)
+      val sortCols = Seq(col("v").desc, col("id"))
+      for (k <- Seq(1, 3, 50)) {
+        val native = Graft.topKPerGroup(df, Seq("g"), sortCols, k)
+        val window = windowTopK(df, "g", sortCols, k)
+        assert(native.exceptAll(window).isEmpty &&
+          window.exceptAll(native).isEmpty,
+          s"seed=$seed k=$k: operator != window form")
+      }
+    }
+  }
+
+  test("null ordering and null groups match the window form") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (Some("a"), 1L, Some(5.0)), (Some("a"), 2L, None),
+      (Some("a"), 3L, Some(9.0)), (None, 4L, Some(1.0)),
+      (None, 5L, None), (Some("b"), 6L, Some(2.0)))
+    val df = rows.toDF("g", "id", "v")
+    val sortCols = Seq(col("v").desc, col("id"))
+    val native = Graft.topKPerGroup(df, Seq("g"), sortCols, 2)
+    val window = windowTopK(df, "g", sortCols, 2)
+    assert(native.exceptAll(window).isEmpty &&
+      window.exceptAll(native).isEmpty,
+      "null group / null sort-key handling differs from the window form")
+  }
+}
