@@ -328,4 +328,34 @@ object Graft {
       groupCols.map(c => Bridge.expressionEager(spark, df(c))), order,
       Bridge.analyzed(df)))
   }
+
+  /** Cost-based top-k-per-group (the q160/q161 selector pattern
+    * applied to the tier-(c) operator): ONE aggregate pass costs the
+    * operator's shuffle volume (|groups|·k·|partitions|) against the
+    * window form's (|rows|); the custom operator wins only when the
+    * per-partition winners are much smaller than the corpus — at high
+    * group cardinality the heaps emit nearly every row and the plain
+    * window sort is the right plan. Returns the winning branch's rows
+    * with the decision in a `plan` column. */
+  def autoTopK(df: DataFrame, groupCols: Seq[String],
+               sortCols: Seq[Column], k: Int,
+               advantage: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count_distinct, lit,
+      count, struct, row_number}
+    val costs = df.agg(count(lit(1)).as("n"),
+      count_distinct(struct(groupCols.map(col): _*)).as("g")).head()
+    val (n, g) = (costs.getLong(0), costs.getLong(1))
+    val parts = math.max(1, math.min(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      df.rdd.getNumPartitions))
+    if (g * k * parts * advantage <= n)
+      topKPerGroup(df, groupCols, sortCols, k).withColumn("plan", lit("native"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .withColumn("plan", lit("window"))
+    }
+  }
 }

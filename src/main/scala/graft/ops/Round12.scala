@@ -700,6 +700,29 @@ object Round12 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    /** q199: COST-BASED TOP-K SELECTOR — `Graft.autoTopK`, the
+      * q160/q161 selector pattern applied to the tier-(c) operator:
+      * one aggregate pass costs the operator's shuffle volume
+      * (|groups|·k·|partitions|) against the window form's (|rows|)
+      * BEFORE committing to a plan, and the decision rides in the
+      * output under the oracle hash. On the fixture the returnflag
+      * grouping (3 groups) sits ≥ 60× under the advantage bar at
+      * every oracle SF, so the selector must pick 'native' and
+      * reproduce q198's rows exactly; `Round12cSpec` pins the margin
+      * (so fixture drift fails a named assertion, not an opaque
+      * hash), proves q199 ≡ q198 + 'native', and exercises the
+      * window branch at a forced advantage where both branches'
+      * rows must STILL agree (total order ⇒ plan-invisible). */
+    "q_topk_auto" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      graft.Graft.autoTopK(li, Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber")), k = 3)
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     /** q192: INCREMENTAL COLUMN PROFILING [P §3] — q185's ANALYZE
       * stats maintained under a fact-table delta from per-value count
       * state (the paper's preserved state, wordcount-shaped per
@@ -956,6 +979,19 @@ object Round12 {
     // the same total order.
     "q_topk_native" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+         FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+               AS rn
+           FROM lineitem
+         ) t WHERE rn <= 3
+         ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey,
+           l_linenumber""",
+    // q199's oracle: the window formulation + the committed decision.
+    "q_topk_auto" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+           'native' AS plan
          FROM (
            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
              row_number() OVER (PARTITION BY l_returnflag

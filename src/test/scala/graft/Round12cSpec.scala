@@ -67,6 +67,43 @@ class Round12cSpec extends SparkSpecBase {
     }
   }
 
+  test("q_topk_auto: selector picks native with >=10x margin and reproduces q198") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    // margin pin (the q160 convention): the native branch's costed
+    // shuffle volume must sit at least 10x under the advantage bar so
+    // fixture drift fails HERE, not as an opaque oracle hash diff
+    val n = li.count()
+    val g = li.select("l_returnflag").distinct().count()
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      li.rdd.getNumPartitions))
+    assert(g * 3 * parts * 4.0 * 10 <= n,
+      s"selector margin collapsed: g=$g parts=$parts n=$n")
+    val auto = SparkEntry.queries("q_topk_auto")(spark, sfDir)
+    assert(auto.select("plan").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("native"))
+    val native = SparkEntry.queries("q_topk_native")(spark, sfDir)
+    assert(auto.drop("plan").exceptAll(native).isEmpty &&
+      native.exceptAll(auto.drop("plan")).isEmpty,
+      "auto(native) differs from the declared native row")
+  }
+
+  test("autoTopK window branch: forced advantage flips the plan, rows unchanged") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+    val sortCols = Seq(col("l_extendedprice").desc, col("l_orderkey"),
+      col("l_linenumber"))
+    // advantage = 0 means native never qualifies -> window branch
+    val win = Graft.autoTopK(li, Seq("l_returnflag"), sortCols, 3,
+      advantage = Double.MaxValue)
+    assert(win.select("plan").distinct().head().getString(0) == "window")
+    val nat = Graft.autoTopK(li, Seq("l_returnflag"), sortCols, 3)
+    assert(win.drop("plan").exceptAll(nat.drop("plan")).isEmpty &&
+      nat.drop("plan").exceptAll(win.drop("plan")).isEmpty,
+      "plan choice changed the rows — total order broken")
+  }
+
   test("null ordering and null groups match the window form") {
     val sp = spark
     import sp.implicits._
