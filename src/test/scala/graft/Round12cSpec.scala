@@ -104,6 +104,17 @@ class Round12cSpec extends SparkSpecBase {
       "plan choice changed the rows — total order broken")
   }
 
+  test("empty input and k larger than every group survive") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(String, Long, Double)].toDF("g", "id", "v")
+    assert(Graft.topKPerGroup(empty, Seq("g"),
+      Seq(col("v").desc, col("id")), 3).count() == 0)
+    val tiny = Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("g", "id", "v")
+    assert(Graft.topKPerGroup(tiny, Seq("g"),
+      Seq(col("v").desc, col("id")), 100).count() == 2)
+  }
+
   test("null ordering and null groups match the window form") {
     val sp = spark
     import sp.implicits._
