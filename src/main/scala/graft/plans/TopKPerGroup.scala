@@ -57,15 +57,29 @@ object TopKPerGroupStrategy extends SparkStrategy {
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
                             sortOrder: Seq[SortOrder], child: SparkPlan)
     extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: SparkPlan)
       : TopKPerGroupExec = copy(child = c)
+
+  /** The pruning claim as observable numbers: `shuffledRows` is the
+    * per-partition winner count that actually crosses the wire —
+    * the quantity the operator exists to minimize (≤
+    * |groups|·k·|partitions| vs the window form's every-row shuffle). */
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "shuffledRows" -> SQLMetrics.createMetric(sparkContext,
+      "per-partition winner rows shuffled"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     import TopKPerGroupExec.topKOf
     // locals only — the closures below must not capture `this` (the
     // exec node holds the child SparkPlan, which is not serializable)
     val (kk, gExprs, order, attrs) = (k, groupExprs, sortOrder, output)
+    val (outRows, shufRows) = (longMetric("numOutputRows"),
+      longMetric("shuffledRows"))
     val childRdd = child.execute()
     val nParts = math.max(1,
       math.min(conf.numShufflePartitions, childRdd.getNumPartitions))
@@ -78,7 +92,10 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       iter.foreach(r => topKOf(groups, keyProj(r), rowProj(r), kk, ord))
       import scala.jdk.CollectionConverters._
       groups.entrySet().iterator().asScala.flatMap { e =>
-        e.getValue.iterator().asScala.map(v => (e.getKey, v))
+        e.getValue.iterator().asScala.map { v =>
+          shufRows += 1
+          (e.getKey, v)
+        }
       }
     }
     partial.partitionBy(new HashPartitioner(nParts))
@@ -93,6 +110,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           // worst-first — reverse after draining)
           val buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
           while (!e.getValue.isEmpty) buf += e.getValue.poll()
+          outRows += buf.size
           buf.reverseIterator
         }
       }

@@ -104,6 +104,34 @@ class Round12cSpec extends SparkSpecBase {
       "plan choice changed the rows — total order broken")
   }
 
+  test("the shuffledRows metric proves the map-side prune") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_orderkey", "l_linenumber",
+        "l_extendedprice")
+    val df = Graft.topKPerGroup(li, Seq("l_returnflag"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber")), 3)
+    // collect() (not count(), which plans a SEPARATE aggregate query)
+    // so THIS df's executed plan is the one that carries the metrics
+    val n = df.collect().length.toLong
+    // metrics live on the instance AQE actually executed, which the
+    // adaptive root hides from plain collect()
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val exec = root.collectFirst {
+      case e: graft.plans.TopKPerGroupExec => e
+    }
+    assert(exec.isDefined, "TopKPerGroupExec not in the executed plan")
+    val shuffled = exec.get.metrics("shuffledRows").value
+    val corpus = li.count()
+    assert(shuffled > 0 && shuffled < corpus / 10,
+      s"prune did not happen: $shuffled of $corpus rows shuffled")
+    assert(exec.get.metrics("numOutputRows").value == n)
+  }
+
   test("empty input and k larger than every group survive") {
     val sp = spark
     import sp.implicits._
