@@ -604,7 +604,10 @@ object Round11b {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000L)
+      if (!q.awaitTermination(180000L))
+        throw new IllegalStateException(
+          "streaming run did not terminate within 180s - sink is partial; " +
+          "not memoizing a truncated result")
       s.read.parquet(out).orderBy("day", "event_type").localCheckpoint()
     })),
 
@@ -659,7 +662,10 @@ object Round11b {
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(180000L)
+        if (!q.awaitTermination(180000L))
+        throw new IllegalStateException(
+          "streaming run did not terminate within 180s - sink is partial; " +
+          "not memoizing a truncated result")
       }
       land(parts.take(2), 0); runOnce()   // run 1: first half landed
       land(parts.drop(2), 2); runOnce()   // run 2: restart on the rest

@@ -368,7 +368,10 @@ object Round12 {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000L)
+      if (!q.awaitTermination(180000L))
+        throw new IllegalStateException(
+          "streaming run did not terminate within 180s - sink is partial; " +
+          "not memoizing a truncated result")
       s.read.parquet(out).orderBy("view_id", "purchase_id").localCheckpoint()
     })),
 
@@ -546,7 +549,10 @@ object Round12 {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000L)
+      if (!q.awaitTermination(180000L))
+        throw new IllegalStateException(
+          "streaming run did not terminate within 180s - sink is partial; " +
+          "not memoizing a truncated result")
       s.read.parquet(out).orderBy("day", "event_type").localCheckpoint()
     })),
 

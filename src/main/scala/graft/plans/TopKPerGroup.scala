@@ -83,8 +83,14 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     val childRdd = child.execute()
     val nParts = math.max(1,
       math.min(conf.numShufflePartitions, childRdd.getNumPartitions))
+    // group keys must normalize floating-point bytes (-0.0 == 0.0,
+    // canonical NaN) exactly as HashAggregate/Window partitioning do —
+    // raw UnsafeProjection bytes would split float groups the window
+    // form merges (code-review finding, round 12)
+    val normGExprs = gExprs.map(
+      org.apache.spark.sql.graftbridge.Bridge.normalizeFloat)
     val partial = childRdd.mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(gExprs, attrs)
+      val keyProj = UnsafeProjection.create(normGExprs, attrs)
       val rowProj = UnsafeProjection.create(attrs, attrs)
       val ord = RowOrdering.create(order, attrs)
       val groups = new java.util.HashMap[UnsafeRow,

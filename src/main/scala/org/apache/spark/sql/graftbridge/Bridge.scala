@@ -47,4 +47,12 @@ object Bridge {
   def expressionEager(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .expression(c)
+
+  /** Floating-point normalization for grouping keys (-0.0 → 0.0,
+    * canonical NaN) — the same `private[sql]` rule HashAggregate and
+    * Window partitioning apply; custom operators that group by raw
+    * projection bytes must apply it too or float group keys split. */
+  def normalizeFloat(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
 }

@@ -22,11 +22,6 @@ import graft.ops.Round12
   */
 class PropertiesSpec5 extends SparkSpecBase {
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
-  }
 
   private def randomDocs(seed: Long, nDocs: Int, vocab: Int,
                          maxLen: Int): Seq[(Long, String)] = {

@@ -15,11 +15,6 @@ class Round12Spec extends SparkSpecBase {
     Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
-  }
 
   test("q_incr_wordcount: signed merge == from-scratch wordcount of the post-delta corpus") {
     val got = SparkEntry.queries("q_incr_wordcount")(spark, sfDir)

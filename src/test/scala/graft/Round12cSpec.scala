@@ -74,9 +74,7 @@ class Round12cSpec extends SparkSpecBase {
     // fixture drift fails HERE, not as an opaque oracle hash diff
     val n = li.count()
     val g = li.select("l_returnflag").distinct().count()
-    val parts = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      li.rdd.getNumPartitions))
+    val parts = math.max(1, li.rdd.getNumPartitions)
     assert(g * 3 * parts * 4.0 * 10 <= n,
       s"selector margin collapsed: g=$g parts=$parts n=$n")
     val auto = SparkEntry.queries("q_topk_auto")(spark, sfDir)
@@ -94,7 +92,8 @@ class Round12cSpec extends SparkSpecBase {
         "l_extendedprice")
     val sortCols = Seq(col("l_extendedprice").desc, col("l_orderkey"),
       col("l_linenumber"))
-    // advantage = 0 means native never qualifies -> window branch
+    // an unreachable advantage bar means native never qualifies ->
+    // the selector must take the window branch
     val win = Graft.autoTopK(li, Seq("l_returnflag"), sortCols, 3,
       advantage = Double.MaxValue)
     assert(win.select("plan").distinct().head().getString(0) == "window")
@@ -130,6 +129,18 @@ class Round12cSpec extends SparkSpecBase {
     assert(shuffled > 0 && shuffled < corpus / 10,
       s"prune did not happen: $shuffled of $corpus rows shuffled")
     assert(exec.get.metrics("numOutputRows").value == n)
+  }
+
+  test("float group keys normalize: -0.0 == 0.0 groups merge like the window form") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L)).toDF("g", "id")
+    val sortCols = Seq(col("id"))
+    val native = Graft.topKPerGroup(df, Seq("g"), sortCols, 1)
+    val window = windowTopK(df, "g", sortCols, 1)
+    assert(native.count() == 1 && window.count() == 1,
+      s"-0.0/0.0 split the group: native=${native.count()} window=${window.count()}")
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
   }
 
   test("empty input and k larger than every group survive") {

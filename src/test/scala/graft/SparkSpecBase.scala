@@ -9,6 +9,15 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
   val sfDir = "/root/testdata/sf0.001"
 
+  /** md5 hex of a UTF-8 string — the brute-force reference hash every
+    * in-JVM recompute uses (must stay byte-identical to Spark's
+    * md5(cast(x as binary)) and DuckDB's md5(x)). */
+  def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
   /** Recursively delete a spec-created scratch directory. */
   def deleteRecursively(path: java.nio.file.Path): Unit = {
     import java.nio.file.Files
