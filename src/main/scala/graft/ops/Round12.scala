@@ -729,6 +729,31 @@ object Round12 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    /** q200: NATIVE SESSION WINDOWS IN BATCH — Spark's
+      * `session_window(ts, gap)` aggregate (the Structured-Streaming
+      * session primitive, q59's engine) run as a BATCH plan and
+      * hash-checked against the gaps-and-islands formulation q111
+      * derives by hand: per (user, session) the event count, exact
+      * session span in µs, and the session-start instant. Session
+      * boundaries are a pure function of the event multiset (merge
+      * 30-min-overlapping intervals), so the two formulations must
+      * agree row for row — this pins the ENGINE's session-merge
+      * semantics to the portable SQL definition, completing the
+      * batch/stream symmetry story (same session_window call runs
+      * under readStream in StreamingSpec). One user-keyed shuffle
+      * like every sessionize. */
+    "q_win_session_native" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("span_us"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("span_us"))
+        .orderBy("user_id", "session_start")
+    }),
+
     /** q192: INCREMENTAL COLUMN PROFILING [P §3] — q185's ANALYZE
       * stats maintained under a fact-table delta from per-value count
       * state (the paper's preserved state, wordcount-shaped per
@@ -1007,6 +1032,35 @@ object Round12 {
          ) t WHERE rn <= 3
          ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey,
            l_linenumber""",
+    // q200's oracle: the same sessions derived by hand via
+    // gaps-and-islands — session_window's engine-side interval merge
+    // must reproduce the portable SQL definition exactly.
+    "q_win_session_native" ->
+      """WITH e AS (
+           SELECT user_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts) AS prev_us
+           FROM events
+         ), flagged AS (
+           SELECT user_id, ts, us,
+             -- session_window extends a session through a gap of
+             -- EXACTLY the gap duration (inclusive merge — verified by
+             -- Round12bSpec's synthetic exact-gap case), matching
+             -- q111's <= convention: break only on gap > 30 min
+             CASE WHEN prev_us IS NULL
+                    OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM e
+         ), grp AS (
+           SELECT user_id, ts, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged
+         )
+         SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(us) - min(us) AS BIGINT) AS span_us
+         FROM grp GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     // q192's oracle: the batch per-column profile over the POST-DELTA
     // fact table — the value-count state maintenance must be
     // result-invisible.

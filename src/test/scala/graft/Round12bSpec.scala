@@ -194,6 +194,29 @@ class Round12bSpec extends SparkSpecBase {
       "text-line round-trip changed the aggregate")
   }
 
+  test("q_win_session_native: events conserve and an exact-30min gap splits") {
+    val got = SparkEntry.queries("q_win_session_native")(spark, sfDir)
+    val total = got.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count(),
+      "session rows do not conserve the event count")
+    // boundary semantics (pins the q200 oracle's > convention): a gap
+    // of EXACTLY the 30-min duration still merges (inclusive), one
+    // microsecond more splits
+    val sp = spark
+    import sp.implicits._
+    def sessionsOf(instants: Seq[String]): Int =
+      instants.map(s => (1L, java.time.Instant.parse(s)))
+        .toDF("user_id", "ts")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .count().collect().length
+    assert(sessionsOf(Seq("2024-01-01T00:00:00Z",
+      "2024-01-01T00:30:00Z")) == 1, "exact-gap events must merge")
+    assert(sessionsOf(Seq("2024-01-01T00:00:00Z",
+      "2024-01-01T00:30:00.000001Z")) == 2,
+      "gap one microsecond over the duration must split")
+  }
+
   test("valueCountState == from-scratch counts on random frames with random deltas") {
     val sp = spark
     import sp.implicits._
