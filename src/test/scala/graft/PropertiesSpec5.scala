@@ -83,6 +83,54 @@ class PropertiesSpec5 extends SparkSpecBase {
     }
   }
 
+  test("session_window == islands derivation on random timelines with boundary-exact gaps") {
+    val sp = spark
+    import sp.implicits._
+    val gapUs = 1800000000L // 30 minutes
+    for (seed <- 11L to 13L) {
+      val rnd = new scala.util.Random(seed * 53)
+      // random user timelines whose inter-event gaps cluster AROUND the
+      // 30-min boundary, including exact multiples (the merge-boundary
+      // case the fixture never produces)
+      val rows = (0 until 6).flatMap { u =>
+        var t = 1700000000000000L + rnd.nextInt(1000) * 1000000L
+        (0 until 40).map { _ =>
+          val gap = rnd.nextInt(4) match {
+            case 0 => gapUs                      // exactly the duration
+            case 1 => gapUs + 1 + rnd.nextInt(5) // just over
+            case 2 => gapUs - 1 - rnd.nextInt(5) // just under
+            case _ => rnd.nextInt(3600) * 1000000L
+          }
+          t += gap
+          (u.toLong, t)
+        }
+      }
+      val ev = rows.toDF("user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val native = ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), min(col("us")).as("start_us"))
+        .select("user_id", "start_us", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // brute islands with the INCLUSIVE boundary (gap > duration splits)
+      val brute = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        ts.foreach { t =>
+          if (sessions.nonEmpty && t - sessions.last.last <= gapUs)
+            sessions.last += t
+          else sessions += scala.collection.mutable.ArrayBuffer(t)
+        }
+        sessions.map(s => (u, s.head, s.size.toLong))
+      }.toSet
+      assert(native == brute,
+        s"seed=$seed: session_window != inclusive islands " +
+          s"(native ${native.size} vs brute ${brute.size} sessions)")
+    }
+  }
+
   test("winnowing: planted shared runs force shared fingerprints; relation == brute") {
     val rnd = new scala.util.Random(99)
     // docs with a planted common run of exactly k+w-1 = 7 tokens at a
