@@ -30,7 +30,8 @@ object SparkEntry {
       TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
       Round3.defs ++ Round6.defs ++ Round8.defs ++ Round9.defs ++ Round10.defs ++
-      Round11.defs ++ Round11b.defs ++ Round12.defs ++ Curation.defs ++
+      Round11.defs ++ Round11b.defs ++ Round12.defs ++ Round12b.defs ++
+      Curation.defs ++
       HeavyHitters.defs ++ BloomPrune.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -45,6 +46,7 @@ object SparkEntry {
       TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++
       Round3.sql ++ Round6.sql ++ Round8.sql ++ Round9.sql ++ Round10.sql ++
-      Round11.sql ++ Round11b.sql ++ Round12.sql ++ Curation.sql ++
+      Round11.sql ++ Round11b.sql ++ Round12.sql ++ Round12b.sql ++
+      Curation.sql ++
       HeavyHitters.sql ++ BloomPrune.sql
 }
