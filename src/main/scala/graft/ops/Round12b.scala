@@ -7,7 +7,7 @@ import graft.engine.Tables._
 import org.apache.spark.sql.graftbridge.Bridge
 import graft.functions.DamerauLevenshtein
 
-/** Round-12 continuation queries (SURVEY §2 rows 201-207): a
+/** Round-12 continuation queries (SURVEY §2 rows 201-211): a
   * transposition-aware edit distance as a native codegen Expression
   * (the tier-(b) path demonstrated on a scalar the engine lacks), a
   * time-series gap-fill/forward-fill operator, the PPJoin-style
@@ -16,7 +16,9 @@ import graft.functions.DamerauLevenshtein
   * exact near-dup detection), a declarative data-quality constraint
   * report, bigram PMI/lift collocation mining, an unrolled k-core
   * peel, and the signed-incremental form of the gap-fill row via the
-  * generic group-recompute rule.
+  * generic group-recompute rule; batch 3 adds the bucketed band
+  * self-join, the Count-Min sketch, the signed-incremental
+  * constraint report, and contiguous event-pattern matching.
   *
   * Determinism: every output is exact BIGINT arithmetic or one IEEE
   * division/multiply of exactly-represented integers (Dec contract
@@ -24,7 +26,7 @@ import graft.functions.DamerauLevenshtein
   * every ORDER BY ends on a provably unique key (D1).
   *
   * The reference tree at /root/reference is absent (SURVEY.md §0);
-  * semantics follow SURVEY §2 rows 201-207.
+  * semantics follow SURVEY §2 rows 201-211.
   */
 object Round12b {
 
@@ -223,6 +225,44 @@ object Round12b {
   }
 
   // ---------------------------------------------------------------
+  // q209 kernel: Count-Min sketch
+  // ---------------------------------------------------------------
+
+  /** GENERIC Count-Min sketch build: `depth` hash rows × `width`
+    * counters over `keyCol` occurrences, as a (row, bucket, n)
+    * relation. Each input row explodes to `depth` (row, bucket)
+    * cells (xxhash64 salted by the row index — codegen'd, no UDF),
+    * then ONE partial-aggregated shuffle of at most depth·width
+    * groups. The sketch is MERGEABLE by construction (counter-wise
+    * sum), which is the 100 TB story: partitions/days/sources sketch
+    * independently and the union groupBy IS the merge —
+    * `Round12eSpec` proves merge(sketch(A), sketch(B)) ≡
+    * sketch(A ∪ B) exactly. */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int,
+               width: Int): DataFrame =
+    df.select(col(keyCol).as("k"))
+      .select(explode(expr(s"sequence(0, ${depth - 1})")).as("row"),
+        col("k"))
+      .select(col("row"),
+        pmod(xxhash64(col("row"), col("k")), lit(width)).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("n"))
+
+  /** Point estimates from a CMS relation for every key in `probes`:
+    * est(k) = min over rows of counter[row][h_row(k)] — the classic
+    * never-underestimates bound. The probe side is |probes|·depth
+    * rows joined against the ≤ depth·width-cell sketch (broadcast). */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame,
+                  keyCol: String, depth: Int, width: Int): DataFrame =
+    probes.select(col(keyCol).as("k"))
+      .select(explode(expr(s"sequence(0, ${depth - 1})")).as("row"),
+        col("k"))
+      .select(col("k"), col("row"),
+        pmod(xxhash64(col("row"), col("k")), lit(width)).as("bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"), "left")
+      .groupBy("k")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+
+  // ---------------------------------------------------------------
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -408,6 +448,130 @@ object Round12b {
       Round11b.incrGroupRecompute(base, post, Seq("user_id"), affected)(
           ffillSummary)
         .orderBy("user_id")
+    }),
+
+    /** q208: BUCKETED BAND SELF-JOIN [T join surface / N scale path]
+      * — the big×big variant neither q78 (broadcast interval
+      * buckets) nor q124 (broadcast SCD2 side) covers: all event
+      * pairs within 15 MINUTES of each other, linearized by integer
+      * time bucketing so the plan is an EQUI join (shuffle/AQE-
+      * eligible), never a nested-loop theta join. One side maps to
+      * its 900-s bucket, the other explodes to {b−1, b, b+1};
+      * |Δts| ≤ 900 s ⟹ bucket distance ≤ 1 in EXACT integer division,
+      * so candidates are lossless and each qualifying pair matches
+      * on exactly ONE (probe-bucket, build-bucket) combination — no
+      * dedup pass. The exact |Δts| predicate then decides. Output:
+      * per unordered event-type pair, pair count + µs-gap checksum
+      * (all BIGINT). */
+    "q_join_band_time" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("tsu"))
+      val H = 900L * 1000000L
+      val a = ev.select(col("event_id").as("id_a"),
+          col("event_type").as("ta"), col("tsu").as("tsu_a"),
+          explode(expr(s"sequence(tsu div ${H} - 1, tsu div ${H} + 1)"))
+            .as("bucket"))
+      val b = ev.select(col("event_id").as("id_b"),
+        col("event_type").as("tb"), col("tsu").as("tsu_b"),
+        expr(s"tsu div ${H}").as("bucket")) // exact int div — a float
+        // division could round across a boundary and lose a pair
+      a.join(b, "bucket")
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("tsu_a") - col("tsu_b")) <= H)
+        .groupBy(least(col("ta"), col("tb")).as("t1"),
+          greatest(col("ta"), col("tb")).as("t2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("tsu_a") - col("tsu_b"))).as("gap_us_sum"))
+        .orderBy("t1", "t2")
+    }),
+
+    /** q209: COUNT-MIN SKETCH [N sketch family] — the third classic
+      * mergeable sketch alongside Misra-Gries (q120) and HLL (q190):
+      * frequency estimation in depth·width counters regardless of
+      * key cardinality. Declared output: the top-10 TRUE part-key
+      * frequencies with their CMS(4×1024) estimates side by side.
+      * oracle=none (estimates depend on xxhash64's bucket mapping);
+      * `Round12eSpec` proves the deterministic CMS invariants —
+      * never underestimates, bounded by N, and EXACT mergeability
+      * (sketch of a union ≡ counter-wise sum of the parts'
+      * sketches, the property that makes it a 100 TB operator). */
+    "q_agg_countmin" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val cms = cmsBuild(li, "l_partkey", depth = 4, width = 1024)
+      val top = li.groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("k")).limit(10)
+      cmsEstimate(cms, top, "k", depth = 4, width = 1024)
+        .join(top, "k")
+        .select(col("k").as("l_partkey"), col("true_n"), col("est_n"))
+        .orderBy(col("true_n").desc, col("l_partkey"))
+    }),
+
+    /** q210: SIGNED-INCREMENTAL CONSTRAINT REPORT [P one-step
+      * incremental] — q204's quality gate maintained under the fact
+      * delta (l_orderkey%10: 0=insert, 1=delete): conditional counts
+      * are SIGNED-ADDITIVE (each rule's n_checked/n_violations gains
+      * the insert frame's counts and loses the delete frame's), and
+      * the referential rule stays additive because orphan-ness of a
+      * row depends only on the static orders side — so maintenance
+      * is three delta-sized aggregates + one broadcast anti join,
+      * never a base rescan. Oracle = the batch rules over the
+      * post-delta table: the hash proves maintenance ≡ recompute. */
+    "q_incr_quality" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val ordKeys = orders(s, d).select("o_orderkey")
+      def counts(dd: DataFrame, sign: Int) = {
+        val orphan = dd.join(broadcast(ordKeys),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg((count(lit(1)) * sign).as("v"))
+          .select(lit("li_fk_orders").as("rule_name"),
+            lit(0L).as("n_checked_d"), col("v").as("n_viol_d"))
+        val base = dd.agg(
+          (count(lit(1)) * sign).as("n"),
+          (count(when(col("l_quantity") > 30, lit(1))) * sign).as("vq"),
+          (count(when(col("l_discount") < 0 || col("l_discount") > 0.08,
+            lit(1))) * sign).as("vd"))
+        base.select(lit("li_quantity_le_30").as("rule_name"),
+            col("n").as("n_checked_d"), col("vq").as("n_viol_d"))
+          .unionByName(base.select(lit("li_discount_le_008").as("rule_name"),
+            col("n").as("n_checked_d"), col("vd").as("n_viol_d")))
+          .unionByName(orphan)
+      }
+      // n_checked of the FK rule rides the quantity rule's n (all
+      // three rules check every row) — reconstitute per-rule below.
+      val state = counts(li.filter(col("l_orderkey") % 10 =!= 0), 1)
+        .unionByName(counts(li.filter(col("l_orderkey") % 10 === 0), 1))
+        .unionByName(counts(li.filter(col("l_orderkey") % 10 === 1), -1))
+        .groupBy("rule_name")
+        .agg(sum(col("n_checked_d")).as("n_checked_raw"),
+          sum(col("n_viol_d")).as("n_violations"))
+      val total = state.filter(col("rule_name") === "li_quantity_le_30")
+        .select(col("n_checked_raw").as("n_total"))
+      state.crossJoin(broadcast(total))
+        .select(col("rule_name"), col("n_total").as("n_checked"),
+          col("n_violations"))
+        .orderBy("rule_name")
+    }),
+
+    /** q211: CONTIGUOUS EVENT-PATTERN MATCH [T sequence analytics] —
+      * the MATCH_RECOGNIZE-shaped primitive completing the sequence
+      * family: q163 counts single transitions, q88 allows gaps
+      * (subsequence funnel); this row finds STRICTLY CONSECUTIVE
+      * view→click→purchase triples in each user's (ts, event_id)
+      * timeline via two leads over ONE user-keyed window exchange.
+      * Per matching user: match count + the µs instant of the first
+      * match's anchor (exact integers). */
+    "q_events_pattern" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("e1", lead(col("event_type"), 1).over(w))
+        .withColumn("e2", lead(col("event_type"), 2).over(w))
+        .filter(col("event_type") === "view" && col("e1") === "click" &&
+          col("e2") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min(unix_micros(col("ts"))).as("first_match_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -518,6 +682,49 @@ object Round12b {
           ORDER BY round"""
     },
 
-    "q_incr_resample" -> ffillSql("WHERE event_id % 10 <> 1")
+    "q_incr_resample" -> ffillSql("WHERE event_id % 10 <> 1"),
+
+    "q_join_band_time" ->
+      """SELECT least(a.event_type, b.event_type) AS t1,
+                greatest(a.event_type, b.event_type) AS t2,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(abs(epoch_us(a.ts) - epoch_us(b.ts))) AS BIGINT)
+                  AS gap_us_sum
+         FROM events a JOIN events b
+           ON a.event_id < b.event_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 900000000
+         GROUP BY 1, 2 ORDER BY t1, t2""",
+
+    "q_incr_quality" ->
+      """WITH post AS (SELECT * FROM lineitem WHERE l_orderkey % 10 <> 1),
+         n AS (SELECT count(*) AS n_total FROM post)
+         SELECT 'li_quantity_le_30' AS rule_name,
+                CAST(n_total AS BIGINT) AS n_checked,
+                (SELECT CAST(count(*) FILTER (l_quantity > 30) AS BIGINT)
+                 FROM post) AS n_violations FROM n
+         UNION ALL
+         SELECT 'li_discount_le_008', CAST(n_total AS BIGINT),
+                (SELECT CAST(count(*) FILTER (l_discount < 0 OR
+                   l_discount > 0.08) AS BIGINT) FROM post) FROM n
+         UNION ALL
+         SELECT 'li_fk_orders', CAST(n_total AS BIGINT),
+                (SELECT CAST(count(*) AS BIGINT) FROM post
+                 WHERE l_orderkey NOT IN
+                   (SELECT o_orderkey FROM orders)) FROM n
+         ORDER BY rule_name""",
+
+    "q_events_pattern" ->
+      """WITH seq AS (
+           SELECT user_id, event_type, ts,
+                  lead(event_type, 1) OVER w AS e1,
+                  lead(event_type, 2) OVER w AS e2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         )
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS first_match_us
+         FROM seq
+         WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+         GROUP BY user_id ORDER BY user_id"""
   )
 }
