@@ -362,4 +362,59 @@ object Graft {
         .withColumn("plan", lit("window"))
     }
   }
+
+  // ------------- round-12 batch 2/3 generics (rows 201-211) -------------
+
+  /** True (unrestricted) Damerau–Levenshtein distance as a codegen'd
+    * Column — Lowrance–Wagner, the variant where a transposed pair
+    * may be edited again ([[graft.functions.DamerauLevenshtein]]). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    ops.Round12b.damerauLev(a, b)
+
+  /** Per-key daily resample + forward-fill summary (span/active/gap
+    * days + exact forward-filled cents sum) over an events-shaped
+    * frame (user_id, ts, event_id, value) — run-length formulation,
+    * no calendar explosion. */
+  def ffillSummary(ev: DataFrame): DataFrame = ops.Round12b.ffillSummary(ev)
+
+  /** Prefix-filtered EXACT Jaccard self-join at τ = num/den over a
+    * DISTINCT (doc_id, tok) relation — PPJoin candidate pruning,
+    * lossless (row-identical to the brute-force join). */
+  def prefixJaccardPairs(toks: DataFrame, num: Int, den: Int): DataFrame =
+    ops.Round12b.prefixJaccardPairs(toks, num, den)
+
+  /** Single-pass data-quality report: (rule name, violation
+    * predicate) pairs evaluated in ONE conditional-count scan. */
+  def qualityReport(df: DataFrame,
+                    rules: Seq[(String, Column)]): DataFrame =
+    ops.Round12b.qualityReport(df, rules)
+
+  /** Count-Min sketch build / probe — mergeable (counter-wise sum)
+    * frequency estimation in depth·width counters. */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int = 4,
+               width: Int = 1024): DataFrame =
+    ops.Round12b.cmsBuild(df, keyCol, depth, width)
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame =
+    ops.Round12b.cmsEstimate(cms, probes, keyCol, depth, width)
+
+  /** All unordered row pairs within `band` of each other on a BIGINT
+    * `tsCol` — the bucketed band self-join (equi-join plan, exact
+    * integer bucketing, no dedup pass). */
+  def bandSelfJoin(df: DataFrame, idCol: String, tsCol: String,
+                   band: Long, payload: Seq[String] = Nil): DataFrame =
+    ops.Round12b.bandSelfJoin(df, idCol, tsCol, band, payload)
+
+  /** Rows anchoring a strictly consecutive `pattern` run in each
+    * key's (ts, tie) timeline — MATCH_RECOGNIZE-shaped contiguous
+    * matching via pattern.size−1 leads over one exchange. */
+  def patternMatches(ev: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, typeCol: String,
+                     pattern: Seq[String]): DataFrame =
+    ops.Round12b.patternMatches(ev, keyCol, tsCol, tieCol, typeCol, pattern)
+
+  /** Maximal subgraph of min degree ≥ k (iterated peel to fixpoint)
+    * over a symmetric directed edge list (src, dst). */
+  def kcore(edges: DataFrame, k: Int): DataFrame =
+    ops.Round12b.kcore(edges, k)
 }

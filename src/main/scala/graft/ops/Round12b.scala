@@ -119,21 +119,26 @@ object Round12b {
   /** Per-doc token arrays sorted rarest-token-first (ascending global
     * (df, tok) order) with set size — the PPJoin preprocessing.
     * Memoized: the candidate join reads it three times. */
+  /** Rarest-first sorted arrays of an arbitrary (doc_id, tok)
+    * DISTINCT relation — the generic PPJoin preprocessing. */
+  private[ops] def rarestFirstArrays(toks: DataFrame): DataFrame = {
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+        .as("arr"))
+      .select(col("doc_id"),
+        expr("transform(arr, x -> x.tok)").as("toks"),
+        size(col("arr")).cast("long").as("sz"))
+  }
+
   private def sortedDocArrays(s: SparkSession, d: String): DataFrame =
     dfMemo.getOrElseUpdate((s, d, "ppjoin_arrays"), {
       val toks = documents(s, d)
         .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0).distinct()
-      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      val arrs = toks.join(dfreq, "tok")
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
-          .as("arr"))
-        .select(col("doc_id"),
-          expr("transform(arr, x -> x.tok)").as("toks"),
-          size(col("arr")).cast("long").as("sz"))
-        .persist()
+      val arrs = rarestFirstArrays(toks).persist()
       arrs.count()
       arrs
     })
@@ -157,8 +162,15 @@ object Round12b {
     * one too HIGH (0.9·10 = 9.000…002 → ceil 10), silently shortening
     * the prefix and LOSING qualifying pairs. */
   def prefixFilteredJaccard(s: SparkSession, d: String,
-                            num: Int, den: Int): DataFrame = {
-    val arrs = sortedDocArrays(s, d)
+                            num: Int, den: Int): DataFrame =
+    prefixJaccardOfArrays(sortedDocArrays(s, d), num, den)
+
+  /** Generic entry on a caller (doc_id, tok) DISTINCT relation. */
+  def prefixJaccardPairs(toks: DataFrame, num: Int, den: Int): DataFrame =
+    prefixJaccardOfArrays(rarestFirstArrays(toks), num, den)
+
+  private def prefixJaccardOfArrays(arrs: DataFrame,
+                                    num: Int, den: Int): DataFrame = {
     val pref = arrs
       .withColumn("plen", expr(
         s"CAST(sz - (sz * $num + ${den - 1}) div $den + 1 AS INT)"))
@@ -222,6 +234,83 @@ object Round12b {
                 GROUP BY src) t WHERE deg >= 3),
         e$r AS (SELECT e.src, e.dst FROM $prev e
                 JOIN k$r a ON a.src = e.src JOIN k$r b ON b.src = e.dst)"""
+  }
+
+  // ---------------------------------------------------------------
+  // q208/q211/q204 generics (facade surface)
+  // ---------------------------------------------------------------
+
+  /** GENERIC bucketed band self-join: all unordered row pairs of `df`
+    * whose `tsCol` BIGINT values lie within `band` of each other,
+    * as (id_a, id_b, gap) with id_a < id_b — linearized to an EQUI
+    * join by exact integer bucketing (probe side explodes
+    * {b−1, b, b+1}; |Δ| ≤ band ⟹ bucket distance ≤ 1, and each
+    * qualifying pair matches on exactly ONE bucket combination, so
+    * no dedup pass exists). `payload` columns are carried from both
+    * sides with `_a`/`_b` suffixes. */
+  def bandSelfJoin(df: DataFrame, idCol: String, tsCol: String,
+                   band: Long, payload: Seq[String] = Nil): DataFrame = {
+    def side(sfx: String, probe: Boolean) = {
+      val base = df.select((Seq(col(idCol).as(s"id$sfx"),
+        col(tsCol).as(s"ts$sfx")) ++
+        payload.map(c => col(c).as(s"$c$sfx"))): _*)
+      if (probe) base.withColumn("bucket",
+        explode(expr(s"sequence(ts$sfx div ${band}L - 1, " +
+          s"ts$sfx div ${band}L + 1)")))
+      else base.withColumn("bucket", expr(s"ts$sfx div ${band}L"))
+    }
+    side("_a", probe = true).join(side("_b", probe = false), "bucket")
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("ts_a") - col("ts_b")) <= band)
+      .drop("bucket")
+      .withColumn("gap", abs(col("ts_a") - col("ts_b")))
+  }
+
+  /** GENERIC contiguous pattern match: rows of `ev` anchoring a
+    * strictly consecutive run of `pattern` values of `typeCol` in the
+    * per-`keyCol` timeline ordered by (`tsCol`, `tieCol`). One
+    * key-partitioned window exchange; `pattern.size − 1` leads. */
+  def patternMatches(ev: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, typeCol: String,
+                     pattern: Seq[String]): DataFrame = {
+    require(pattern.nonEmpty)
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val pred = pattern.zipWithIndex.map { case (p, i) =>
+      (if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w)) === p
+    }.reduce(_ && _)
+    ev.withColumn("__match", pred).filter(col("__match")).drop("__match")
+  }
+
+  /** GENERIC single-pass data-quality report: each rule is a
+    * (name, violation-predicate) pair; all rules over one DataFrame
+    * cost ONE conditional-count scan. */
+  def qualityReport(df: DataFrame,
+                    rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_checked") +:
+      rules.map { case (n, bad) => count(when(bad, lit(1))).as(s"v_$n") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    rules.map { case (n, _) =>
+      one.select(lit(n).as("rule_name"), col("n_checked"),
+        col(s"v_$n").as("n_violations"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** GENERIC k-core: iterate [[peel]] until no edge is dropped —
+    * returns the maximal subgraph with min degree ≥ k (possibly
+    * empty). Each round localCheckpoints to keep lineage flat; work
+    * per round is one degree aggregate + two broadcast semi joins. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    var e = edges.localCheckpoint()
+    var n = e.count()
+    var r = 0
+    var changed = true
+    while (changed && r < maxRounds) {
+      val next = peel(e, k).localCheckpoint()
+      val m = next.count()
+      changed = m != n
+      e = next; n = m; r += 1
+    }
+    e
   }
 
   // ---------------------------------------------------------------
@@ -466,22 +555,12 @@ object Round12b {
     "q_join_band_time" -> ((s, d) => {
       val ev = events(s, d).select(col("event_id"),
         col("event_type"), unix_micros(col("ts")).as("tsu"))
-      val H = 900L * 1000000L
-      val a = ev.select(col("event_id").as("id_a"),
-          col("event_type").as("ta"), col("tsu").as("tsu_a"),
-          explode(expr(s"sequence(tsu div ${H} - 1, tsu div ${H} + 1)"))
-            .as("bucket"))
-      val b = ev.select(col("event_id").as("id_b"),
-        col("event_type").as("tb"), col("tsu").as("tsu_b"),
-        expr(s"tsu div ${H}").as("bucket")) // exact int div — a float
-        // division could round across a boundary and lose a pair
-      a.join(b, "bucket")
-        .filter(col("id_a") < col("id_b") &&
-          abs(col("tsu_a") - col("tsu_b")) <= H)
-        .groupBy(least(col("ta"), col("tb")).as("t1"),
-          greatest(col("ta"), col("tb")).as("t2"))
+      bandSelfJoin(ev, "event_id", "tsu", band = 900L * 1000000L,
+          payload = Seq("event_type"))
+        .groupBy(least(col("event_type_a"), col("event_type_b")).as("t1"),
+          greatest(col("event_type_a"), col("event_type_b")).as("t2"))
         .agg(count(lit(1)).as("n_pairs"),
-          sum(abs(col("tsu_a") - col("tsu_b"))).as("gap_us_sum"))
+          sum(col("gap")).as("gap_us_sum"))
         .orderBy("t1", "t2")
     }),
 
@@ -561,18 +640,13 @@ object Round12b {
       * timeline via two leads over ONE user-keyed window exchange.
       * Per matching user: match count + the µs instant of the first
       * match's anchor (exact integers). */
-    "q_events_pattern" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      events(s, d)
-        .withColumn("e1", lead(col("event_type"), 1).over(w))
-        .withColumn("e2", lead(col("event_type"), 2).over(w))
-        .filter(col("event_type") === "view" && col("e1") === "click" &&
-          col("e2") === "purchase")
+    "q_events_pattern" -> ((s, d) =>
+      patternMatches(events(s, d), "user_id", "ts", "event_id",
+          "event_type", Seq("view", "click", "purchase"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_matches"),
           min(unix_micros(col("ts"))).as("first_match_us"))
-        .orderBy("user_id")
-    })
+        .orderBy("user_id"))
   )
 
   def sql: Map[String, String] = Map(
