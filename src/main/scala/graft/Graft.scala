@@ -417,4 +417,13 @@ object Graft {
     * over a symmetric directed edge list (src, dst). */
   def kcore(edges: DataFrame, k: Int): DataFrame =
     ops.Round12b.kcore(edges, k)
+
+  /** All unordered pairs of overlapping CLOSED intervals — bucketed
+    * equi-join with the max(start)-bucket attribution rule (each
+    * overlapping pair survives on exactly one bucket; no dedup
+    * pass). `idCols` must totally order intervals. */
+  def intervalOverlapJoin(iv: DataFrame, idCols: Seq[String],
+                          sCol: String, eCol: String,
+                          bucket: Long): DataFrame =
+    ops.Round12b.intervalOverlapJoin(iv, idCols, sCol, eCol, bucket)
 }
