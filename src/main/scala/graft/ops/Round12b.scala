@@ -250,6 +250,8 @@ object Round12b {
     * sides with `_a`/`_b` suffixes. */
   def bandSelfJoin(df: DataFrame, idCol: String, tsCol: String,
                    band: Long, payload: Seq[String] = Nil): DataFrame = {
+    require(band > 0, s"band must be positive (got $band) — band 0 " +
+      "is an exact-equality pairing; use a plain equi self-join")
     def side(sfx: String, probe: Boolean) = {
       val base = df.select((Seq(col(idCol).as(s"id$sfx"),
         col(tsCol).as(s"ts$sfx")) ++
@@ -378,6 +380,7 @@ object Round12b {
   def intervalOverlapJoin(iv: DataFrame, idCols: Seq[String],
                           sCol: String, eCol: String,
                           bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive (got $bucket)")
     def side(sfx: String) = iv.select(
       (idCols.map(c => col(c).as(s"$c$sfx")) ++ Seq(
         col(sCol).as(s"s$sfx"), col(eCol).as(s"e$sfx"),
