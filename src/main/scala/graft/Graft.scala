@@ -414,9 +414,12 @@ object Graft {
     ops.Round12b.patternMatches(ev, keyCol, tsCol, tieCol, typeCol, pattern)
 
   /** Maximal subgraph of min degree ≥ k (iterated peel to fixpoint)
-    * over a symmetric directed edge list (src, dst). */
-  def kcore(edges: DataFrame, k: Int): DataFrame =
-    ops.Round12b.kcore(edges, k)
+    * over a symmetric directed edge list (src, dst). Throws rather
+    * than returning a non-fixpoint if the peel cascade exceeds
+    * `maxRounds` (termination itself is guaranteed: every
+    * non-converged round drops at least one edge). */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 100000): DataFrame =
+    ops.Round12b.kcore(edges, k, maxRounds)
 
   /** All unordered pairs of overlapping CLOSED intervals — bucketed
     * equi-join with the max(start)-bucket attribution rule (each

@@ -116,9 +116,6 @@ object Round12b {
   // q203 kernel: prefix-filtered exact set-similarity join
   // ---------------------------------------------------------------
 
-  /** Per-doc token arrays sorted rarest-token-first (ascending global
-    * (df, tok) order) with set size — the PPJoin preprocessing.
-    * Memoized: the candidate join reads it three times. */
   /** Rarest-first sorted arrays of an arbitrary (doc_id, tok)
     * DISTINCT relation — the generic PPJoin preprocessing. */
   private[ops] def rarestFirstArrays(toks: DataFrame): DataFrame = {
@@ -165,9 +162,15 @@ object Round12b {
                             num: Int, den: Int): DataFrame =
     prefixJaccardOfArrays(sortedDocArrays(s, d), num, den)
 
-  /** Generic entry on a caller (doc_id, tok) DISTINCT relation. */
-  def prefixJaccardPairs(toks: DataFrame, num: Int, den: Int): DataFrame =
+  /** Generic entry on a caller (doc_id, tok) DISTINCT relation.
+    * Requires 0 < num ≤ den: τ ≤ 0 would admit DISJOINT pairs, which
+    * no shared-token candidate scheme can surface (silent loss), and
+    * den = 0 NULLs the prefix length and silently empties the join. */
+  def prefixJaccardPairs(toks: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num,
+      s"threshold must satisfy 0 < num/den <= 1 (got $num/$den)")
     prefixJaccardOfArrays(rarestFirstArrays(toks), num, den)
+  }
 
   private def prefixJaccardOfArrays(arrs: DataFrame,
                                     num: Int, den: Int): DataFrame = {
@@ -301,7 +304,7 @@ object Round12b {
     * returns the maximal subgraph with min degree ≥ k (possibly
     * empty). Each round localCheckpoints to keep lineage flat; work
     * per round is one degree aggregate + two broadcast semi joins. */
-  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 100000): DataFrame = {
     var e = edges.localCheckpoint()
     var n = e.count()
     var r = 0
@@ -312,6 +315,12 @@ object Round12b {
       changed = m != n
       e = next; n = m; r += 1
     }
+    // termination is guaranteed (each non-converged round drops >= 1
+    // edge), so hitting the cap means the caller set it too low for a
+    // long peel cascade — returning the partial graph would silently
+    // break the documented min-degree->=k contract (review finding)
+    if (changed) throw new IllegalStateException(
+      s"kcore did not converge within $maxRounds rounds ($n edges left)")
     e
   }
 
@@ -415,20 +424,26 @@ object Round12b {
     * `Round12eSpec` proves merge(sketch(A), sketch(B)) ≡
     * sketch(A ∪ B) exactly. */
   def cmsBuild(df: DataFrame, keyCol: String, depth: Int,
-               width: Int): DataFrame =
+               width: Int): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"CMS needs positive depth/width (got $depth x $width) — width 0 " +
+        "would NULL every bucket and estimate 0 for all keys")
     df.select(col(keyCol).as("k"))
       .select(explode(expr(s"sequence(0, ${depth - 1})")).as("row"),
         col("k"))
       .select(col("row"),
         pmod(xxhash64(col("row"), col("k")), lit(width)).as("bucket"))
       .groupBy("row", "bucket").agg(count(lit(1)).as("n"))
+  }
 
   /** Point estimates from a CMS relation for every key in `probes`:
     * est(k) = min over rows of counter[row][h_row(k)] — the classic
     * never-underestimates bound. The probe side is |probes|·depth
     * rows joined against the ≤ depth·width-cell sketch (broadcast). */
   def cmsEstimate(cms: DataFrame, probes: DataFrame,
-                  keyCol: String, depth: Int, width: Int): DataFrame =
+                  keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"CMS needs positive depth/width (got $depth x $width)")
     probes.select(col(keyCol).as("k"))
       .select(explode(expr(s"sequence(0, ${depth - 1})")).as("row"),
         col("k"))
@@ -437,6 +452,7 @@ object Round12b {
       .join(broadcast(cms), Seq("row", "bucket"), "left")
       .groupBy("k")
       .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
 
   // ---------------------------------------------------------------
 
@@ -504,31 +520,29 @@ object Round12b {
     "q_quality_constraints" -> ((s, d) => {
       val li = lineitem(s, d)
       val ord = orders(s, d)
-      val cust = customer(s, d)
-      val liRules = li.agg(
-          count(lit(1)).as("n"),
-          count(when(col("l_quantity") > 30, lit(1))).as("v_qty"),
-          count(when(col("l_discount") < 0 || col("l_discount") > 0.08,
-            lit(1))).as("v_disc"))
-      val r1 = liRules.select(lit("li_quantity_le_30").as("rule_name"),
-        col("n").as("n_checked"), col("v_qty").as("n_violations"))
-      val r2 = liRules.select(lit("li_discount_le_008").as("rule_name"),
-        col("n").as("n_checked"), col("v_disc").as("n_violations"))
-      val r3 = ord.agg(count(lit(1)).as("n_checked"),
-          (count(lit(1)) - countDistinct(col("o_orderkey")))
-            .as("n_violations"))
-        .select(lit("ord_orderkey_unique").as("rule_name"),
-          col("n_checked"), col("n_violations"))
+      // one conditional-count scan per table via the generic
+      val liRules = qualityReport(li, Seq(
+        "li_quantity_le_30" -> (col("l_quantity") > 30),
+        "li_discount_le_008" ->
+          (col("l_discount") < 0 || col("l_discount") > 0.08)))
+      // uniqueness needs countDistinct and so shares ONE orders
+      // aggregate with the range rule instead of a second scan
+      val ordAgg = ord.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+        count(when(col("o_totalprice") <= 0, lit(1))).as("v_pos"))
+      val r3 = ordAgg.select(lit("ord_orderkey_unique").as("rule_name"),
+        col("n_checked"), col("v_dup").as("n_violations"))
+      val r6 = ordAgg.select(lit("ord_totalprice_positive").as("rule_name"),
+        col("n_checked"), col("v_pos").as("n_violations"))
       val r4 = li.join(broadcast(ord.select("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
         .crossJoin(li.agg(count(lit(1)).as("n_checked")))
         .select(lit("li_fk_orders").as("rule_name"), col("n_checked"),
           col("n_violations"))
-      val r5 = rule(cust, "cust_acctbal_nonneg", col("c_acctbal") < 0)
-      val r6 = rule(ord, "ord_totalprice_positive",
-        col("o_totalprice") <= 0)
-      r1.unionByName(r2).unionByName(r3).unionByName(r4)
+      val r5 = rule(customer(s, d), "cust_acctbal_nonneg",
+        col("c_acctbal") < 0)
+      liRules.unionByName(r3).unionByName(r4)
         .unionByName(r5).unionByName(r6)
         .orderBy("rule_name")
     }),
