@@ -7,7 +7,7 @@ import graft.engine.Tables._
 import org.apache.spark.sql.graftbridge.Bridge
 import graft.functions.DamerauLevenshtein
 
-/** Round-12 continuation queries (SURVEY §2 rows 201-211): a
+/** Round-12 continuation queries (SURVEY §2 rows 201-218): a
   * transposition-aware edit distance as a native codegen Expression
   * (the tier-(b) path demonstrated on a scalar the engine lacks), a
   * time-series gap-fill/forward-fill operator, the PPJoin-style
@@ -26,7 +26,7 @@ import graft.functions.DamerauLevenshtein
   * every ORDER BY ends on a provably unique key (D1).
   *
   * The reference tree at /root/reference is absent (SURVEY.md §0);
-  * semantics follow SURVEY §2 rows 201-211.
+  * semantics follow SURVEY §2 rows 201-218.
   */
 object Round12b {
 
@@ -877,6 +877,101 @@ object Round12b {
         .orderBy("l_returnflag")
     }),
 
+    /** q216: 2-D GRID JOIN [N scale path] — the geospatial/feature-
+      * space pattern generalizing q208's 1-D band to two axes: all
+      * event pairs within 15 minutes AND 50.00 value units of each
+      * other, linearized by a (time-cell, value-cell) composite grid
+      * key. BOTH axes are exact integers (µs, and floor(value·100)
+      * cents — the q202 derivation, bit-identical in both engines),
+      * so cell distance ≤ 1 per axis is provable, the probe side
+      * explodes its 3×3 neighborhood, and each qualifying pair
+      * matches exactly ONE (probe-cell, build-cell) combination — no
+      * dedup. This is how a proximity join on (lat, lon) or any 2-D
+      * embedding of bounded diameter runs at 100 TB: an equi join on
+      * the grid key, shuffle/AQE-eligible, never a nested loop. */
+    "q_join_grid_2d" -> ((s, d) => {
+      val T = 900L * 1000000L
+      val V = 5000L
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"),
+        floor(col("value") * lit(100)).cast("long").as("vc"))
+      val probe = ev.select(col("event_id").as("id_a"),
+          col("event_type").as("ta"), col("tsu").as("tsu_a"),
+          col("vc").as("vc_a"),
+          explode(expr(s"sequence(tsu div ${T}L - 1, tsu div ${T}L + 1)"))
+            .as("tc"))
+        .select(col("id_a"), col("ta"), col("tsu_a"), col("vc_a"),
+          col("tc"),
+          explode(expr(s"sequence(vc_a div ${V}L - 1, vc_a div ${V}L + 1)"))
+            .as("vcell"))
+      val build = ev.select(col("event_id").as("id_b"),
+        col("event_type").as("tb"), col("tsu").as("tsu_b"),
+        col("vc").as("vc_b"),
+        expr(s"tsu div ${T}L").as("tc"), expr(s"vc div ${V}L").as("vcell"))
+      probe.join(build, Seq("tc", "vcell"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("tsu_a") - col("tsu_b")) <= T &&
+          abs(col("vc_a") - col("vc_b")) <= V)
+        .groupBy(least(col("ta"), col("tb")).as("t1"),
+          greatest(col("ta"), col("tb")).as("t2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("tsu_a") - col("tsu_b"))).as("gap_us_sum"),
+          sum(abs(col("vc_a") - col("vc_b"))).as("val_gap_sum"))
+        .orderBy("t1", "t2")
+    }),
+
+    /** q217: INTEGER OUTLIER DETECTION [N data-quality] — per-user
+      * burst days: a day is an outlier when its event count exceeds
+      * 3× the user's MEAN daily count over active days — stated as
+      * cnt_d · n_days > 3 · total, a pure BIGINT cross-multiplication
+      * (no float mean, no float compare, both engines decide
+      * identically). Output per user: active days, outlier days, max
+      * day count. Two aggregates over one user-keyed exchange; at
+      * 100 TB the day-count relation is |users|·|days|-bounded. */
+    "q_events_outlier_days" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n_days_active"),
+          sum(col("cnt")).as("total"),
+          max(col("cnt")).as("max_day_count"))
+        .join(daily, "user_id")
+        .groupBy(col("user_id"), col("n_days_active"),
+          col("max_day_count"))
+        .agg(count(when(col("cnt") * col("n_days_active") >
+          col("total") * 3, lit(1))).as("n_outlier_days"))
+        .select(col("user_id"), col("n_days_active"),
+          col("n_outlier_days"), col("max_day_count"))
+        .orderBy("user_id")
+    }),
+
+    /** q218: SIGNED-INCREMENTAL PATTERN COUNTS [P] — q211 maintained
+      * under the event delta by the generic group-recompute rule:
+      * contiguous-match counts are per-user functions of that user's
+      * timeline alone (deleting an event can create or destroy
+      * matches around it, but only WITHIN its user), so untouched
+      * users pass through and the broadcast affected-user set
+      * re-derives from post-delta timelines. Oracle = batch q211
+      * over the post-delta corpus. */
+    "q_incr_pattern" -> ((s, d) => {
+      val ev = events(s, d)
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val post = ev.filter(col("event_id") % 10 =!= 1)
+      val affected = ev.filter(col("event_id") % 10 === 0 ||
+          col("event_id") % 10 === 1)
+        .select("user_id").distinct()
+      def derive(e: DataFrame) =
+        patternMatches(e, "user_id", "ts", "event_id", "event_type",
+            Seq("view", "click", "purchase"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_matches"),
+            min(unix_micros(col("ts"))).as("first_match_us"))
+      Round11b.incrGroupRecompute(base, post, Seq("user_id"), affected)(
+          derive)
+        .orderBy("user_id")
+    }),
+
     /** q215: SCHEMA-EVOLUTION READ [T source surface] — the lake
       * reality the source matrix (q156 CSV/JSON, q179 ORC, q197 text,
       * q158 hive-partitioned, q157 bucketed) still lacked: two
@@ -1128,6 +1223,55 @@ object Round12b {
          WHERE c.cum * 2 >= t.w_total
          GROUP BY c.l_returnflag, t.w_total
          ORDER BY c.l_returnflag""",
+
+    "q_join_grid_2d" ->
+      """WITH ev AS (
+           SELECT event_id, event_type, epoch_us(ts) AS tsu,
+                  CAST(floor(value * 100) AS BIGINT) AS vc
+           FROM events
+         )
+         SELECT least(a.event_type, b.event_type) AS t1,
+                greatest(a.event_type, b.event_type) AS t2,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(abs(a.tsu - b.tsu)) AS BIGINT) AS gap_us_sum,
+                CAST(sum(abs(a.vc - b.vc)) AS BIGINT) AS val_gap_sum
+         FROM ev a JOIN ev b
+           ON a.event_id < b.event_id
+          AND abs(a.tsu - b.tsu) <= 900000000
+          AND abs(a.vc - b.vc) <= 5000
+         GROUP BY 1, 2 ORDER BY t1, t2""",
+
+    "q_events_outlier_days" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+           FROM events GROUP BY 1, 2
+         ), tot AS (
+           SELECT user_id, count(*) AS n_days_active,
+                  sum(cnt) AS total, max(cnt) AS max_day_count
+           FROM daily GROUP BY 1
+         )
+         SELECT d.user_id,
+                CAST(t.n_days_active AS BIGINT) AS n_days_active,
+                CAST(count(*) FILTER (d.cnt * t.n_days_active >
+                  t.total * 3) AS BIGINT) AS n_outlier_days,
+                CAST(t.max_day_count AS BIGINT) AS max_day_count
+         FROM daily d JOIN tot t ON t.user_id = d.user_id
+         GROUP BY d.user_id, t.n_days_active, t.max_day_count
+         ORDER BY d.user_id""",
+
+    "q_incr_pattern" ->
+      """WITH seq AS (
+           SELECT user_id, event_type, ts,
+                  lead(event_type, 1) OVER w AS e1,
+                  lead(event_type, 2) OVER w AS e2
+           FROM events WHERE event_id % 10 <> 1
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         )
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS first_match_us
+         FROM seq
+         WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
 
     "q_scan_schema_evolution" ->
       """SELECT CAST(CASE WHEN n_nationkey < 13 THEN 1 ELSE 2 END AS BIGINT)
