@@ -177,12 +177,31 @@ object Round12b {
     val pref = arrs
       .withColumn("plen", expr(
         s"CAST(sz - (sz * $num + ${den - 1}) div $den + 1 AS INT)"))
-      .select(col("doc_id"), expr("explode(slice(toks, 1, plen))").as("ptok"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(toks, 1, plen)")).as(Seq("pos", "ptok")))
+    // Candidate generation with the two canonical PPJoin prunes, both
+    // provably lossless:
+    //  - LENGTH filter: jacc >= num/den forces min(sa,sb)·den >=
+    //    max(sa,sb)·num (inter <= min, union >= max) — size-skewed
+    //    token matches never become candidates.
+    //  - POSITIONAL filter: for a match at 0-based prefix positions
+    //    (pa, pb), overlap <= min(sa - pa, sb - pb); folding pairs
+    //    with min(pa), min(pb) only RAISES that bound (positions of
+    //    one shared token are >= the per-side minima), so requiring
+    //    bound >= the overlap threshold α = ceil(num·(sa+sb)/(num+den))
+    //    (integer ceil — jacc >= num/den ⟺ inter·(num+den) >=
+    //    num·(sa+sb)) keeps every pair some token qualifies for.
     val cand = pref.as("a").join(pref.as("b"),
         col("a.ptok") === col("b.ptok") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * den >= col("b.sz") * num &&
+          col("b.sz") * den >= col("a.sz") * num)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(col("a.pos")).as("pa"), min(col("b.pos")).as("pb"),
+        min(col("a.sz")).as("psa"), min(col("b.sz")).as("psb"))
+      .filter(expr(s"least(psa - pa, psb - pb) >= " +
+        s"(($num * (psa + psb) + ${num + den - 1}) div ${num + den})"))
+      .select(col("doc_a"), col("doc_b"))
     val aSide = arrs.select(col("doc_id").as("doc_a"),
       col("toks").as("ta"), col("sz").as("sa"))
     val bSide = arrs.select(col("doc_id").as("doc_b"),
