@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** Round-12 batch 6 (SURVEY §2 rows 219-222): the bitmap-index
+  * family — EXACT distinct counting over a dense bounded key domain
+  * via 32-bit block bitmaps (the classic OLAP alternative to HLL
+  * when the domain is enumerable: mergeable, O(domain/32) state,
+  * and — unlike any cardinality sketch — supports DELETION and set
+  * algebra), its block-wise intersection (segment-overlap analytics
+  * without re-scanning facts), its signed-incremental maintenance
+  * under the event delta, and RFM (recency/frequency/monetary)
+  * customer segmentation.
+  *
+  * Determinism: bitmaps are BIGINT bit_or over `1 << (user_id % 32)`
+  * — bit 31 of a 32-entry block never reaches the BIGINT sign bit,
+  * so both engines build the identical non-negative word and
+  * bit_count agrees bit-for-bit. RFM scores are ntile(5) over a
+  * provably UNIQUE total order (metric, user_id), identical in any
+  * SQL-standard engine. All sums are BIGINT; monetary enters as
+  * floor(value·100) — one IEEE multiply of the parquet double then
+  * an exact floor (Dec contract D2).
+  *
+  * The reference tree at /root/reference is absent (SURVEY.md §0);
+  * semantics follow SURVEY §2 rows 219-222.
+  */
+object Round12c {
+
+  private val dfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  graft.engine.Memos.register { () =>
+    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
+  }
+
+  // ---------------------------------------------------------------
+  // bitmap kernel
+  // ---------------------------------------------------------------
+
+  /** Per-(event_type, 32-user block) presence bitmap + row count —
+    * the mergeable stored state of the whole family. ONE partial-
+    * aggregated shuffle of ≤ |types|·⌈domain/32⌉ groups regardless
+    * of fact cardinality; at 100 TB this is the point: facts reduce
+    * map-side to domain-bounded words, and any later set operation
+    * (distinct, AND, OR, delta-maintenance) runs on the words, never
+    * on the facts again. */
+  def bitmapBlocks(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), expr("user_id div 32").as("blk"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))")
+        .as("bm"),
+        count(lit(1)).as("n"))
+
+  /** Bitmap words → per-type exact distinct + block/row counts. */
+  private def bitmapCounts(blocks: DataFrame): DataFrame =
+    blocks.groupBy("event_type")
+      .agg(sum(expr("bit_count(bm)")).cast("long").as("n_users_exact"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("n")).as("n_events"))
+      .orderBy("event_type")
+
+  val defs: Map[String, Q] = Map(
+    /** q219: EXACT DISTINCT VIA BLOCK BITMAPS [N scale path] — per
+      * event type, the exact distinct-user count computed from 32-bit
+      * block bitmaps instead of a count(DISTINCT) shuffle of the raw
+      * keys. count(DISTINCT user) shuffles |facts| (type, user) rows;
+      * the bitmap form partial-aggregates map-side to ≤
+      * |types|·⌈domain/32⌉ BIGINT words — at 100 TB the shuffle is
+      * domain-bounded, not fact-bounded, and the words are reusable
+      * state for q220/q221. Applicable exactly when the key domain is
+      * dense and bounded (user ids here); for open domains the engine
+      * offers HLL (q23) at ε accuracy or multi-distinct (q164). */
+    "q_agg_bitmap_distinct" -> ((s, d) =>
+      bitmapCounts(bitmapBlocks(events(s, d)))),
+
+    /** q220: BITMAP SET ALGEBRA — distinct users present in BOTH
+      * types of every unordered event-type pair, via block-aligned
+      * AND of the q219 words: the segment-overlap / funnel-audience
+      * question answered WITHOUT touching facts again. The join is
+      * |types|·⌈domain/32⌉ × same, equi on the block id — block-
+      * partitioned and AQE-eligible at scale. Inner join is exact
+      * for intersection: a block absent on either side contributes
+      * zero shared users by construction. */
+    "q_agg_bitmap_intersect" -> ((s, d) => {
+      val b = bitmapBlocks(events(s, d))
+      val a1 = b.select(col("event_type").as("t1"), col("blk"),
+        col("bm").as("bma"))
+      val a2 = b.select(col("event_type").as("t2"), col("blk"),
+        col("bm").as("bmb"))
+      a1.join(a2, Seq("blk")).filter(col("t1") < col("t2"))
+        .select(col("t1"), col("t2"),
+          expr("bit_count(bma & bmb)").as("both_bits"))
+        .groupBy("t1", "t2")
+        .agg(sum(col("both_bits")).cast("long").as("n_users_both"),
+          count(lit(1)).as("n_blocks_shared"))
+        .orderBy("t1", "t2")
+    }),
+
+    /** q221: SIGNED-INCREMENTAL BITMAP DISTINCT [P one-step
+      * incremental] — q219 maintained under the event delta
+      * (event_id%10: 0=insert, 1=delete) without a base rescan.
+      * Deletion is the case every cardinality SKETCH fundamentally
+      * cannot serve (HLL/CMS state is not invertible); the bitmap
+      * family can, by the touched-block rule: presence is not a
+      * group under XOR (multiplicity), so a delta row invalidates
+      * exactly its own (type, block) word, which recomputes from
+      * post-delta facts of that block while every untouched word —
+      * the memoized stored state, the persisted partials relation in
+      * a production run — passes through unread. Work is
+      * delta-proportional: |touched blocks| recomputes over a
+      * block-semi-joined fact subset. Oracle = batch q219 over the
+      * post-delta corpus ⇒ the hash proves maintenance ≡ recompute. */
+    "q_incr_bitmap_distinct" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val post = ev.filter(col("event_id") % 10 =!= 1)
+      val delta = ev.filter(col("event_id") % 10 === 0)
+        .unionByName(ev.filter(col("event_id") % 10 === 1))
+      val touched = delta
+        .select(col("event_type"), expr("user_id div 32").as("blk"))
+        .distinct()
+      val baseP = dfMemo.getOrElseUpdate((s, d, "bitmap_partials"), {
+        val p = bitmapBlocks(base).persist()
+        p.count(); p
+      })
+      val keep = baseP
+        .join(broadcast(touched), Seq("event_type", "blk"), "left_anti")
+      val rec = bitmapBlocks(
+        post.withColumn("blk", expr("user_id div 32"))
+          .join(broadcast(touched), Seq("event_type", "blk"), "left_semi"))
+      bitmapCounts(keep.unionByName(rec))
+    }),
+
+    /** q222: RFM SEGMENTATION [T analytics surface] — the classic
+      * customer-value grid: per user, Recency (days from last event
+      * to the corpus max day), Frequency (event count), Monetary
+      * (exact value cents); each scored 1-5 by ntile over the
+      * UNIQUE order (metric, user_id) — 5 = most recent / most
+      * frequent / highest spend — then segment-level rollup. The
+      * per-user relation is |users|-bounded, so the three unparti-
+      * tioned ntile sorts are sorts of an already-aggregated small
+      * relation, not of facts (at 100 TB: facts reduce in one
+      * user-keyed exchange; scoring runs on the user dimension). */
+    "q_events_rfm" -> ((s, d) => {
+      val ev = events(s, d)
+      val maxDay = ev.agg(max(to_date(col("ts"))).as("corpus_max_day"))
+      val per = ev.groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("value") * lit(100)).cast("long"))
+            .as("monet_cents"))
+        .crossJoin(broadcast(maxDay))
+        .withColumn("recency_days",
+          datediff(col("corpus_max_day"), col("last_day")).cast("long"))
+      val scored = per
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("recency_days").desc, col("user_id"))))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("freq"), col("user_id"))))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monet_cents"), col("user_id"))))
+      scored.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monet_cents")).as("monet_cents_sum"),
+          max(col("freq")).as("max_freq"))
+        .orderBy("r_score", "f_score", "m_score")
+    }))
+
+  def sql: Map[String, String] = Map(
+    "q_agg_bitmap_distinct" -> bitmapSql("events"),
+
+    "q_agg_bitmap_intersect" ->
+      """WITH b AS (
+           SELECT event_type, user_id // 32 AS blk,
+                  bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm
+           FROM events GROUP BY 1, 2
+         )
+         SELECT a.event_type AS t1, b.event_type AS t2,
+                CAST(sum(bit_count(a.bm & b.bm)) AS BIGINT)
+                  AS n_users_both,
+                CAST(count(*) AS BIGINT) AS n_blocks_shared
+         FROM b a JOIN b b
+           ON a.blk = b.blk AND a.event_type < b.event_type
+         GROUP BY 1, 2 ORDER BY t1, t2""",
+
+    "q_incr_bitmap_distinct" -> bitmapSql(
+      "(SELECT * FROM events WHERE event_id % 10 <> 1)"),
+
+    "q_events_rfm" ->
+      """WITH per AS (
+           SELECT user_id,
+                  date_diff('day', max(CAST(ts AS DATE)),
+                    (SELECT max(CAST(ts AS DATE)) FROM events))
+                    AS recency_days,
+                  count(*) AS freq,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                    AS BIGINT) AS monet_cents
+           FROM events GROUP BY user_id
+         ), scored AS (
+           SELECT ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+                    AS r_score,
+                  ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+                  ntile(5) OVER (ORDER BY monet_cents, user_id)
+                    AS m_score,
+                  freq, monet_cents
+           FROM per
+         )
+         SELECT r_score, f_score, m_score,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(monet_cents) AS BIGINT) AS monet_cents_sum,
+                CAST(max(freq) AS BIGINT) AS max_freq
+         FROM scored GROUP BY 1, 2, 3
+         ORDER BY r_score, f_score, m_score""")
+
+  /** The q219 oracle body over a caller-chosen fact relation —
+    * reused verbatim by q221 with the post-delta corpus, so the
+    * oracle itself states "maintenance ≡ recompute". */
+  private def bitmapSql(rel: String): String =
+    s"""WITH b AS (
+          SELECT event_type, user_id // 32 AS blk,
+                 bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm,
+                 count(*) AS n
+          FROM $rel GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(sum(bit_count(bm)) AS BIGINT) AS n_users_exact,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(n) AS BIGINT) AS n_events
+        FROM b GROUP BY event_type ORDER BY event_type"""
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for SURVEY §2 rows 219-222: the bitmap-index distinct
+  * family (exact counts, block-wise intersection, signed-incremental
+  * maintenance) and RFM segmentation. */
+class Round12hSpec extends SparkSpecBase {
+
+  private def ev = graft.engine.Tables.events(spark, sfDir)
+
+  test("q_agg_bitmap_distinct: bitmap counts ≡ count(DISTINCT) per type") {
+    val got = SparkEntry.queries("q_agg_bitmap_distinct")(spark, sfDir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        countDistinct(expr("user_id div 32")).as("n_blocks"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+    assert(got.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(got).count() == 0)
+    assert(got.count() == 5, "fixture has 5 event types")
+  }
+
+  test("bitmapBlocks: random non-negative ids — bit_count sums to distinct") {
+    // random-structure property: ids drawn with duplicates and gaps
+    // (sparse blocks), several types; the bitmap count must equal the
+    // exact distinct per type regardless of block occupancy.
+    val rnd = new scala.util.Random(12347)
+    import spark.implicits._
+    val rows = Seq.tabulate(4000) { i =>
+      (s"t${rnd.nextInt(4)}", rnd.nextInt(3000).toLong)
+    }
+    val df = rows.toDF("event_type", "user_id")
+    val got = ops.Round12c.bitmapBlocks(df)
+      .groupBy("event_type")
+      .agg(sum(expr("bit_count(bm)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(_._2).distinct.size.toLong }
+    assert(got == exact)
+  }
+
+  test("q_agg_bitmap_intersect: block AND ≡ exact distinct co-presence") {
+    val got = SparkEntry.queries("q_agg_bitmap_intersect")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // brute force: per unordered type pair, |users(t1) ∩ users(t2)|
+    val byType = ev.select("event_type", "user_id").distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    val types = byType.keys.toSeq.sorted
+    for (i <- types.indices; j <- (i + 1) until types.size) {
+      val expected = (byType(types(i)) & byType(types(j))).size.toLong
+      assert(got((types(i), types(j))) == expected,
+        s"pair (${types(i)}, ${types(j)})")
+    }
+    assert(got.size == types.size * (types.size - 1) / 2)
+  }
+
+  test("q_incr_bitmap_distinct: maintenance ≡ batch recompute; " +
+    "untouched blocks pass through") {
+    val post = ev.filter(col("event_id") % 10 =!= 1)
+    val batch = ops.Round12c.bitmapBlocks(
+        post.select(col("event_type"), col("user_id")))
+      .groupBy("event_type")
+      .agg(sum(expr("bit_count(bm)")).cast("long").as("n_users_exact"),
+        count(lit(1)).as("n_blocks"), sum(col("n")).as("n_events"))
+      .orderBy("event_type")
+    val got = SparkEntry.queries("q_incr_bitmap_distinct")(spark, sfDir)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+    // pass-through pin: every base partial OUTSIDE the touched set
+    // must appear verbatim in the post-delta partials (reused rows,
+    // not recomputed ones) — the delta-proportionality argument.
+    val base = ev.filter(col("event_id") % 10 =!= 0)
+    val delta = ev.filter(col("event_id") % 10 === 0)
+      .unionByName(ev.filter(col("event_id") % 10 === 1))
+    val touched = delta
+      .select(col("event_type"), expr("user_id div 32").as("blk"))
+      .distinct()
+    val untouchedBase = ops.Round12c.bitmapBlocks(
+        base.select(col("event_type"), col("user_id")))
+      .join(touched, Seq("event_type", "blk"), "left_anti")
+    val postPartials = ops.Round12c.bitmapBlocks(
+      post.select(col("event_type"), col("user_id")))
+    assert(untouchedBase.exceptAll(postPartials).count() == 0,
+      "an untouched (type, block) partial differs between base and " +
+        "post — the pass-through would be wrong")
+  }
+
+  test("q_events_rfm: partition of users; scores 1-5; bucket monotonicity") {
+    val got = SparkEntry.queries("q_events_rfm")(spark, sfDir)
+    val rows = got.collect()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nUsers,
+      "segments must partition the user set")
+    assert(rows.forall(r => (1 to 3).forall(i =>
+      r.getInt(i - 1) >= 1 && r.getInt(i - 1) <= 5)))
+    // frequency buckets are ordered: the max freq of bucket k cannot
+    // exceed the min freq of bucket k+1 (ntile over a unique order);
+    // asserted on a direct scored recompute of the per-user relation.
+    val scored = ev.groupBy("user_id").agg(count(lit(1)).as("freq"))
+      .withColumn("f_score", ntile(5).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq"), col("user_id"))))
+      .groupBy("f_score")
+      .agg(min(col("freq")).as("lo"), max(col("freq")).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    for (k <- 1 until 5)
+      assert(scored(k)._2 <= scored(k + 1)._1,
+        s"f bucket $k max must not exceed bucket ${k + 1} min")
+  }
+}
