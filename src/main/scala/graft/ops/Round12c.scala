@@ -31,9 +31,16 @@ object Round12c {
 
   private val dfMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+  private val writeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), Boolean]
   graft.engine.Memos.register { () =>
     dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
+    writeMemo.clear()
   }
+
+  private def scratchRoot(s: SparkSession, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_r12c_" +
+      Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
 
   // ---------------------------------------------------------------
   // bitmap kernel
@@ -166,6 +173,40 @@ object Round12c {
           sum(col("monet_cents")).as("monet_cents_sum"),
           max(col("freq")).as("max_freq"))
         .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    /** q223: DYNAMIC PARTITION PRUNING [N scale path] — the star-
+      * schema join against a PARTITIONED fact table where the
+      * partition filter is only known at RUNTIME (it comes from the
+      * dim side's predicate, not from a literal): customers written
+      * partitioned by c_nationkey, joined to nations of one region.
+      * Catalyst injects a dynamicpruning subquery on the fact scan —
+      * the broadcast dim's keys become partition filters, so at
+      * 100 TB the fact scan reads ~1/|regions| of its partitions
+      * instead of all of them; a literal IN-filter (q158's static
+      * pruning) cannot express this because the key set depends on
+      * data. Result is the plain join (oracle-hashable); the plan
+      * shape — a DynamicPruningExpression partition filter on the
+      * scan — is pinned by `Round12hSpec`. appId-isolated scratch,
+      * OVERWRITE; the write is session-memoized (the fixture is the
+      * sole input, so one write serves every call — bench reps then
+      * measure the pruned read, not the rewrite). */
+    "q_scan_dpp" -> ((s, d) => {
+      val scratch = s"${scratchRoot(s, d)}/dpp"
+      writeMemo.getOrElseUpdate((s, d, "dpp_write"), {
+        customer(s, d)
+          .write.mode("overwrite").partitionBy("c_nationkey")
+          .parquet(scratch)
+        true
+      })
+      val fact = s.read.parquet(scratch)
+      val dim = nation(s, d).filter(col("n_regionkey") === 0)
+      fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum((graft.engine.Dec.dec2(col("c_acctbal")) * 100)
+            .cast("long")).as("acctbal_cents_sum"))
+        .orderBy("n_name")
     }))
 
   def sql: Map[String, String] = Map(
@@ -187,6 +228,14 @@ object Round12c {
 
     "q_incr_bitmap_distinct" -> bitmapSql(
       "(SELECT * FROM events WHERE event_id % 10 <> 1)"),
+
+    "q_scan_dpp" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS acctbal_cents_sum
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_regionkey = 0
+         GROUP BY n_name ORDER BY n_name""",
 
     "q_events_rfm" ->
       """WITH per AS (

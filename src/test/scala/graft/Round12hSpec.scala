@@ -88,6 +88,28 @@ class Round12hSpec extends SparkSpecBase {
         "post — the pass-through would be wrong")
   }
 
+  test("q_scan_dpp: dynamic partition pruning fires; result ≡ plain join") {
+    val got = SparkEntry.queries("q_scan_dpp")(spark, sfDir)
+    // plan shape: the fact scan must carry a DynamicPruningExpression
+    // partition filter — the runtime star-schema pruning a literal
+    // IN-filter cannot express.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan;" +
+        s" plan was:\n$plan")
+    val plain = graft.engine.Tables.customer(spark, sfDir)
+      .join(graft.engine.Tables.nation(spark, sfDir)
+        .filter(col("n_regionkey") === 0),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum((graft.engine.Dec.dec2(col("c_acctbal")) * 100)
+          .cast("long")).as("acctbal_cents_sum"))
+    assert(got.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("q_events_rfm: partition of users; scores 1-5; bucket monotonicity") {
     val got = SparkEntry.queries("q_events_rfm")(spark, sfDir)
     val rows = got.collect()
