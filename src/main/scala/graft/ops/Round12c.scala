@@ -59,6 +59,39 @@ object Round12c {
         .as("bm"),
         count(lit(1)).as("n"))
 
+  /** Per-user RFM raw partials — the fact-sized stage, ONE user-keyed
+    * exchange. Also q224's stored state (user-local, so maintainable
+    * by touched-user recompute). */
+  def rfmPerUser(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * lit(100)).cast("long"))
+          .as("monet_cents"))
+
+  /** Per-user partials → scored (r,f,m) segment rollup. The global
+    * ntile sorts run on the |users|-bounded dimension — never on
+    * facts. The corpus max day derives from the partials (max of
+    * per-user last days ≡ max over facts). */
+  def rfmSegments(per: DataFrame): DataFrame = {
+    val maxDay = per.agg(max(col("last_day")).as("corpus_max_day"))
+    val scored = per
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days",
+        datediff(col("corpus_max_day"), col("last_day")).cast("long"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("user_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq"), col("user_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monet_cents"), col("user_id"))))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monet_cents")).as("monet_cents_sum"),
+        max(col("freq")).as("max_freq"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Bitmap words → per-type exact distinct + block/row counts. */
   private def bitmapCounts(blocks: DataFrame): DataFrame =
     blocks.groupBy("event_type")
@@ -150,29 +183,39 @@ object Round12c {
       * tioned ntile sorts are sorts of an already-aggregated small
       * relation, not of facts (at 100 TB: facts reduce in one
       * user-keyed exchange; scoring runs on the user dimension). */
-    "q_events_rfm" -> ((s, d) => {
+    "q_events_rfm" -> ((s, d) =>
+      rfmSegments(rfmPerUser(events(s, d)))),
+
+    /** q224: SIGNED-INCREMENTAL RFM [P one-step incremental] — q222
+      * maintained under the event delta by LAYERING: the fact-sized
+      * per-user partials (last_day, freq, monet) are user-local, so
+      * touched users recompute from post-delta facts while untouched
+      * users' memoized partials pass through (max/count/sum over ONE
+      * user's rows — group-recompute, since max is not invertible
+      * under deletes); the SCORING stage (global ntiles) then
+      * recomputes over the |users|-bounded dimension, which is the
+      * honest design — ranks are global, so no per-group rule can
+      * maintain them, but the relation they rank is dimension-sized
+      * by construction. Work = |delta users|' facts + a small sort.
+      * Oracle = batch q222 over post-delta ⇒ hash proves
+      * maintenance ≡ recompute. */
+    "q_incr_rfm" -> ((s, d) => {
       val ev = events(s, d)
-      val maxDay = ev.agg(max(to_date(col("ts"))).as("corpus_max_day"))
-      val per = ev.groupBy("user_id")
-        .agg(max(to_date(col("ts"))).as("last_day"),
-          count(lit(1)).as("freq"),
-          sum(floor(col("value") * lit(100)).cast("long"))
-            .as("monet_cents"))
-        .crossJoin(broadcast(maxDay))
-        .withColumn("recency_days",
-          datediff(col("corpus_max_day"), col("last_day")).cast("long"))
-      val scored = per
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy(col("recency_days").desc, col("user_id"))))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy(col("freq"), col("user_id"))))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy(col("monet_cents"), col("user_id"))))
-      scored.groupBy("r_score", "f_score", "m_score")
-        .agg(count(lit(1)).as("n_users"),
-          sum(col("monet_cents")).as("monet_cents_sum"),
-          max(col("freq")).as("max_freq"))
-        .orderBy("r_score", "f_score", "m_score")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val post = ev.filter(col("event_id") % 10 =!= 1)
+      val delta = ev.filter(col("event_id") % 10 === 0)
+        .unionByName(ev.filter(col("event_id") % 10 === 1))
+      val affected = delta.select("user_id").distinct()
+      val baseP = dfMemo.getOrElseUpdate((s, d, "rfm_partials"), {
+        val p = rfmPerUser(base).persist()
+        p.count(); p
+      })
+      val keep = baseP
+        .join(broadcast(affected), Seq("user_id"), "left_anti")
+      val rec = rfmPerUser(
+        post.join(broadcast(affected), Seq("user_id"), "left_semi"))
+      rfmSegments(keep.unionByName(rec))
     }),
 
     /** q223: DYNAMIC PARTITION PRUNING [N scale path] — the star-
@@ -207,6 +250,33 @@ object Round12c {
           sum((graft.engine.Dec.dec2(col("c_acctbal")) * 100)
             .cast("long")).as("acctbal_cents_sum"))
         .orderBy("n_name")
+    }),
+
+    /** q225: EXACT 3-SIGMA ANOMALY TEST [N data-quality] — the
+      * variance-aware companion to q217's mean-rule: a user's day is
+      * anomalous when its count x deviates more than 3 population-σ
+      * from the user's daily mean — decided ENTIRELY in BIGINT by
+      * clearing denominators: with n days, S = Σx, Q = Σx²,
+      * (x−μ)² > 9σ²  ⇔  (n·x − S)² > 9·(n·Q − S²). No float mean, no
+      * float stddev, no epsilon: both engines take the identical
+      * branch on every row. Magnitudes stay far inside BIGINT
+      * (n ≤ days, x ≤ day volume). Two aggregates over one
+      * user-keyed exchange; |users|·|days|-bounded intermediate. */
+    "q_events_anomaly_sigma" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val stats = daily.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("q"))
+      daily.join(stats, "user_id")
+        .groupBy(col("user_id"), col("n").as("n_days"))
+        .agg(sum(when((col("n") * col("x") - col("s")) *
+            (col("n") * col("x") - col("s")) >
+            (col("n") * col("q") - col("s") * col("s")) * 9, 1L)
+          .otherwise(0L)).as("n_anomalous"),
+          max(col("x")).as("max_day_count"))
+        .orderBy("user_id")
     }))
 
   def sql: Map[String, String] = Map(
@@ -237,31 +307,58 @@ object Round12c {
          WHERE n_regionkey = 0
          GROUP BY n_name ORDER BY n_name""",
 
-    "q_events_rfm" ->
-      """WITH per AS (
-           SELECT user_id,
-                  date_diff('day', max(CAST(ts AS DATE)),
-                    (SELECT max(CAST(ts AS DATE)) FROM events))
-                    AS recency_days,
-                  count(*) AS freq,
-                  CAST(sum(CAST(floor(value * 100) AS BIGINT))
-                    AS BIGINT) AS monet_cents
-           FROM events GROUP BY user_id
-         ), scored AS (
-           SELECT ntile(5) OVER (ORDER BY recency_days DESC, user_id)
-                    AS r_score,
-                  ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
-                  ntile(5) OVER (ORDER BY monet_cents, user_id)
-                    AS m_score,
-                  freq, monet_cents
-           FROM per
+    "q_events_rfm" -> rfmSql("events"),
+
+    "q_incr_rfm" -> rfmSql(
+      "(SELECT * FROM events WHERE event_id % 10 <> 1)"),
+
+    "q_events_anomaly_sigma" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2
+         ), stats AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s,
+                  CAST(sum(x * x) AS BIGINT) AS q
+           FROM daily GROUP BY user_id
          )
-         SELECT r_score, f_score, m_score,
-                CAST(count(*) AS BIGINT) AS n_users,
-                CAST(sum(monet_cents) AS BIGINT) AS monet_cents_sum,
-                CAST(max(freq) AS BIGINT) AS max_freq
-         FROM scored GROUP BY 1, 2, 3
-         ORDER BY r_score, f_score, m_score""")
+         SELECT d.user_id, t.n AS n_days,
+                CAST(sum(CASE WHEN (t.n * d.x - t.s) * (t.n * d.x - t.s)
+                       > 9 * (t.n * t.q - t.s * t.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+                CAST(max(d.x) AS BIGINT) AS max_day_count
+         FROM daily d JOIN stats t ON t.user_id = d.user_id
+         GROUP BY d.user_id, t.n
+         ORDER BY d.user_id""")
+
+  /** The q222 oracle body over a caller-chosen fact relation —
+    * reused verbatim by q224 with the post-delta corpus. */
+  private def rfmSql(rel: String): String =
+    s"""WITH per AS (
+          SELECT user_id,
+                 date_diff('day', max(CAST(ts AS DATE)),
+                   (SELECT max(CAST(ts AS DATE)) FROM $rel))
+                   AS recency_days,
+                 count(*) AS freq,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                   AS BIGINT) AS monet_cents
+          FROM $rel GROUP BY user_id
+        ), scored AS (
+          SELECT ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+                   AS r_score,
+                 ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+                 ntile(5) OVER (ORDER BY monet_cents, user_id)
+                   AS m_score,
+                 freq, monet_cents
+          FROM per
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(monet_cents) AS BIGINT) AS monet_cents_sum,
+               CAST(max(freq) AS BIGINT) AS max_freq
+        FROM scored GROUP BY 1, 2, 3
+        ORDER BY r_score, f_score, m_score"""
 
   /** The q219 oracle body over a caller-chosen fact relation —
     * reused verbatim by q221 with the post-delta corpus, so the

@@ -15,10 +15,10 @@ class RegistrySmokeSpec extends SparkSpecBase {
     // round file would shadow an old operator with zero compile
     // signal. Pin the declared inventory count (update alongside
     // SURVEY §2's totals block when adding rows).
-    assert(SparkEntry.queries.size == 223,
-      s"expected 223 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
-    assert(SparkEntry.oracleSql.size == 208,
-      s"expected 208 oracle entries, found ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 225,
+      s"expected 225 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
+    assert(SparkEntry.oracleSql.size == 210,
+      s"expected 210 oracle entries, found ${SparkEntry.oracleSql.size}")
   }
 
   test("entry returns rows") {

@@ -110,6 +110,82 @@ class Round12hSpec extends SparkSpecBase {
     assert(got.count() > 0)
   }
 
+  test("q_incr_rfm: maintenance ≡ batch rescore; untouched users pass through") {
+    val post = ev.filter(col("event_id") % 10 =!= 1)
+    val batch = ops.Round12c.rfmSegments(ops.Round12c.rfmPerUser(
+      post.select(col("event_id"), col("user_id"), col("ts"),
+        col("value"))))
+    val got = SparkEntry.queries("q_incr_rfm")(spark, sfDir)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+    // pass-through pin: untouched users' base partials ARE the post
+    // partials (user-local aggregates) — the delta-proportionality
+    // argument for the fact-sized stage.
+    val base = ev.filter(col("event_id") % 10 =!= 0)
+    val delta = ev.filter(col("event_id") % 10 === 0)
+      .unionByName(ev.filter(col("event_id") % 10 === 1))
+    val affected = delta.select("user_id").distinct()
+    val untouched = ops.Round12c.rfmPerUser(base)
+      .join(affected, Seq("user_id"), "left_anti")
+    val postP = ops.Round12c.rfmPerUser(post)
+    assert(untouched.exceptAll(postP).count() == 0,
+      "an untouched user's base partial differs from its post partial")
+  }
+
+  test("q_events_anomaly_sigma: integer test ≡ exact rational 3-sigma") {
+    val got = SparkEntry.queries("q_events_anomaly_sigma")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent recompute in exact BigInt rationals from raw rows
+    val daily = ev.select(col("user_id"),
+        to_date(col("ts")).cast("string").as("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case ((u, day), rs) =>
+        (u, day, rs.length.toLong) }.toSeq
+    val byUser = daily.groupBy(_._1)
+    for ((u, rows) <- byUser) {
+      val n = BigInt(rows.size)
+      val s = BigInt(rows.map(_._3).sum)
+      val q = rows.map(x => BigInt(x._3) * BigInt(x._3)).sum
+      val anom = rows.count { case (_, _, x) =>
+        val dev = n * BigInt(x) - s
+        dev * dev > 9 * (n * q - s * s)
+      }
+      assert(got(u) == (n.toLong, anom.toLong), s"user $u")
+    }
+    assert(got.keySet == byUser.keySet.map(identity))
+  }
+
+  test("anomaly sigma: injected bursts are flagged, uniform days are not") {
+    import spark.implicits._
+    // 20 users × 20 quiet days (3-5 events) + one 40-event burst day
+    // for even users: the burst must be the ONLY anomalous day.
+    val rnd = new scala.util.Random(991)
+    val rows = for {
+      u <- 0 until 20
+      d <- 0 until 20
+      n = if (d == 7 && u % 2 == 0) 40 else 3 + rnd.nextInt(3)
+      i <- 0 until n
+    } yield (u.toLong, java.sql.Timestamp.valueOf(
+      f"2024-03-${d + 1}%02d 1${i % 9}:00:0${i % 10}"), i.toLong)
+    val df = rows.toDF("user_id", "ts", "event_id")
+      .withColumn("value", lit(1.0))
+    val daily = df.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    val flagged = daily.join(stats, "user_id")
+      .filter((col("n") * col("x") - col("s")) *
+        (col("n") * col("x") - col("s")) >
+        (col("n") * col("q") - col("s") * col("s")) * 9)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.sql.Date]("day").toString))
+    assert(flagged.toSet ==
+      (0 until 20 by 2).map(u => (u.toLong, "2024-03-08")).toSet,
+      "exactly the even users' burst day must be flagged")
+  }
+
   test("q_events_rfm: partition of users; scores 1-5; bucket monotonicity") {
     val got = SparkEntry.queries("q_events_rfm")(spark, sfDir)
     val rows = got.collect()
