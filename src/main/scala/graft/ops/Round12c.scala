@@ -262,22 +262,27 @@ object Round12c {
       * branch on every row. Magnitudes stay far inside BIGINT
       * (n ≤ days, x ≤ day volume). Two aggregates over one
       * user-keyed exchange; |users|·|days|-bounded intermediate. */
-    "q_events_anomaly_sigma" -> ((s, d) => {
-      val daily = events(s, d)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x"))
-      val stats = daily.groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-          sum(col("x") * col("x")).as("q"))
-      daily.join(stats, "user_id")
-        .groupBy(col("user_id"), col("n").as("n_days"))
-        .agg(sum(when((col("n") * col("x") - col("s")) *
-            (col("n") * col("x") - col("s")) >
-            (col("n") * col("q") - col("s") * col("s")) * 9, 1L)
-          .otherwise(0L)).as("n_anomalous"),
-          max(col("x")).as("max_day_count"))
-        .orderBy("user_id")
-    }))
+    "q_events_anomaly_sigma" -> ((s, d) =>
+      anomalySigma(events(s, d)).orderBy("user_id")))
+
+  /** q225's body (also q228's per-user derive): daily counts →
+    * (n, S, Q) stats → the BIGINT 3σ branch. User-local by
+    * construction, hence maintainable by group-recompute. */
+  def anomalySigma(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    daily.join(stats, "user_id")
+      .groupBy(col("user_id"), col("n").as("n_days"))
+      .agg(sum(when((col("n") * col("x") - col("s")) *
+          (col("n") * col("x") - col("s")) >
+          (col("n") * col("q") - col("s") * col("s")) * 9, 1L)
+        .otherwise(0L)).as("n_anomalous"),
+        max(col("x")).as("max_day_count"))
+  }
 
   def sql: Map[String, String] = Map(
     "q_agg_bitmap_distinct" -> bitmapSql("events"),
