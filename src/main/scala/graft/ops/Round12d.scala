@@ -82,27 +82,36 @@ object Round12d {
     * user-keyed (equi on user_id, band predicate as filter) — at
     * 100 TB the q208 (user, week)-grid band join is the drop-in
     * tightening if per-user histories outgrow a partition. */
-  def attribution(ev: DataFrame): DataFrame = {
+  def attribution(ev: DataFrame): DataFrame =
+    attributionRollup(attrPerPurchase(ev))
+
+  /** Per purchase: (pid, user_id, last_ch, first_ch) — the
+    * fact-sized stage, and q232's per-user-local stored state. */
+  def attrPerPurchase(ev: DataFrame): DataFrame = {
     val lookbackUs = 7L * 24 * 3600 * 1000000
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"),
         unix_micros(col("ts")).as("ptsu"))
     val t = ev.filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("event_type").as("ch"),
+      .select(col("user_id").as("tuser"), col("event_type").as("ch"),
         unix_micros(col("ts")).as("ttsu"), col("event_id").as("tid"))
     val ord = struct(col("ttsu"), col("tid"))
     // The band predicate must live IN the outer-join condition: a
     // post-join filter would also delete the null-extended row of a
     // purchase whose user has touches but none in window, silently
     // dropping its 'none' credit.
-    val attr = p.join(t,
-        p("user_id") === t("user_id") &&
+    p.join(t,
+        col("user_id") === col("tuser") &&
           col("ttsu") <= col("ptsu") &&
           col("ptsu") - col("ttsu") <= lookbackUs,
         "left")
-      .groupBy("pid")
+      .groupBy("pid", "user_id")
       .agg(coalesce(max_by(col("ch"), ord), lit("none")).as("last_ch"),
         coalesce(min_by(col("ch"), ord), lit("none")).as("first_ch"))
+  }
+
+  /** Per-purchase credits → per-channel rollup (|channels|-bounded). */
+  def attributionRollup(attr: DataFrame): DataFrame = {
     val lastC = attr.groupBy(col("last_ch").as("channel"))
       .agg(count(lit(1)).as("n_last_touch"))
     val firstC = attr.groupBy(col("first_ch").as("channel"))
