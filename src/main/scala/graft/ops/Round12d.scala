@@ -110,18 +110,23 @@ object Round12d {
         coalesce(min_by(col("ch"), ord), lit("none")).as("first_ch"))
   }
 
-  /** Per-purchase credits → per-channel rollup (|channels|-bounded). */
-  def attributionRollup(attr: DataFrame): DataFrame = {
-    val lastC = attr.groupBy(col("last_ch").as("channel"))
-      .agg(count(lit(1)).as("n_last_touch"))
-    val firstC = attr.groupBy(col("first_ch").as("channel"))
-      .agg(count(lit(1)).as("n_first_touch"))
-    lastC.join(firstC, Seq("channel"), "full_outer")
-      .select(col("channel"),
-        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"),
-        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"))
+  /** Per-purchase credits → per-channel rollup (|channels|-bounded).
+    * Unpivots (last, first) into keyed rows so ONE aggregate over a
+    * single plan subtree serves both columns — two separate
+    * groupBys merged by an outer join would recompute the whole
+    * purchase-touch join per branch (visible as two copies of the
+    * join in the physical plan). */
+  def attributionRollup(attr: DataFrame): DataFrame =
+    attr.select(explode(array(
+        struct(lit("L").as("kind"), col("last_ch").as("channel")),
+        struct(lit("F").as("kind"), col("first_ch").as("channel"))))
+      .as("kc"))
+      .groupBy(col("kc.channel").as("channel"))
+      .agg(sum(when(col("kc.kind") === "L", 1L).otherwise(0L))
+        .as("n_last_touch"),
+        sum(when(col("kc.kind") === "F", 1L).otherwise(0L))
+        .as("n_first_touch"))
       .orderBy("channel")
-  }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
