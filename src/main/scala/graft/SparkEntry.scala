@@ -31,7 +31,7 @@ object SparkEntry {
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
       Round3.defs ++ Round6.defs ++ Round8.defs ++ Round9.defs ++ Round10.defs ++
       Round11.defs ++ Round11b.defs ++ Round12.defs ++ Round12b.defs ++
-      Round12c.defs ++ Round12d.defs ++ Round12e.defs ++
+      Round12c.defs ++ Round12d.defs ++ Round12e.defs ++ Round12f.defs ++
       Curation.defs ++
       HeavyHitters.defs ++ BloomPrune.defs
 
@@ -48,7 +48,7 @@ object SparkEntry {
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++
       Round3.sql ++ Round6.sql ++ Round8.sql ++ Round9.sql ++ Round10.sql ++
       Round11.sql ++ Round11b.sql ++ Round12.sql ++ Round12b.sql ++
-      Round12c.sql ++ Round12d.sql ++ Round12e.sql ++
+      Round12c.sql ++ Round12d.sql ++ Round12e.sql ++ Round12f.sql ++
       Curation.sql ++
       HeavyHitters.sql ++ BloomPrune.sql
 }

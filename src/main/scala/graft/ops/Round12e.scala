@@ -81,10 +81,19 @@ object Round12e {
     * day). Facts reduce once to distinct (user, day); first/last
     * derive on the |users|-bounded dimension; the join back is
     * user-keyed. */
-  def lifecycle(ev: DataFrame): DataFrame = {
-    val actives = ev.select(col("user_id"),
+  def lifecycle(ev: DataFrame): DataFrame =
+    lifecycleFromActives(activesOf(ev))
+
+  /** Distinct (user, day) — the fact-sized reduction, and q236's
+    * user-local stored state. */
+  def activesOf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
         datediff(to_date(col("ts")), lit("1970-01-01")).as("dnum"))
       .distinct()
+
+  /** Actives → per-day new/returning/churned rollup (all stages
+    * |users|- or |days|-bounded). */
+  def lifecycleFromActives(actives: DataFrame): DataFrame = {
     val fl = actives.groupBy("user_id")
       .agg(min("dnum").as("first_d"), max("dnum").as("last_d"))
     actives.join(fl, "user_id")
