@@ -64,6 +64,29 @@ object Round11b {
       .unionByName(derive(post.join(aff, groupCols, "left_semi")))
   }
 
+  /** MEMOIZED variant of [[incrGroupRecompute]] — the stored-state
+    * form the paper's preserved-state rule prescribes: the base-side
+    * per-group partials are derived ONCE per (session, fixture,
+    * label), persisted, and thereafter maintained by anti-join
+    * pass-through (untouched groups' STORED partials are reused
+    * verbatim, never re-derived) + semi-join recompute of touched
+    * groups from post-delta facts. `derive` must emit the group
+    * keys; `affected` must be the delta's group-key set. Used by
+    * q224 (RFM), q232 (attribution), q236 (lifecycle); q229 mirrors
+    * the same rule at (day, block)-cell grain on its own memo. */
+  def incrGroupRecomputeMemo(s: SparkSession, d: String, label: String,
+                             base: DataFrame, post: DataFrame,
+                             groupCols: Seq[String], affected: DataFrame)
+                            (derive: DataFrame => DataFrame): DataFrame = {
+    val baseP = dfMemo.getOrElseUpdate((s, d, label), {
+      val p = derive(base).persist()
+      p.count(); p
+    })
+    baseP.join(broadcast(affected), groupCols, "left_anti")
+      .unionByName(
+        derive(post.join(broadcast(affected), groupCols, "left_semi")))
+  }
+
   /** GENERIC transition matrix (the q163 shape on caller columns):
     * per-`userCol` timeline ordered by (`tsCol`, `tieCol`), the
     * (`typeCol` → next) transition counts. One user-keyed window

@@ -204,18 +204,11 @@ object Round12c {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val base = ev.filter(col("event_id") % 10 =!= 0)
       val post = ev.filter(col("event_id") % 10 =!= 1)
-      val delta = ev.filter(col("event_id") % 10 === 0)
-        .unionByName(ev.filter(col("event_id") % 10 === 1))
-      val affected = delta.select("user_id").distinct()
-      val baseP = dfMemo.getOrElseUpdate((s, d, "rfm_partials"), {
-        val p = rfmPerUser(base).persist()
-        p.count(); p
-      })
-      val keep = baseP
-        .join(broadcast(affected), Seq("user_id"), "left_anti")
-      val rec = rfmPerUser(
-        post.join(broadcast(affected), Seq("user_id"), "left_semi"))
-      rfmSegments(keep.unionByName(rec))
+      val affected = ev.filter(col("event_id") % 10 === 0 ||
+          col("event_id") % 10 === 1)
+        .select("user_id").distinct()
+      rfmSegments(Round11b.incrGroupRecomputeMemo(s, d, "rfm_partials",
+        base, post, Seq("user_id"), affected)(rfmPerUser))
     }),
 
     /** q223: DYNAMIC PARTITION PRUNING [N scale path] — the star-
@@ -255,31 +248,39 @@ object Round12c {
     /** q225: EXACT 3-SIGMA ANOMALY TEST [N data-quality] — the
       * variance-aware companion to q217's mean-rule: a user's day is
       * anomalous when its count x deviates more than 3 population-σ
-      * from the user's daily mean — decided ENTIRELY in BIGINT by
-      * clearing denominators: with n days, S = Σx, Q = Σx²,
+      * from the user's daily mean — decided ENTIRELY in exact
+      * integer arithmetic by clearing denominators: with n days,
+      * S = Σx, Q = Σx²,
       * (x−μ)² > 9σ²  ⇔  (n·x − S)² > 9·(n·Q − S²). No float mean, no
       * float stddev, no epsilon: both engines take the identical
-      * branch on every row. Magnitudes stay far inside BIGINT
-      * (n ≤ days, x ≤ day volume). Two aggregates over one
-      * user-keyed exchange; |users|·|days|-bounded intermediate. */
+      * branch on every row. The squared terms run in DECIMAL(38,0)
+      * (S² alone would clear BIGINT for a ~4·10⁹-event user — the
+      * q230 overflow discipline), matching DuckDB's HUGEINT sums.
+      * Two aggregates over one user-keyed exchange;
+      * |users|·|days|-bounded intermediate. */
     "q_events_anomaly_sigma" -> ((s, d) =>
       anomalySigma(events(s, d)).orderBy("user_id")))
 
   /** q225's body (also q228's per-user derive): daily counts →
-    * (n, S, Q) stats → the BIGINT 3σ branch. User-local by
-    * construction, hence maintainable by group-recompute. */
+    * (n, S, Q) stats → the exact-integer 3σ branch, squared terms in
+    * DECIMAL(38,0). User-local by construction, hence maintainable
+    * by group-recompute. */
   def anomalySigma(ev: DataFrame): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val daily = ev
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
     val stats = daily.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-        sum(col("x") * col("x")).as("q"))
+        sum(col("x").cast(D38) * col("x").cast(D38)).as("q"))
+    val dev = (col("n").cast(D38) * col("x").cast(D38)
+      - col("s").cast(D38)).cast(D38)
     daily.join(stats, "user_id")
       .groupBy(col("user_id"), col("n").as("n_days"))
-      .agg(sum(when((col("n") * col("x") - col("s")) *
-          (col("n") * col("x") - col("s")) >
-          (col("n") * col("q") - col("s") * col("s")) * 9, 1L)
+      .agg(sum(when((dev * dev).cast(D38) >
+          ((col("n").cast(D38) * col("q").cast(D38)
+            - col("s").cast(D38) * col("s").cast(D38)).cast(D38)
+            * 9).cast(D38), 1L)
         .otherwise(0L)).as("n_anomalous"),
         max(col("x")).as("max_day_count"))
   }

@@ -218,45 +218,7 @@ object Round12d {
                   AS wau
          FROM days d ORDER BY d.day""",
 
-    "q_events_attribution" ->
-      """WITH p AS (
-           SELECT event_id AS pid, user_id, epoch_us(ts) AS ptsu
-           FROM events WHERE event_type = 'purchase'
-         ), t AS (
-           SELECT user_id, event_type AS ch, epoch_us(ts) AS ttsu,
-                  event_id AS tid
-           FROM events WHERE event_type IN ('view', 'click')
-         ), j AS (
-           SELECT p.pid, t.ch, t.ttsu, t.tid
-           FROM p JOIN t ON t.user_id = p.user_id
-            AND t.ttsu <= p.ptsu
-            AND p.ptsu - t.ttsu <= 604800000000
-         ), attr AS (
-           SELECT p.pid,
-                  coalesce(max(CASE WHEN rl = 1 THEN ch END), 'none')
-                    AS last_ch,
-                  coalesce(max(CASE WHEN rf = 1 THEN ch END), 'none')
-                    AS first_ch
-           FROM p LEFT JOIN (
-             SELECT pid, ch,
-                    row_number() OVER (PARTITION BY pid
-                      ORDER BY ttsu DESC, tid DESC) AS rl,
-                    row_number() OVER (PARTITION BY pid
-                      ORDER BY ttsu ASC, tid ASC) AS rf
-             FROM j) r ON r.pid = p.pid
-           GROUP BY p.pid
-         ), lastc AS (
-           SELECT last_ch AS channel, count(*) AS n_last
-           FROM attr GROUP BY 1
-         ), firstc AS (
-           SELECT first_ch AS channel, count(*) AS n_first
-           FROM attr GROUP BY 1
-         )
-         SELECT coalesce(l.channel, f.channel) AS channel,
-                CAST(coalesce(l.n_last, 0) AS BIGINT) AS n_last_touch,
-                CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first_touch
-         FROM lastc l FULL JOIN firstc f ON l.channel = f.channel
-         ORDER BY channel""",
+    "q_events_attribution" -> attributionSql("events"),
 
     "q_incr_anomaly_sigma" ->
       """WITH daily AS (
@@ -292,4 +254,47 @@ object Round12d {
                         BETWEEN d.day - 6 AND d.day) AS BIGINT)
                   AS wau
          FROM days d ORDER BY d.day""")
+
+  /** q227's oracle over any events relation — rel-parameterized so
+    * q232's post-delta oracle is built by construction, not by
+    * string surgery. */
+  def attributionSql(rel: String): String =
+    s"""WITH p AS (
+          SELECT event_id AS pid, user_id, epoch_us(ts) AS ptsu
+          FROM $rel WHERE event_type = 'purchase'
+        ), t AS (
+          SELECT user_id, event_type AS ch, epoch_us(ts) AS ttsu,
+                 event_id AS tid
+          FROM $rel WHERE event_type IN ('view', 'click')
+        ), j AS (
+          SELECT p.pid, t.ch, t.ttsu, t.tid
+          FROM p JOIN t ON t.user_id = p.user_id
+           AND t.ttsu <= p.ptsu
+           AND p.ptsu - t.ttsu <= 604800000000
+        ), attr AS (
+          SELECT p.pid,
+                 coalesce(max(CASE WHEN rl = 1 THEN ch END), 'none')
+                   AS last_ch,
+                 coalesce(max(CASE WHEN rf = 1 THEN ch END), 'none')
+                   AS first_ch
+          FROM p LEFT JOIN (
+            SELECT pid, ch,
+                   row_number() OVER (PARTITION BY pid
+                     ORDER BY ttsu DESC, tid DESC) AS rl,
+                   row_number() OVER (PARTITION BY pid
+                     ORDER BY ttsu ASC, tid ASC) AS rf
+            FROM j) r ON r.pid = p.pid
+          GROUP BY p.pid
+        ), lastc AS (
+          SELECT last_ch AS channel, count(*) AS n_last
+          FROM attr GROUP BY 1
+        ), firstc AS (
+          SELECT first_ch AS channel, count(*) AS n_first
+          FROM attr GROUP BY 1
+        )
+        SELECT coalesce(l.channel, f.channel) AS channel,
+               CAST(coalesce(l.n_last, 0) AS BIGINT) AS n_last_touch,
+               CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first_touch
+        FROM lastc l FULL JOIN firstc f ON l.channel = f.channel
+        ORDER BY channel"""
 }

@@ -177,15 +177,9 @@ object Round12e {
       val affected = ev.filter(col("event_id") % 10 === 0 ||
           col("event_id") % 10 === 1)
         .select("user_id").distinct()
-      val baseP = dfMemo.getOrElseUpdate((s, d, "attr_credits"), {
-        val p = Round12d.attrPerPurchase(base).persist()
-        p.count(); p
-      })
-      val keep = baseP
-        .join(broadcast(affected), Seq("user_id"), "left_anti")
-      val rec = Round12d.attrPerPurchase(
-        post.join(broadcast(affected), Seq("user_id"), "left_semi"))
-      Round12d.attributionRollup(keep.unionByName(rec))
+      Round12d.attributionRollup(
+        Round11b.incrGroupRecomputeMemo(s, d, "attr_credits",
+          base, post, Seq("user_id"), affected)(Round12d.attrPerPurchase))
     }),
 
     /** q233: USER LIFECYCLE ACCOUNTING [T analytics surface] — per
@@ -204,25 +198,29 @@ object Round12e {
     "q_incr_linreg" -> linregSql(
       "(SELECT * FROM lineitem WHERE l_orderkey % 10 <> 1)"),
 
-    "q_incr_attribution" -> Round12d.sql("q_events_attribution")
-      .replace("FROM events", "FROM (SELECT * FROM events WHERE event_id % 10 <> 1)"),
+    "q_incr_attribution" -> Round12d.attributionSql(
+      "(SELECT * FROM events WHERE event_id % 10 <> 1)"),
 
-    "q_events_lifecycle" ->
-      """WITH actives AS (
-           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-         ), fl AS (
-           SELECT user_id, min(day) AS first_d, max(day) AS last_d
-           FROM actives GROUP BY 1
-         )
-         SELECT a.day,
-                CAST(sum(CASE WHEN a.day = f.first_d THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_new,
-                CAST(sum(CASE WHEN a.day > f.first_d THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_returning,
-                CAST(sum(CASE WHEN a.day = f.last_d THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_churned
-         FROM actives a JOIN fl f ON f.user_id = a.user_id
-         GROUP BY a.day ORDER BY a.day""")
+    "q_events_lifecycle" -> lifecycleSql("events"))
+
+  /** q233's oracle over any events relation — rel-parameterized so
+    * q236's post-delta oracle is built by construction. */
+  def lifecycleSql(rel: String): String =
+    s"""WITH actives AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM $rel
+        ), fl AS (
+          SELECT user_id, min(day) AS first_d, max(day) AS last_d
+          FROM actives GROUP BY 1
+        )
+        SELECT a.day,
+               CAST(sum(CASE WHEN a.day = f.first_d THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN a.day > f.first_d THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_returning,
+               CAST(sum(CASE WHEN a.day = f.last_d THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_churned
+        FROM actives a JOIN fl f ON f.user_id = a.user_id
+        GROUP BY a.day ORDER BY a.day"""
 
   private def linregSql(rel: String): String =
     s"""WITH t AS (

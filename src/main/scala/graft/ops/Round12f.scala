@@ -23,12 +23,6 @@ import graft.engine.Tables._
   */
 object Round12f {
 
-  private val dfMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
-  }
-
   /** Per user over daily counts: exact p25/p75 and the count of
     * days beyond the upper Tukey fence. Two aggregates over one
     * user-keyed exchange; |users|·|days|-bounded intermediate. */
@@ -115,15 +109,9 @@ object Round12f {
       val affected = ev.filter(col("event_id") % 10 === 0 ||
           col("event_id") % 10 === 1)
         .select("user_id").distinct()
-      val baseA = dfMemo.getOrElseUpdate((s, d, "lifecycle_actives"), {
-        val p = Round12e.activesOf(base).persist()
-        p.count(); p
-      })
-      val keep = baseA
-        .join(broadcast(affected), Seq("user_id"), "left_anti")
-      val rec = Round12e.activesOf(
-        post.join(broadcast(affected), Seq("user_id"), "left_semi"))
-      Round12e.lifecycleFromActives(keep.unionByName(rec))
+      Round12e.lifecycleFromActives(
+        Round11b.incrGroupRecomputeMemo(s, d, "lifecycle_actives",
+          base, post, Seq("user_id"), affected)(Round12e.activesOf))
     }))
 
   def sql: Map[String, String] = Map(
@@ -166,7 +154,6 @@ object Round12f {
                 CAST(sum(f) AS BIGINT) AS n_occurrences
          FROM wf GROUP BY 1 ORDER BY freq_bucket""",
 
-    "q_incr_lifecycle" -> Round12e.sql("q_events_lifecycle")
-      .replace("FROM events",
-        "FROM (SELECT * FROM events WHERE event_id % 10 <> 1)"))
+    "q_incr_lifecycle" -> Round12e.lifecycleSql(
+      "(SELECT * FROM events WHERE event_id % 10 <> 1)"))
 }
