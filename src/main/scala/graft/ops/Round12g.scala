@@ -29,6 +29,61 @@ object Round12g {
 
   private val D38 = DecimalType(38, 0)
 
+  private val dfMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+  graft.engine.Memos.register { () =>
+    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
+  }
+
+  // ---------------------------------------------------------------
+  // chi-square A/B kernel
+  // ---------------------------------------------------------------
+
+  /** Per-type arm counts (a = this type in arm 0, c = in arm 1) —
+    * the fact-sized stage; ONE partial-aggregated exchange to
+    * |types| rows. The counts are INVERTIBLE (plain sums), which is
+    * what makes q241's signed-sum maintenance possible. */
+  def chisqCounts(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+        .as("a"),
+        sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L))
+        .as("c"))
+
+  /** Counts → 2×2 chi-square per type, decided ENTIRELY in exact
+    * integers: χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) with
+    * b/d the arm totals minus a/c; significance at α=0.05 is the
+    * cross-multiplied 1000·num > 3841·den (χ²₀.₀₅,₁ = 3.841). The
+    * rational emits as digit strings (q230 discipline). Overflow
+    * bound: num ≈ N·(N·N)² needs N ≲ 10⁷ per arm-type cell for
+    * DECIMAL(38,0)/HUGEINT — beyond that, test a uniform sample
+    * (the statistic saturates long before). */
+  def chisqFinalize(p: DataFrame): DataFrame = {
+    val tot = p.agg(sum("a").cast(D38).as("ta"),
+      sum("c").cast(D38).as("tc"))
+    p.crossJoin(broadcast(tot))
+      .withColumn("b", (col("ta") - col("a")).cast(D38))
+      .withColumn("dd", (col("tc") - col("c")).cast(D38))
+      .withColumn("ad", (col("a").cast(D38) * col("dd")).cast(D38))
+      .withColumn("bc", (col("b") * col("c").cast(D38)).cast(D38))
+      .withColumn("num", ((col("ta") + col("tc")).cast(D38) *
+        ((col("ad") - col("bc")) * (col("ad") - col("bc"))).cast(D38))
+        .cast(D38))
+      .withColumn("den", ((col("a") + col("b")).cast(D38) *
+        (col("c") + col("dd")).cast(D38) *
+        (col("a") + col("c")).cast(D38) *
+        (col("b") + col("dd")).cast(D38)).cast(D38))
+      .select(col("event_type"),
+        col("a").cast("long").as("arm0_type"),
+        col("b").cast("long").as("arm0_rest"),
+        col("c").cast("long").as("arm1_type"),
+        col("dd").cast("long").as("arm1_rest"),
+        col("num").cast("string").as("chisq_num"),
+        col("den").cast("string").as("chisq_den"),
+        (col("num") * 1000 > col("den") * 3841).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** Per-group exact-rational Gini over cent amounts:
     * G = (2·Σi·x − (n+1)·Σx) / (n·Σx) with i the 1-based rank under
     * the unique (cents, key) order. One window rank + one aggregate
@@ -113,6 +168,47 @@ object Round12g {
       // fine.
       daily.withColumn("med7", percentile(col("cnt"), lit(0.5)).over(w))
         .orderBy("user_id", "day")
+    }),
+
+    /** q240: EXACT-INTEGER CHI-SQUARE A/B TEST [T analytics surface]
+      * — per event type: the 2×2 contingency (hash arm × this-type/
+      * rest) and its χ² independence test decided entirely in exact
+      * integer arithmetic — N·(ad−bc)² vs the product of marginals,
+      * significance at α=0.05 via the cross-multiplied
+      * 1000·num > 3841·den. No float rates, no float χ²: both
+      * engines take the identical verdict. The always-on experiment
+      * readout, in the engine's integer-exact discipline. */
+    "q_events_chisq" -> ((s, d) =>
+      chisqFinalize(chisqCounts(events(s, d)))),
+
+    /** q241: PURE SIGNED-SUM INCREMENTAL CHI-SQUARE [P one-step
+      * incremental] — q240 maintained under the event delta by
+      * SIGNED ADDITION ALONE (the q231 rule on a statistical test):
+      * the per-type arm counts are invertible sums, so maintained
+      * counts = stored partials + counts(inserts) − counts(deletes),
+      * and the |types|-bounded finalize re-runs on the maintained
+      * counts — the always-on A/B dashboard never re-reads history.
+      * Oracle = batch q240 over post-delta ⇒ hash proves
+      * maintenance ≡ recompute. */
+    "q_incr_chisq" -> ((s, d) => {
+      val ev = events(s, d)
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val ins = ev.filter(col("event_id") % 10 === 0)
+      val del = ev.filter(col("event_id") % 10 === 1)
+      val baseP = dfMemo.getOrElseUpdate((s, d, "chisq_counts"), {
+        val p = chisqCounts(base).persist()
+        p.count(); p
+      })
+      def signed(p: DataFrame, sgn: Int) =
+        p.select(col("event_type"),
+          (col("a") * sgn).as("a"), (col("c") * sgn).as("c"))
+      val merged = signed(baseP, 1)
+        .unionByName(signed(chisqCounts(ins), 1))
+        .unionByName(signed(chisqCounts(del), -1))
+        .groupBy("event_type")
+        .agg(sum("a").as("a"), sum("c").as("c"))
+        .filter(col("a") + col("c") > 0)
+      chisqFinalize(merged)
     }))
 
   def sql: Map[String, String] = Map(
@@ -177,5 +273,40 @@ object Round12g {
          FROM (
            SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
            FROM events GROUP BY 1, 2
-         ) ORDER BY user_id, day""")
+         ) ORDER BY user_id, day""",
+
+    "q_events_chisq" -> chisqSql("events"),
+
+    "q_incr_chisq" -> chisqSql(
+      "(SELECT * FROM events WHERE event_id % 10 <> 1)"))
+
+  /** q240's oracle over any events relation — rel-parameterized so
+    * q241's post-delta oracle is built by construction. */
+  def chisqSql(rel: String): String =
+    s"""WITH p AS (
+          SELECT event_type,
+                 sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS c
+          FROM $rel GROUP BY 1
+        ), t AS (
+          SELECT sum(a) AS ta, sum(c) AS tc FROM p
+        ), f AS (
+          SELECT p.event_type, p.a, t.ta - p.a AS b, p.c,
+                 t.tc - p.c AS dd, t.ta + t.tc AS n
+          FROM p, t
+        ), g AS (
+          SELECT event_type, a, b, c, dd,
+                 n * (a * dd - b * c) * (a * dd - b * c) AS num,
+                 (a + b) * (c + dd) * (a + c) * (b + dd) AS den
+          FROM f
+        )
+        SELECT event_type,
+               CAST(a AS BIGINT) AS arm0_type,
+               CAST(b AS BIGINT) AS arm0_rest,
+               CAST(c AS BIGINT) AS arm1_type,
+               CAST(dd AS BIGINT) AS arm1_rest,
+               CAST(num AS VARCHAR) AS chisq_num,
+               CAST(den AS VARCHAR) AS chisq_den,
+               num * 1000 > den * 3841 AS significant
+        FROM g ORDER BY event_type"""
 }

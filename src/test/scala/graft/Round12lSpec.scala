@@ -71,6 +71,41 @@ class Round12lSpec extends SparkSpecBase {
     assert(got == expected.filter(_._2 > 0))
   }
 
+  test("q_events_chisq: ≡ BigInt brute force including verdicts") {
+    val got = SparkEntry.queries("q_events_chisq")(spark, sfDir)
+      .collect()
+    val raw = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id") % 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = raw.map(_._1).distinct.sorted
+    val ta = BigInt(raw.count(_._2 == 0))
+    val tc = BigInt(raw.count(_._2 != 0))
+    assert(got.length == types.length)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val a = BigInt(raw.count(x => x._1 == t && x._2 == 0))
+      val c = BigInt(raw.count(x => x._1 == t && x._2 != 0))
+      val b = ta - a; val dd = tc - c
+      val num = (ta + tc) * (a * dd - b * c) * (a * dd - b * c)
+      val den = (a + b) * (c + dd) * (a + c) * (b + dd)
+      assert(BigInt(r.getLong(1)) == a && BigInt(r.getLong(2)) == b &&
+        BigInt(r.getLong(3)) == c && BigInt(r.getLong(4)) == dd)
+      assert(BigInt(r.getString(5)) == num, s"$t chisq_num")
+      assert(BigInt(r.getString(6)) == den, s"$t chisq_den")
+      assert(r.getBoolean(7) == (num * 1000 > den * 3841), s"$t verdict")
+    }
+  }
+
+  test("q_incr_chisq: signed-sum maintenance ≡ batch recompute over post") {
+    val post = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 =!= 1)
+    val batch = ops.Round12g.chisqFinalize(ops.Round12g.chisqCounts(post))
+    val got = SparkEntry.queries("q_incr_chisq")(spark, sfDir)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
   test("q_ts_rolling_median: ≡ brute-force sliding window on the fixture") {
     val got = SparkEntry.queries("q_ts_rolling_median")(spark, sfDir)
       .collect()
