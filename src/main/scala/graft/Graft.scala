@@ -429,4 +429,107 @@ object Graft {
                           sCol: String, eCol: String,
                           bucket: Long): DataFrame =
     ops.Round12b.intervalOverlapJoin(iv, idCols, sCol, eCol, bucket)
+
+  // -----------------------------------------------------------------
+  // round-12 analytics kernels (rows 219-242)
+  // -----------------------------------------------------------------
+
+  private def renamed(df: DataFrame, pairs: (String, String)*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(pairs.map { case (from, to) => col(from).as(to) }: _*)
+  }
+
+  /** Per-(type, 32-id block) presence bitmaps — exact distinct
+    * counting / set algebra / signed maintenance state over a dense
+    * bounded id domain (SURVEY rows 219-221). Returns
+    * (event_type, blk, bm, n). */
+  def bitmapBlocks(df: DataFrame, typeCol: String,
+                   idCol: String): DataFrame =
+    ops.Round12c.bitmapBlocks(
+      renamed(df, typeCol -> "event_type", idCol -> "user_id"))
+
+  /** RFM segmentation (row 222): facts reduce per user in one
+    * exchange, ntile(5) scoring runs on the user dimension. Input
+    * needs (user, ts, value). */
+  def rfmSegments(ev: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String): DataFrame =
+    ops.Round12c.rfmSegments(ops.Round12c.rfmPerUser(
+      renamed(ev, userCol -> "user_id", tsCol -> "ts",
+        valueCol -> "value")))
+
+  /** Rolling exact distinct — per day DAU + trailing-7-day WAU via
+    * bitmap partials (row 226). */
+  def dauWau(ev: DataFrame, userCol: String, tsCol: String): DataFrame =
+    ops.Round12d.dauWau(ops.Round12d.dailyBitmaps(
+      renamed(ev, userCol -> "user_id", tsCol -> "ts")))
+
+  /** First/last-touch attribution per channel (row 227): input needs
+    * (event_id, user_id, ts, event_type); conversion/touch types and
+    * the lookback are parameters. */
+  def attribution(ev: DataFrame, convType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("view", "click"),
+                  lookbackUs: Long = 7L * 24 * 3600 * 1000000)
+      : DataFrame =
+    ops.Round12d.attributionRollup(
+      ops.Round12d.attrPerPurchase(ev, convType, touchTypes, lookbackUs))
+
+  /** Per-day new/returning/churned user accounting (row 233). */
+  def lifecycle(ev: DataFrame, userCol: String, tsCol: String): DataFrame =
+    ops.Round12e.lifecycle(
+      renamed(ev, userCol -> "user_id", tsCol -> "ts"))
+
+  /** Exact-rational OLS regression per group (rows 230-231): x/y are
+    * caller-scaled integers (cents); returns the (num, den) digit
+    * strings for slope and intercept — portable where a computed
+    * double is not. The moments relation itself is the invertible
+    * signed-sum incremental state. */
+  def linreg(df: DataFrame, groupCol: String, xCol: String,
+             yCol: String): DataFrame =
+    ops.Round12e.linregFinalize(
+      ops.Round12e.linregMoments(df, groupCol, xCol, yCol), groupCol)
+
+  /** Exact-rational Gini concentration per group (row 237) over a
+    * cent-scaled amount; `keyCol` must make (cents, key) unique. */
+  def gini(df: DataFrame, groupCol: String, centsCol: String,
+           keyCol: String): DataFrame =
+    ops.Round12g.gini(df, groupCol, centsCol, keyCol)
+
+  /** Exact-integer 2×2 chi-square A/B test per type (rows 240-241):
+    * arm = id parity; returns contingency counts, the χ² digit-string
+    * rational, and the α=0.05 verdict. The counts relation is the
+    * invertible signed-sum incremental state. */
+  def chisq(ev: DataFrame, typeCol: String, idCol: String): DataFrame =
+    ops.Round12g.chisqFinalize(ops.Round12g.chisqCounts(
+      renamed(ev, typeCol -> "event_type", idCol -> "user_id")))
+
+  /** Trigram frequency spectrum (row 235) — the Good-Turing /
+    * vocabulary-growth input over any (textCol) corpus. */
+  def freqSpectrum(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ops.Round12f.freqSpectrum(docs.select(col(textCol).as("text")))
+  }
+
+  /** Per-user daily-count outliers under the Tukey fence (row 234),
+    * exact quartiles. */
+  def outlierIqr(ev: DataFrame, userCol: String, tsCol: String): DataFrame =
+    ops.Round12f.outlierIqr(
+      renamed(ev, userCol -> "user_id", tsCol -> "ts"))
+
+  /** Per-user 3σ day anomalies, exact integer arithmetic (rows
+    * 225/228). */
+  def anomalySigma(ev: DataFrame, userCol: String,
+                   tsCol: String): DataFrame =
+    ops.Round12c.anomalySigma(
+      renamed(ev, userCol -> "user_id", tsCol -> "ts"))
+
+  /** Per-node triangle incidences of a canonical (a < b) edge list —
+    * degree-ordered node-iterator, never all-pairs (row 238 feeds
+    * clustering coefficients from this). */
+  def triangleVertices(edges: DataFrame): DataFrame =
+    ops.Triangles.triangleVertices(edges)
+
+  /** Morton (Z-order) code of two 4-bit cell coordinates — the
+    * clustering key behind row 242's layout. */
+  def zMorton(ux: Column, dx: Column): Column =
+    ops.Round12h.zCol(ux, dx)
 }

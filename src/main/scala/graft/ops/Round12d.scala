@@ -85,14 +85,19 @@ object Round12d {
   def attribution(ev: DataFrame): DataFrame =
     attributionRollup(attrPerPurchase(ev))
 
-  /** Per purchase: (pid, user_id, last_ch, first_ch) — the
-    * fact-sized stage, and q232's per-user-local stored state. */
-  def attrPerPurchase(ev: DataFrame): DataFrame = {
-    val lookbackUs = 7L * 24 * 3600 * 1000000
-    val p = ev.filter(col("event_type") === "purchase")
+  /** Per conversion: (pid, user_id, last_ch, first_ch) — the
+    * fact-sized stage, and q232's per-user-local stored state.
+    * Conversion/touch types and the lookback are parameters so the
+    * kernel serves any event taxonomy (facade: Graft.attribution). */
+  def attrPerPurchase(ev: DataFrame,
+                      convType: String = "purchase",
+                      touchTypes: Seq[String] = Seq("view", "click"),
+                      lookbackUs: Long = 7L * 24 * 3600 * 1000000)
+      : DataFrame = {
+    val p = ev.filter(col("event_type") === convType)
       .select(col("event_id").as("pid"), col("user_id"),
         unix_micros(col("ts")).as("ptsu"))
-    val t = ev.filter(col("event_type").isin("view", "click"))
+    val t = ev.filter(col("event_type").isin(touchTypes: _*))
       .select(col("user_id").as("tuser"), col("event_type").as("ch"),
         unix_micros(col("ts")).as("ttsu"), col("event_id").as("tid"))
     val ord = struct(col("ttsu"), col("tid"))

@@ -39,11 +39,24 @@ object Round12e {
 
   private val D38 = DecimalType(38, 0)
 
-  /** Per-flag OLS moments (n, Σx, Σy, Σxy, Σx²) over cent-scaled
-    * (quantity, extendedprice) — ONE partial-aggregated exchange to
-    * |flags| rows; the classic mergeable (and INVERTIBLE) regression
-    * state. Per-row products stay ≤ ~5·10¹⁰ (BIGINT-safe); sums are
-    * exact DECIMAL(38,0). */
+  /** Per-group OLS moments (n, Σx, Σy, Σxy, Σx²) over integer
+    * (x, y) columns — ONE partial-aggregated exchange to |groups|
+    * rows; the classic mergeable (and INVERTIBLE) regression state.
+    * Callers supply cent-scaled integers (facade: Graft.linreg);
+    * per-row products must stay BIGINT-safe; sums are exact
+    * DECIMAL(38,0). */
+  def linregMoments(df: DataFrame, groupCol: String,
+                    xCol: String, yCol: String): DataFrame =
+    df.select(col(groupCol), col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast(D38).as("n"),
+        sum(col("x").cast(D38)).as("sx"),
+        sum(col("y").cast(D38)).as("sy"),
+        sum((col("x") * col("y")).cast(D38)).as("sxy"),
+        sum((col("x") * col("x")).cast(D38)).as("sxx"))
+
+  /** The q230/q231 instantiation: cent-scaled lineitem
+    * (quantity → extendedprice) per return flag. */
   def linregPartials(li: DataFrame): DataFrame =
     li.select(col("l_returnflag"),
         (Dec.dec2(col("l_quantity")) * 100).cast("long").as("x"),
@@ -62,16 +75,17 @@ object Round12e {
     * in SURVEY row 230). The rationals emit as DIGIT STRINGS — the
     * only lossless representation both engines and the comparing
     * harness round-trip above 2^63. */
-  def linregFinalize(p: DataFrame): DataFrame =
+  def linregFinalize(p: DataFrame,
+                     groupCol: String = "l_returnflag"): DataFrame =
     p.withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast(D38))
       .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx")).cast(D38))
-      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+      .select(col(groupCol), col("n").cast("long").as("n_rows"),
         col("num").cast("string").as("slope_num"),
         col("den").cast("string").as("slope_den"),
         (col("sy") * col("den") - col("num") * col("sx")).cast(D38)
           .cast("string").as("icept_num"),
         (col("n") * col("den")).cast(D38).cast("string").as("icept_den"))
-      .orderBy("l_returnflag")
+      .orderBy(groupCol)
 
   // ---------------------------------------------------------------
   // lifecycle kernel
@@ -179,7 +193,8 @@ object Round12e {
         .select("user_id").distinct()
       Round12d.attributionRollup(
         Round11b.incrGroupRecomputeMemo(s, d, "attr_credits",
-          base, post, Seq("user_id"), affected)(Round12d.attrPerPurchase))
+          base, post, Seq("user_id"), affected)(
+          df => Round12d.attrPerPurchase(df)))
     }),
 
     /** q233: USER LIFECYCLE ACCOUNTING [T analytics surface] — per
