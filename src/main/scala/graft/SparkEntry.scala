@@ -32,7 +32,7 @@ object SparkEntry {
       Round3.defs ++ Round6.defs ++ Round8.defs ++ Round9.defs ++ Round10.defs ++
       Round11.defs ++ Round11b.defs ++ Round12.defs ++ Round12b.defs ++
       Round12c.defs ++ Round12d.defs ++ Round12e.defs ++ Round12f.defs ++
-      Round12g.defs ++ Round12h.defs ++
+      Round12g.defs ++ Round12h.defs ++ Round12i.defs ++
       Curation.defs ++
       HeavyHitters.defs ++ BloomPrune.defs
 
@@ -50,7 +50,7 @@ object SparkEntry {
       Round3.sql ++ Round6.sql ++ Round8.sql ++ Round9.sql ++ Round10.sql ++
       Round11.sql ++ Round11b.sql ++ Round12.sql ++ Round12b.sql ++
       Round12c.sql ++ Round12d.sql ++ Round12e.sql ++ Round12f.sql ++
-      Round12g.sql ++ Round12h.sql ++
+      Round12g.sql ++ Round12h.sql ++ Round12i.sql ++
       Curation.sql ++
       HeavyHitters.sql ++ BloomPrune.sql
 }

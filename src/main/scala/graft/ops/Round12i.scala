@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+import graft.engine.Dec
+
+/** Round-12 batch 13 (SURVEY §2 rows 243-244): equi-depth histogram
+  * statistics (the ANALYZE-style optimizer input, completing the
+  * stats family: equi-width q87, moments q70, profile q185, sketches
+  * q81/q190/q209) and GROUPING_ID subtotal disambiguation on rollups
+  * (the correctness tool that separates NULL-as-data from
+  * NULL-as-subtotal).
+  *
+  * Determinism: equi-depth buckets come from SQL-standard ntile over
+  * the provably UNIQUE (cents, orderkey) order — identical in any
+  * engine (the q222 argument); boundaries are actual data values
+  * (min/max per bucket), all BIGINT. grouping_id is engine-identical
+  * by the SQL standard's bit-vector definition.
+  *
+  * The reference tree at /root/reference is absent (SURVEY.md §0);
+  * semantics follow SURVEY §2 rows 243-244.
+  */
+object Round12i {
+
+  /** Per-group equi-depth histogram: k buckets of near-equal row
+    * count (sizes differ by ≤1 — ntile's contract), each reporting
+    * its row count and ACTUAL value boundaries. One window sort +
+    * one aggregate over a single group-keyed exchange. */
+  def eqDepthHistogram(df: DataFrame, groupCol: String,
+                       centsCol: String, keyCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"bucket count must be >= 1, got $k")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(centsCol), col(keyCol))
+    df.withColumn("bucket", ntile(k).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(centsCol)).as("lo_cents"),
+        max(col(centsCol)).as("hi_cents"))
+      .orderBy(groupCol, "bucket")
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** q243: EQUI-DEPTH HISTOGRAM [T stats surface] — per order
+      * priority: 4 buckets of near-equal count over cent-scaled
+      * order totals, each with its ACTUAL value boundaries — the
+      * ANALYZE-style stats an optimizer consumes (selectivity from
+      * depth, boundaries from data), complementing the equi-WIDTH
+      * q87 (fixed ranges, varying counts). ntile over the unique
+      * (cents, orderkey) order is SQL-standard and engine-identical. */
+    "q_agg_histogram_eqdepth" -> ((s, d) =>
+      eqDepthHistogram(
+        orders(s, d).select(col("o_orderpriority"),
+          (Dec.dec2(col("o_totalprice")) * 100).cast("long").as("cents"),
+          col("o_orderkey")),
+        "o_orderpriority", "cents", "o_orderkey", k = 4)),
+
+    /** q244: GROUPING_ID SUBTOTAL DISAMBIGUATION [T relational
+      * surface] — the rollup correctness tool q20 left implicit: a
+      * rollup over nullable-looking dims cannot distinguish a data
+      * NULL from a subtotal NULL by inspection; grouping_id's
+      * standard bit vector (1 bit per dim, set when the dim is
+      * rolled up) makes every subtotal level explicit and
+      * engine-identical. Rollup over (returnflag, linestatus) with
+      * counts and exact cent sums per level. */
+    "q_agg_grouping_id" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (Dec.dec2(col("l_extendedprice")) * 100).cast("long")
+            .as("cents"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("cents_sum"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))))
+
+  def sql: Map[String, String] = Map(
+
+    "q_agg_histogram_eqdepth" ->
+      """WITH t AS (
+           SELECT o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+                  o_orderkey
+           FROM orders
+         ), b AS (
+           SELECT o_orderpriority, cents,
+                  ntile(4) OVER (PARTITION BY o_orderpriority
+                    ORDER BY cents, o_orderkey) AS bucket
+           FROM t
+         )
+         SELECT o_orderpriority, CAST(bucket AS INT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(min(cents) AS BIGINT) AS lo_cents,
+                CAST(max(cents) AS BIGINT) AS hi_cents
+         FROM b GROUP BY 1, 2
+         ORDER BY o_orderpriority, bucket""",
+
+    "q_agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag) * 2
+                   + GROUPING(l_linestatus) AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * 100 AS BIGINT)) AS BIGINT) AS cents_sum
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""")
+}
