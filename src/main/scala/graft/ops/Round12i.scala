@@ -75,7 +75,54 @@ object Round12i {
         .agg(grouping_id().as("gid"),
           count(lit(1)).as("n_rows"),
           sum(col("cents")).as("cents_sum"))
-        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    /** q245: TIME-INTERVAL RANGE FRAME [T window surface] — per
+      * event: count and exact cent sum of the SAME user's events in
+      * the trailing ONE HOUR, via a RANGE frame bounded by a
+      * calendar INTERVAL on the timestamp order — the time-based
+      * frame q79's numeric RANGE cannot express without manual
+      * epoch conversion. RANGE (not ROWS) makes tied timestamps
+      * peers in both engines, so the frame content is deterministic
+      * even under ts duplicates. One user-keyed exchange + sort. */
+    "q_win_time_range" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * lit(100)).cast("long").as("cents"))
+        .selectExpr("event_id", "user_id", "ts",
+          """count(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+             AS n_1h""",
+          """sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+             AS cents_1h""")
+        .orderBy("event_id")
+    }),
+
+    /** q246: WEEK-OVER-WEEK TOP MOVERS [T time-series analytics] —
+      * per ISO week and event type: this week's count, the previous
+      * observed week's (lag over the contiguous weekly series), the
+      * exact delta, and the rank of that delta within the week
+      * (unique (delta desc, type) order) — the "what changed"
+      * dashboard readout. Facts reduce to |weeks|·|types| in ONE
+      * exchange; windows run on the dimension. First observed week
+      * is excluded (no predecessor). */
+    "q_ts_top_movers" -> ((s, d) => {
+      val weekly = events(s, d)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wLag = Window.partitionBy("event_type").orderBy("week")
+      val wRank = Window.partitionBy("week")
+        .orderBy(col("delta").desc, col("event_type"))
+      weekly.withColumn("prev_n", lag(col("n"), 1).over(wLag))
+        .filter(col("prev_n").isNotNull)
+        .withColumn("delta", col("n") - col("prev_n"))
+        .withColumn("rnk", rank().over(wRank))
+        .select(col("week"), col("event_type"), col("n"),
+          col("prev_n"), col("delta"), col("rnk"))
+        .orderBy("week", "rnk")
+    }))
 
   def sql: Map[String, String] = Map(
 
@@ -108,5 +155,34 @@ object Round12i {
                   * 100 AS BIGINT)) AS BIGINT) AS cents_sum
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY gid, l_returnflag, l_linestatus""")
+         ORDER BY gid, l_returnflag, l_linestatus""",
+
+    "q_win_time_range" ->
+      """SELECT event_id, user_id, ts,
+                CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS cents_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_ts_top_movers" ->
+      """WITH weekly AS (
+           SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                  event_type, count(*) AS n
+           FROM events GROUP BY 1, 2
+         ), lagged AS (
+           SELECT week, event_type, n,
+                  lag(n, 1) OVER (PARTITION BY event_type
+                    ORDER BY week) AS prev_n
+           FROM weekly
+         )
+         SELECT week, event_type, CAST(n AS BIGINT) AS n,
+                CAST(prev_n AS BIGINT) AS prev_n,
+                CAST(n - prev_n AS BIGINT) AS delta,
+                CAST(rank() OVER (PARTITION BY week
+                  ORDER BY n - prev_n DESC, event_type) AS INT) AS rnk
+         FROM lagged WHERE prev_n IS NOT NULL
+         ORDER BY week, rnk""")
 }

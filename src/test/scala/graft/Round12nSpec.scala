@@ -60,6 +60,70 @@ class Round12nSpec extends SparkSpecBase {
     }
   }
 
+  test("q_win_time_range: ≡ brute-force trailing-hour scan (ties, boundaries)") {
+    val rnd = new scala.util.Random(5150)
+    import spark.implicits._
+    // deliberately generate tied timestamps and exact 1-hour gaps
+    val base = 1700000000000000L
+    val rows = Seq.tabulate(800) { i =>
+      val u = rnd.nextInt(10).toLong
+      val t = base + rnd.nextInt(40) * 900000000L // 15-min grid → ties
+      (i.toLong, u, t, rnd.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("event_id", "user_id", "tsu", "cents")
+      .selectExpr("event_id", "user_id",
+        "timestamp_micros(tsu) AS ts", "cents")
+    val got = df.selectExpr("event_id",
+        """count(*) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+           AS n_1h""",
+        """sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+           AS cents_1h""")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val hour = 3600000000L
+    rows.foreach { case (id, u, t, _) =>
+      // RANGE peers: everything with t - hour <= t2 <= t (ties included)
+      val window = rows.filter(e =>
+        e._2 == u && e._3 <= t && t - e._3 <= hour)
+      assert(got(id) == (window.length.toLong, window.map(_._4).sum),
+        s"event $id")
+    }
+  }
+
+  test("q_ts_top_movers: ≡ brute-force weekly recompute") {
+    val got = SparkEntry.queries("q_ts_top_movers")(spark, sfDir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    val weekly = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val byType = weekly.groupBy(_._2)
+    var expected = Map.empty[(String, String), (Long, Long, Long)]
+    byType.foreach { case (t, ws) =>
+      val sorted = ws.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          expected += (cur._1, t) -> (cur._3, prev._3, cur._3 - prev._3)
+        case _ =>
+      }
+    }
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap == expected)
+    // rank: within each week, rnk is the rank of delta under
+    // (delta desc, type asc)
+    got.groupBy(_._1._1).foreach { case (_, rs) =>
+      val ordered = rs.toSeq.sortBy { case ((_, t), v) => (-v._3, t) }
+      ordered.zipWithIndex.foreach { case (((_, _), v), i) =>
+        assert(v._4 == i + 1)
+      }
+    }
+  }
+
   test("q_agg_grouping_id: levels reconcile exactly") {
     val rows = SparkEntry.queries("q_agg_grouping_id")(spark, sfDir)
       .collect()
