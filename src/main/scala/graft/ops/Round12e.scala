@@ -46,27 +46,28 @@ object Round12e {
     * per-row products must stay BIGINT-safe; sums are exact
     * DECIMAL(38,0). */
   def linregMoments(df: DataFrame, groupCol: String,
-                    xCol: String, yCol: String): DataFrame =
-    df.select(col(groupCol), col(xCol).as("x"), col(yCol).as("y"))
-      .groupBy(groupCol)
+                    xCol: String, yCol: String): DataFrame = {
+    // Cast operands to long BEFORE multiplying: an IntegerType input
+    // would wrap its product at 2^31 even when the per-row product
+    // honours the documented BIGINT-safe contract.
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.groupBy(groupCol)
       .agg(count(lit(1)).cast(D38).as("n"),
-        sum(col("x").cast(D38)).as("sx"),
-        sum(col("y").cast(D38)).as("sy"),
-        sum((col("x") * col("y")).cast(D38)).as("sxy"),
-        sum((col("x") * col("x")).cast(D38)).as("sxx"))
+        sum(x.cast(D38)).as("sx"),
+        sum(y.cast(D38)).as("sy"),
+        sum((x * y).cast(D38)).as("sxy"),
+        sum((x * x).cast(D38)).as("sxx"))
+  }
 
   /** The q230/q231 instantiation: cent-scaled lineitem
     * (quantity → extendedprice) per return flag. */
   def linregPartials(li: DataFrame): DataFrame =
-    li.select(col("l_returnflag"),
+    linregMoments(
+      li.select(col("l_returnflag"),
         (Dec.dec2(col("l_quantity")) * 100).cast("long").as("x"),
-        (Dec.dec2(col("l_extendedprice")) * 100).cast("long").as("y"))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).cast(D38).as("n"),
-        sum(col("x").cast(D38)).as("sx"),
-        sum(col("y").cast(D38)).as("sy"),
-        sum((col("x") * col("y")).cast(D38)).as("sxy"),
-        sum((col("x") * col("x")).cast(D38)).as("sxx"))
+        (Dec.dec2(col("l_extendedprice")) * 100).cast("long").as("y")),
+      "l_returnflag", "x", "y")
 
   /** Moments → exact-rational slope and intercept:
     * slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²),

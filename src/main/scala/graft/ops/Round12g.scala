@@ -90,18 +90,22 @@ object Round12g {
     * over a single group-keyed exchange. */
   def gini(df: DataFrame, groupCol: String, centsCol: String,
            keyCol: String): DataFrame = {
-    val w = Window.partitionBy(groupCol)
-      .orderBy(col(centsCol), col(keyCol))
-    df.withColumn("i", row_number().over(w))
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("n"),
-        sum(col(centsCol).cast(D38)).as("sx"),
-        sum(col("i").cast(D38) * col(centsCol).cast(D38)).as("six"))
-      .select(col(groupCol), col("n").as("n_rows"),
-        (lit(2).cast(D38) * col("six")
-          - (col("n") + 1).cast(D38) * col("sx")).cast(D38)
+    // Project caller columns onto collision-proof internal names
+    // first: a caller column literally named "i"/"n"/"sx" must not
+    // be clobbered by the rank/aggregate intermediates.
+    val t = df.select(col(groupCol).as("_g"), col(centsCol).as("_x"),
+      col(keyCol).as("_k"))
+    val w = Window.partitionBy("_g").orderBy(col("_x"), col("_k"))
+    t.withColumn("_i", row_number().over(w))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast(D38)).as("_sx"),
+        sum(col("_i").cast(D38) * col("_x").cast(D38)).as("_six"))
+      .select(col("_g").as(groupCol), col("_n").as("n_rows"),
+        (lit(2).cast(D38) * col("_six")
+          - (col("_n") + 1).cast(D38) * col("_sx")).cast(D38)
           .cast("string").as("gini_num"),
-        (col("n").cast(D38) * col("sx")).cast(D38)
+        (col("_n").cast(D38) * col("_sx")).cast(D38)
           .cast("string").as("gini_den"))
       .orderBy(groupCol)
   }
@@ -138,7 +142,8 @@ object Round12g {
       val deg = e.select(col("a").as("node"))
         .unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
-      val tri = Triangles.triangleVertices(e)
+        .localCheckpoint() // read twice: orientation + output join
+      val tri = Triangles.triangleVertices(e, Some(deg))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
       deg.join(tri, Seq("node"), "left")
         .filter(col("degree") >= 2)

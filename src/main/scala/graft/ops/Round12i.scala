@@ -32,13 +32,18 @@ object Round12i {
                        centsCol: String, keyCol: String,
                        k: Int): DataFrame = {
     require(k >= 1, s"bucket count must be >= 1, got $k")
-    val w = Window.partitionBy(groupCol)
-      .orderBy(col(centsCol), col(keyCol))
-    df.withColumn("bucket", ntile(k).over(w))
-      .groupBy(col(groupCol), col("bucket"))
+    // Internal-name collision proofing (the gini discipline): a
+    // caller value column named "bucket" must not be clobbered.
+    val t = df.select(col(groupCol).as("_g"), col(centsCol).as("_x"),
+      col(keyCol).as("_k"))
+    val w = Window.partitionBy("_g").orderBy(col("_x"), col("_k"))
+    t.withColumn("_b", ntile(k).over(w))
+      .groupBy(col("_g"), col("_b"))
       .agg(count(lit(1)).as("n_rows"),
-        min(col(centsCol)).as("lo_cents"),
-        max(col(centsCol)).as("hi_cents"))
+        min(col("_x")).as("lo_cents"),
+        max(col("_x")).as("hi_cents"))
+      .select(col("_g").as(groupCol), col("_b").as("bucket"),
+        col("n_rows"), col("lo_cents"), col("hi_cents"))
       .orderBy(groupCol, "bucket")
   }
 

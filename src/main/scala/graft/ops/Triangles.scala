@@ -88,10 +88,16 @@ object Triangles {
     * per-node triangle counts / clustering coefficients; same
     * O(Σ outdeg²) + one-shuffle-join cost envelope as
     * [[countNodeIterator]]. */
-  def triangleVertices(e: DataFrame): DataFrame = {
-    val deg = e.select(col("a").as("n"))
-      .unionAll(e.select(col("b").as("n")))
-      .groupBy("n").agg(F.count(lit(1)).as("dg"))
+  def triangleVertices(e: DataFrame,
+                       degrees: Option[DataFrame] = None): DataFrame = {
+    // `degrees` (node, degree) lets a caller that already aggregated
+    // degrees over the same edge list (q238) share the exchange
+    // instead of recomputing it here.
+    val deg = degrees
+      .map(_.select(col("node").as("n"), col("degree").as("dg")))
+      .getOrElse(e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(F.count(lit(1)).as("dg")))
     val withDeg = e
       .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")

@@ -26,6 +26,12 @@ class FacadeSpec5 extends SparkSpecBase {
       ops.Round12c.bitmapBlocks(ev))
   }
 
+  test("rfmSegments adapter ≡ declared q_events_rfm") {
+    sameRows(
+      Graft.rfmSegments(evRenamed, "uid", "when", "amount"),
+      SparkEntry.queries("q_events_rfm")(spark, sfDir))
+  }
+
   test("dauWau adapter ≡ declared q_events_dau_wau") {
     sameRows(
       Graft.dauWau(evRenamed, "uid", "when"),
