@@ -127,6 +127,28 @@ object Round12i {
         .select(col("week"), col("event_type"), col("n"),
           col("prev_n"), col("delta"), col("rnk"))
         .orderBy("week", "rnk")
+    }),
+
+    /** q247: VARIANT SEMI-STRUCTURED PATH [T scalar surface] — the
+      * Spark-4 VARIANT type end to end: parse_json into the binary
+      * variant encoding ONCE, then typed extraction
+      * (variant_get(…, '$.k', 'bigint')) and missing-path semantics
+      * (try_variant_get on an absent field → NULL, counted per
+      * group). The open-schema answer q39's string-re-parsing
+      * get_json_object approximates: at 100 TB the variant binary
+      * parses once at ingest, and every later extraction is a typed
+      * binary probe, not a JSON re-parse. Values are exact BIGINTs
+      * — engine-identical. */
+    "q_fn_variant" -> ((s, d) => {
+      events(s, d)
+        .selectExpr("parse_json(props) AS v")
+        .selectExpr("variant_get(v, '$.k', 'bigint') AS k",
+          "try_variant_get(v, '$.absent', 'bigint') AS miss")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("miss").isNull, 1L).otherwise(0L))
+            .as("n_missing"))
+        .orderBy("k")
     }))
 
   def sql: Map[String, String] = Map(
@@ -189,5 +211,12 @@ object Round12i {
                 CAST(rank() OVER (PARTITION BY week
                   ORDER BY n - prev_n DESC, event_type) AS INT) AS rnk
          FROM lagged WHERE prev_n IS NOT NULL
-         ORDER BY week, rnk""")
+         ORDER BY week, rnk""",
+
+    "q_fn_variant" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN json_extract(props, '$.absent')
+                  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+         FROM events GROUP BY 1 ORDER BY k""")
 }

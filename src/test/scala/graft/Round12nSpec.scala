@@ -124,6 +124,21 @@ class Round12nSpec extends SparkSpecBase {
     }
   }
 
+  test("q_fn_variant: typed extraction ≡ JSON-path; missing count = group size") {
+    val got = SparkEntry.queries("q_fn_variant")(spark, sfDir).collect()
+    val viaJson = graft.engine.Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(viaJson(r.getLong(0)) == r.getLong(1),
+        s"k=${r.getLong(0)}: variant path must match JSON path")
+      assert(r.getLong(2) == r.getLong(1),
+        "absent field must be NULL for every row of the group")
+    }
+  }
+
   test("q_agg_grouping_id: levels reconcile exactly") {
     val rows = SparkEntry.queries("q_agg_grouping_id")(spark, sfDir)
       .collect()
