@@ -149,6 +149,28 @@ object Round12i {
           sum(when(col("miss").isNull, 1L).otherwise(0L))
             .as("n_missing"))
         .orderBy("k")
+    }),
+
+    /** q248: COLLATION-AWARE GROUPING [T scalar surface] — the
+      * Spark-4 collation engine end to end: event types are
+      * case-mangled (even event_ids upper-cased), then grouped under
+      * UTF8_LCASE so 'CLICK' and 'click' merge WITHOUT a normalizing
+      * rewrite of the data — the i18n/dirty-data grouping a plain
+      * binary GROUP BY cannot express. The group representative
+      * under a case-insensitive collation is first-seen (engine
+      * nondeterministic), so the OUTPUT key is lower()-normalized;
+      * the upper-variant count per group pins that the merge really
+      * crossed case. */
+    "q_fn_collate" -> ((s, d) => {
+      events(s, d)
+        .select(expr("""CASE WHEN event_id % 2 = 0
+            THEN upper(event_type) ELSE event_type END""").as("mixed"),
+          (col("event_id") % 2 === 0).cast("long").as("was_upper"))
+        .groupBy(expr("collate(mixed, 'UTF8_LCASE')").as("tci"))
+        .agg(count(lit(1)).as("n"), sum(col("was_upper")).as("n_upper"))
+        .select(lower(col("tci")).as("event_type_ci"), col("n"),
+          col("n_upper"))
+        .orderBy("event_type_ci")
     }))
 
   def sql: Map[String, String] = Map(
@@ -218,5 +240,17 @@ object Round12i {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CASE WHEN json_extract(props, '$.absent')
                   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-         FROM events GROUP BY 1 ORDER BY k""")
+         FROM events GROUP BY 1 ORDER BY k""",
+
+    "q_fn_collate" ->
+      """SELECT lower(mixed) AS event_type_ci,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(was_upper) AS BIGINT) AS n_upper
+         FROM (
+           SELECT CASE WHEN event_id % 2 = 0
+                    THEN upper(event_type) ELSE event_type END AS mixed,
+                  CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END
+                    AS was_upper
+           FROM events
+         ) GROUP BY 1 ORDER BY event_type_ci""")
 }

@@ -139,6 +139,24 @@ class Round12nSpec extends SparkSpecBase {
     }
   }
 
+  test("q_fn_collate: case variants merge; upper counts pin the merge") {
+    val got = SparkEntry.queries("q_fn_collate")(spark, sfDir).collect()
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(got.map(_.getString(0)).sorted.toSeq == types.toSeq,
+      "collated groups must be exactly the base (lower-case) types")
+    got.foreach { r =>
+      val t = r.getString(0)
+      val n = ev.filter(col("event_type") === t).count()
+      val nUp = ev.filter(col("event_type") === t &&
+        col("event_id") % 2 === 0).count()
+      assert(r.getLong(1) == n, s"$t: group size")
+      assert(r.getLong(2) == nUp && nUp > 0,
+        s"$t: the merge must have crossed case")
+    }
+  }
+
   test("q_agg_grouping_id: levels reconcile exactly") {
     val rows = SparkEntry.queries("q_agg_grouping_id")(spark, sfDir)
       .collect()
