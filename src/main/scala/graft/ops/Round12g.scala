@@ -7,10 +7,11 @@ import org.apache.spark.sql.types.DecimalType
 import graft.engine.Tables._
 import graft.engine.Dec
 
-/** Round-12 batch 11 (SURVEY §2 rows 237-239): exact-rational Gini
+/** Round-12 batch 11 (SURVEY §2 rows 237-241): exact-rational Gini
   * concentration, per-node clustering coefficients on the
-  * co-purchase graph, and rolling exact medians over trailing
-  * windows.
+  * co-purchase graph, rolling exact medians over trailing windows,
+  * and the exact-integer chi-square A/B test with its pure
+  * signed-sum incremental maintenance.
   *
   * Determinism: Gini follows the q230 exact-rational discipline
   * (rank-weighted DECIMAL(38,0) sums; the rational emits as digit
@@ -23,7 +24,7 @@ import graft.engine.Dec
   * argument).
   *
   * The reference tree at /root/reference is absent (SURVEY.md §0);
-  * semantics follow SURVEY §2 rows 237-239.
+  * semantics follow SURVEY §2 rows 237-241.
   */
 object Round12g {
 

@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables._
 import graft.engine.Dec
 
-/** Round-12 batch 13 (SURVEY §2 rows 243-244): equi-depth histogram
+/** Round-12 batch 13 (SURVEY §2 rows 243-248): equi-depth histogram
   * statistics (the ANALYZE-style optimizer input, completing the
   * stats family: equi-width q87, moments q70, profile q185, sketches
-  * q81/q190/q209) and GROUPING_ID subtotal disambiguation on rollups
-  * (the correctness tool that separates NULL-as-data from
-  * NULL-as-subtotal).
+  * q81/q190/q209), GROUPING_ID subtotal disambiguation on rollups
+  * (separating NULL-as-data from NULL-as-subtotal), time-INTERVAL
+  * RANGE window frames, week-over-week top movers, and the Spark-4
+  * VARIANT and collation engines as declared rows.
   *
   * Determinism: equi-depth buckets come from SQL-standard ntile over
   * the provably UNIQUE (cents, orderkey) order — identical in any
@@ -20,7 +21,7 @@ import graft.engine.Dec
   * by the SQL standard's bit-vector definition.
   *
   * The reference tree at /root/reference is absent (SURVEY.md §0);
-  * semantics follow SURVEY §2 rows 243-244.
+  * semantics follow SURVEY §2 rows 243-248.
   */
 object Round12i {
 
