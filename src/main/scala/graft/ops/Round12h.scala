@@ -21,7 +21,35 @@ object Round12h {
 
   private val statsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), (Long, Int, Int)]
-  graft.engine.Memos.register { () => statsMemo.clear() }
+  private val writeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), Boolean]
+  graft.engine.Memos.register { () =>
+    statsMemo.clear(); writeMemo.clear()
+  }
+
+  /** The box's candidate Z cells under `stats` (the rectangle of
+    * bucket coordinates, Morton-encoded — O(cells), never a scan). */
+  private def boxCells(stats: (Long, Int, Int)): Seq[Int] = {
+    val (maxU, minD, maxD) = stats
+    val uxs = (uLo * 16 / (maxU + 1)).toInt to
+      (uHi * 16 / (maxU + 1)).toInt
+    val dxs = ((dnumOf(dayLo) - minD) * 16 / (maxD - minD + 1)) to
+      ((dnumOf(dayHi) - minD) * 16 / (maxD - minD + 1))
+    (for { x <- uxs; y <- dxs } yield zOf(x, y)).distinct
+  }
+
+  /** Cell-pruned scan + exact box predicate + aggregate — shared by
+    * the batch (q242) and maintained (q249) layouts. */
+  private def boxQuery(s: SparkSession, scratch: String,
+                       stats: (Long, Int, Int)): DataFrame =
+    s.read.parquet(scratch)
+      .filter(col("zb").isin(boxCells(stats): _*))
+      .filter(col("user_id").between(uLo, uHi) &&
+        to_date(col("ts")).between(lit(dayLo), lit(dayHi)))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * lit(100)).cast("long"))
+          .as("value_cents_sum"))
 
   private def scratchRoot(s: SparkSession, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_r12h_" +
@@ -48,6 +76,69 @@ object Round12h {
   private def dnumOf(day: String): Int =
     java.time.LocalDate.parse(day).toEpochDay.toInt
 
+  /** Attach the Z cell to `ev` under fixed normalization stats and
+    * write it partitioned by the cell. `dynamic = true` overwrites
+    * ONLY the partitions present in `ev` (the maintenance mode);
+    * `false` overwrites the whole root (the build mode). */
+  def zorderWrite(ev: DataFrame, stats: (Long, Int, Int),
+                  scratch: String, dynamic: Boolean): Unit = {
+    val (mu, lo, hi) = stats
+    val w = ev
+      .withColumn("dnum", datediff(to_date(col("ts")), lit("1970-01-01")))
+      .withColumn("ux", expr(s"CAST(user_id * 16 DIV ${mu + 1} AS INT)"))
+      .withColumn("dx",
+        expr(s"CAST((dnum - $lo) * 16 DIV ${hi - lo + 1} AS INT)"))
+      .withColumn("zb", zCol(col("ux"), col("dx")))
+      .drop("ux", "dx", "dnum")
+      .write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("zb").parquet(scratch)
+  }
+
+  /** ONE-STEP LAYOUT MAINTENANCE: rewrite exactly the touched Z
+    * cells from post-delta facts (dynamic partition overwrite), and
+    * DELETE cells the delta emptied (dynamic overwrite only rewrites
+    * partitions present in the new data — an emptied cell would
+    * otherwise keep its stale files). Untouched cells' FILES pass
+    * through unread and unwritten — the signed-incremental rule
+    * applied to storage layout. `touched` is the delta's cell set
+    * (≤256, driver-enumerable by construction). */
+  def zorderMaintain(s: SparkSession, scratch: String, post: DataFrame,
+                     touched: Seq[Int], stats: (Long, Int, Int)): Unit = {
+    val (mu, lo, hi) = stats
+    val touchedRows = post
+      .withColumn("dnum", datediff(to_date(col("ts")), lit("1970-01-01")))
+      .withColumn("ux", expr(s"CAST(user_id * 16 DIV ${mu + 1} AS INT)"))
+      .withColumn("dx",
+        expr(s"CAST((dnum - $lo) * 16 DIV ${hi - lo + 1} AS INT)"))
+      .withColumn("zb", zCol(col("ux"), col("dx")))
+      .filter(col("zb").isin(touched: _*))
+      .drop("ux", "dx", "dnum")
+    val present = touchedRows.select("zb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    touchedRows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("zb").parquet(scratch)
+    val conf = s.sparkContext.hadoopConfiguration
+    touched.filterNot(present).foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(s"$scratch/zb=$c")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** Cell coordinates of arbitrary (user_id, ts) rows under fixed
+    * stats — driver-enumerated (≤256 distinct cells). */
+  def cellsOf(ev: DataFrame, stats: (Long, Int, Int)): Seq[Int] = {
+    val (mu, lo, hi) = stats
+    ev.select(
+        expr(s"CAST(user_id * 16 DIV ${mu + 1} AS INT)").as("ux"),
+        expr(s"CAST((datediff(to_date(ts), DATE '1970-01-01') - $lo)" +
+          s" * 16 DIV ${hi - lo + 1} AS INT)").as("dx"))
+      .distinct().collect()
+      .map(r => zOf(r.getInt(0), r.getInt(1))).distinct.toSeq
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     /** q242: Z-ORDER LAYOUT + 2-D BOX PRUNING [N scale path] —
@@ -67,49 +158,74 @@ object Round12h {
       * scan. */
     "q_scan_zorder" -> ((s, d) => {
       val scratch = s"${scratchRoot(s, d)}/zorder"
-      val (maxU, minD, maxD) =
-        statsMemo.getOrElseUpdate((s, d, "zorder_stats"), {
-          val ev = events(s, d)
-            .withColumn("dnum",
-              datediff(to_date(col("ts")), lit("1970-01-01")))
-          val r = ev.agg(max("user_id"), min("dnum"), max("dnum"))
-            .collect()(0)
-          val stats = (r.getLong(0), r.getInt(1), r.getInt(2))
-          val (mu, lo, hi) = stats
-          // DIV, not '/': Column./ is floating division; the cell
-          // coordinate must be the exact integer quotient.
-          ev.withColumn("ux",
-              expr(s"CAST(user_id * 16 DIV ${mu + 1} AS INT)"))
-            .withColumn("dx",
-              expr(s"CAST((dnum - $lo) * 16 DIV ${hi - lo + 1} AS INT)"))
-            .withColumn("zb", zCol(col("ux"), col("dx")))
-            .drop("ux", "dx", "dnum")
-            .write.mode("overwrite").partitionBy("zb").parquet(scratch)
-          stats
-        })
-      val uxs = (uLo * 16 / (maxU + 1)).toInt to
-        (uHi * 16 / (maxU + 1)).toInt
-      val dxs = ((dnumOf(dayLo) - minD) * 16 / (maxD - minD + 1)) to
-        ((dnumOf(dayHi) - minD) * 16 / (maxD - minD + 1))
-      val cand = (for { x <- uxs; y <- dxs } yield zOf(x, y)).distinct
-      s.read.parquet(scratch)
-        .filter(col("zb").isin(cand: _*))
-        .filter(col("user_id").between(uLo, uHi) &&
-          to_date(col("ts")).between(lit(dayLo), lit(dayHi)))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(floor(col("value") * lit(100)).cast("long"))
-            .as("value_cents_sum"))
+      val stats = statsMemo.getOrElseUpdate((s, d, "zorder_stats"), {
+        val ev = events(s, d)
+          .withColumn("dnum",
+            datediff(to_date(col("ts")), lit("1970-01-01")))
+        val r = ev.agg(max("user_id"), min("dnum"), max("dnum"))
+          .collect()(0)
+        (r.getLong(0), r.getInt(1), r.getInt(2))
+      })
+      writeMemo.getOrElseUpdate((s, d, "zorder_build"), {
+        zorderWrite(events(s, d), stats, scratch, dynamic = false); true
+      })
+      boxQuery(s, scratch, stats)
+    }),
+
+    /** q249: SIGNED-INCREMENTAL Z-ORDER LAYOUT [P one-step
+      * incremental, N scale path] — the incremental rule applied to
+      * STORAGE: under the event delta, exactly the delta-touched
+      * Morton cells rewrite from post-delta facts (dynamic partition
+      * overwrite), cells the delta emptied are deleted, and every
+      * untouched cell's FILES pass through unread and unwritten —
+      * at 100 TB re-clustering cost is proportional to the delta's
+      * cell footprint, not the corpus (the OPTIMIZE-ZORDER-
+      * incremental a lakehouse table service runs). Normalization
+      * stats are pinned to the BASE corpus — re-normalization is by
+      * definition a rebuild. Oracle = the plain box filter over
+      * post-delta ⇒ hash proves layout maintenance ≡ rebuild;
+      * `Round12mSpec` additionally pins the file-level pass-through
+      * (untouched cells' files byte-identical) and the emptied-cell
+      * deletion on a constructed frame. */
+    "q_incr_zorder" -> ((s, d) => {
+      val scratch = s"${scratchRoot(s, d)}/zorder_incr"
+      val ev = events(s, d)
+      val base = ev.filter(col("event_id") % 10 =!= 0)
+      val post = ev.filter(col("event_id") % 10 =!= 1)
+      val delta = ev.filter(col("event_id") % 10 === 0 ||
+        col("event_id") % 10 === 1)
+      val stats = statsMemo.getOrElseUpdate((s, d, "zorder_incr_stats"), {
+        val b = base.withColumn("dnum",
+          datediff(to_date(col("ts")), lit("1970-01-01")))
+        val r = b.agg(max("user_id"), min("dnum"), max("dnum"))
+          .collect()(0)
+        (r.getLong(0), r.getInt(1), r.getInt(2))
+      })
+      writeMemo.getOrElseUpdate((s, d, "zorder_incr_build"), {
+        zorderWrite(base, stats, scratch, dynamic = false); true
+      })
+      writeMemo.getOrElseUpdate((s, d, "zorder_incr_maint"), {
+        zorderMaintain(s, scratch, post, cellsOf(delta, stats), stats)
+        true
+      })
+      boxQuery(s, scratch, stats)
     }))
 
   def sql: Map[String, String] = Map(
-    "q_scan_zorder" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_events,
-                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-                CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-                  AS value_cents_sum
-         FROM events
-         WHERE user_id BETWEEN 3 AND 8
-           AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
-                                    AND DATE '2024-01-21'""")
+    "q_scan_zorder" -> zorderSql("events"),
+    "q_incr_zorder" -> zorderSql(
+      "(SELECT * FROM events WHERE event_id % 10 <> 1)"))
+
+  /** The box oracle over any events relation — layout-invisible by
+    * construction; rel-parameterized so q249's post-delta oracle is
+    * built, not string-surgered. */
+  def zorderSql(rel: String): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents_sum
+        FROM $rel
+        WHERE user_id BETWEEN 3 AND 8
+          AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                                   AND DATE '2024-01-21'"""
 }

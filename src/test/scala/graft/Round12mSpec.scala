@@ -48,6 +48,68 @@ class Round12mSpec extends SparkSpecBase {
       "executed plan must partition-prune on zb")
   }
 
+  test("q_incr_zorder: maintenance ≡ oracle box over post-delta") {
+    val got = SparkEntry.queries("q_incr_zorder")(spark, sfDir)
+    val plain = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 =!= 1)
+      .filter(col("user_id").between(3, 8) &&
+        to_date(col("ts")).between(lit("2024-01-08"), lit("2024-01-21")))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * lit(100)).cast("long"))
+          .as("value_cents_sum"))
+    assert(got.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(got).count() == 0)
+  }
+
+  test("zorderMaintain: touched cells rewrite, untouched files byte-stable, emptied cells deleted") {
+    import spark.implicits._
+    // base stats: users 0..15, days Jan 1..16 → cell = (user, day)
+    // 1:1 (16 buckets each). Cell A=(1,1 day) gets modified, cell
+    // B=(2,...) fully emptied, cell C=(3,...) untouched.
+    def mk(rows: Seq[(Long, Long, Int)]) = rows.toDF("event_id", "user_id", "d")
+      .selectExpr("event_id", "user_id",
+        "timestamp_micros(CAST(1704067200000000 + d * 86400000000 AS BIGINT)) AS ts",
+        "CAST(1.0 AS DOUBLE) AS value")
+    val base = mk(Seq((10L, 1L, 0), (11L, 1L, 0), (20L, 2L, 1),
+      (30L, 3L, 2), (31L, 3L, 2)))
+    val post = mk(Seq((10L, 1L, 0), (12L, 1L, 0), // 11 deleted, 12 added
+      (30L, 3L, 2), (31L, 3L, 2)))               // cell B emptied
+    val delta = mk(Seq((11L, 1L, 0), (12L, 1L, 0), (20L, 2L, 1)))
+    val stats = (15L, 19723, 19738) // maxU, minD, maxD (Jan 2024)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("zorder_maint_spec").toString
+    ops.Round12h.zorderWrite(base, stats, scratch, dynamic = false)
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellFiles(c: Int) = {
+      val p = new org.apache.hadoop.fs.Path(s"$scratch/zb=$c")
+      if (!fs.exists(p)) Map.empty[String, (Long, Long)]
+      else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName ->
+          (f.getLen, f.getModificationTime)).toMap
+    }
+    val cellA = ops.Round12h.cellsOf(mk(Seq((0L, 1L, 0))), stats).head
+    val cellB = ops.Round12h.cellsOf(mk(Seq((0L, 2L, 1))), stats).head
+    val cellC = ops.Round12h.cellsOf(mk(Seq((0L, 3L, 2))), stats).head
+    val beforeC = cellFiles(cellC)
+    assert(beforeC.nonEmpty && cellFiles(cellB).nonEmpty)
+    Thread.sleep(1100) // mtime resolution guard
+    ops.Round12h.zorderMaintain(spark, scratch, post,
+      ops.Round12h.cellsOf(delta, stats), stats)
+    // untouched cell C: files byte-identical (same names, sizes, mtimes)
+    assert(cellFiles(cellC) == beforeC,
+      "untouched cell's files must pass through unwritten")
+    // emptied cell B: directory gone
+    assert(cellFiles(cellB).isEmpty, "emptied cell must be deleted")
+    // touched cell A rewritten: read-back equals post rows exactly
+    val readBack = spark.read.parquet(scratch)
+      .select("event_id", "user_id")
+    val expected = post.select("event_id", "user_id")
+    assert(readBack.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(readBack).count() == 0)
+  }
+
   test("q_scan_zorder: candidate cell set is a strict subset of the grid") {
     // re-derive the candidate enumeration the query performs: the
     // box rectangle in cell space must cover far fewer than all 256
