@@ -336,7 +336,16 @@ object Graft {
     * per-partition winners are much smaller than the corpus — at high
     * group cardinality the heaps emit nearly every row and the plain
     * window sort is the right plan. Returns the winning branch's rows
-    * with the decision in a `plan` column. */
+    * with the decision in a `plan` column.
+    *
+    * NOTE — the costing pass is EAGER (round-12 advice): it runs the
+    * count/count_distinct aggregate and forces physical planning via
+    * `df.rdd` BEFORE the chosen branch executes, so an expensive
+    * upstream plan is evaluated once for costing and again for the
+    * result. Callers with a costly input should `.cache()` or
+    * `.localCheckpoint()` it first; the facade deliberately does not
+    * do this implicitly (caching is a resource decision that belongs
+    * to the caller). */
   def autoTopK(df: DataFrame, groupCols: Seq[String],
                sortCols: Seq[Column], k: Int,
                advantage: Double = 4.0): DataFrame = {

@@ -686,9 +686,9 @@ object Round11b {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         if (!q.awaitTermination(180000L))
-        throw new IllegalStateException(
-          "streaming run did not terminate within 180s - sink is partial; " +
-          "not memoizing a truncated result")
+          throw new IllegalStateException(
+            "streaming run did not terminate within 180s - sink is partial; " +
+            "not memoizing a truncated result")
       }
       land(parts.take(2), 0); runOnce()   // run 1: first half landed
       land(parts.drop(2), 2); runOnce()   // run 2: restart on the rest

@@ -52,10 +52,15 @@ object Round12c {
     * of fact cardinality; at 100 TB this is the point: facts reduce
     * map-side to domain-bounded words, and any later set operation
     * (distinct, AND, OR, delta-maintenance) runs on the words, never
-    * on the facts again. */
+    * on the facts again. Ids may be ANY integers: the block/bit
+    * split uses pmod + floor-division, so negative ids map to
+    * well-defined (negative-block, 0..31-bit) cells instead of the
+    * silent garbage a truncating `div`/`%` pair would produce
+    * (round-12 advice). */
   def bitmapBlocks(ev: DataFrame): DataFrame =
-    ev.groupBy(col("event_type"), expr("user_id div 32").as("blk"))
-      .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))")
+    ev.groupBy(col("event_type"),
+        expr("(user_id - pmod(user_id, 32)) div 32").as("blk"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pmod(user_id, 32) AS INT)))")
         .as("bm"),
         count(lit(1)).as("n"))
 
@@ -159,7 +164,7 @@ object Round12c {
       val delta = ev.filter(col("event_id") % 10 === 0)
         .unionByName(ev.filter(col("event_id") % 10 === 1))
       val touched = delta
-        .select(col("event_type"), expr("user_id div 32").as("blk"))
+        .select(col("event_type"), expr("(user_id - pmod(user_id, 32)) div 32").as("blk"))
         .distinct()
       val baseP = dfMemo.getOrElseUpdate((s, d, "bitmap_partials"), {
         val p = bitmapBlocks(base).persist()
@@ -168,7 +173,7 @@ object Round12c {
       val keep = baseP
         .join(broadcast(touched), Seq("event_type", "blk"), "left_anti")
       val rec = bitmapBlocks(
-        post.withColumn("blk", expr("user_id div 32"))
+        post.withColumn("blk", expr("(user_id - pmod(user_id, 32)) div 32"))
           .join(broadcast(touched), Seq("event_type", "blk"), "left_semi"))
       bitmapCounts(keep.unionByName(rec))
     }),

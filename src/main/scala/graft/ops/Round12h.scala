@@ -57,17 +57,28 @@ object Round12h {
 
   /** Morton interleave of two 4-bit cell coordinates → 8-bit Z code
     * (driver-side mirror of [[zCol]]; used to enumerate the
-    * candidate cells of a query box). */
-  def zOf(ux: Int, dx: Int): Int =
+    * candidate cells of a query box). Coordinates outside [0,15]
+    * (possible in [[zorderMaintain]] when inserts land beyond the
+    * pinned base stats range) are CLAMPED to the nearest edge cell —
+    * a documented edge-cell merge, so out-of-range data degrades
+    * pruning locality at the boundary instead of aliasing into
+    * unrelated interior cells (round-12 advice). Correctness is
+    * unaffected either way: boxQuery re-applies the exact predicate. */
+  def zOf(ux: Int, dx: Int): Int = {
+    val (u, d) = (ux.max(0).min(15), dx.max(0).min(15))
     (0 until 4).map(i =>
-      (((ux >> i) & 1) << (2 * i + 1)) | (((dx >> i) & 1) << (2 * i))).sum
+      (((u >> i) & 1) << (2 * i + 1)) | (((d >> i) & 1) << (2 * i))).sum
+  }
 
-  /** Column form of [[zOf]]. */
-  def zCol(ux: Column, dx: Column): Column =
+  /** Column form of [[zOf]] (same edge-cell clamp). */
+  def zCol(ux: Column, dx: Column): Column = {
+    val (u, d) = (least(greatest(ux, lit(0)), lit(15)),
+      least(greatest(dx, lit(0)), lit(15)))
     (0 until 4).map(i =>
-      shiftleft(shiftright(ux, i).bitwiseAND(lit(1)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(dx, i).bitwiseAND(lit(1)), 2 * i)))
+      shiftleft(shiftright(u, i).bitwiseAND(lit(1)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(d, i).bitwiseAND(lit(1)), 2 * i)))
       .reduce(_.bitwiseOR(_))
+  }
 
   /** The fixed 2-D query box (chosen non-empty at every fixture SF:
     * users 0..14 exist even at sf0.001; days are always Jan 2024). */

@@ -53,7 +53,17 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * the per-partition winners only → per-group merge + in-group sort.
   * Runs entirely at the RDD layer inside `doExecute` (no codegen —
   * the operator is shuffle-bound, not expression-bound; its inputs
-  * and outputs are UnsafeRows). */
+  * and outputs are UnsafeRows).
+  *
+  * Known costs (round-12 advice, accepted trade-offs): the winners
+  * shuffle goes through the plain RDD `partitionBy` path, so each
+  * (key, row) pair pays Java/Kryo serialization instead of the SQL
+  * exchange's raw UnsafeRow format — acceptable because the operator
+  * only ever shuffles the pruned |groups|·k·|partitions| winner set,
+  * not the corpus; a later iteration could adopt ShuffledRowRDD. And
+  * the `shuffledRows`/`numOutputRows` SQLMetrics are APPROXIMATE
+  * under task retries / stage re-execution (re-run tasks re-count);
+  * they are displayed for plan insight, never used for correctness. */
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
                             sortOrder: Seq[SortOrder], child: SparkPlan)
     extends UnaryExecNode {

@@ -40,6 +40,46 @@ class Round12hSpec extends SparkSpecBase {
     assert(got == exact)
   }
 
+  test("bitmapBlocks: NEGATIVE ids — pmod/floor-div split still exact") {
+    // round-12 advice: a truncating div/% pair maps negative ids to a
+    // garbage shift amount; the pmod + floor-div split must keep the
+    // bitmap count exact over mixed-sign ids.
+    val rnd = new scala.util.Random(991)
+    import spark.implicits._
+    val rows = Seq.tabulate(2000) { _ =>
+      (s"t${rnd.nextInt(3)}", (rnd.nextInt(2000) - 1000).toLong)
+    }
+    val df = rows.toDF("event_type", "user_id")
+    val got = ops.Round12c.bitmapBlocks(df)
+      .groupBy("event_type")
+      .agg(sum(expr("bit_count(bm)")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(_._2).distinct.size.toLong }
+    assert(got == exact)
+    // every bit index must be in [0,32): shiftleft stays in-word
+    val bad = ops.Round12c.bitmapBlocks(df)
+      .filter(expr("bm = 0 OR bm IS NULL")).count()
+    assert(bad == 0, "a block word collapsed to 0/NULL - bad shift")
+  }
+
+  test("zOf/zCol: out-of-range coordinates clamp to edge cells") {
+    // round-12 advice: coordinates beyond the pinned base range must
+    // merge into the nearest edge cell, never alias into an interior
+    // cell.
+    assert(ops.Round12h.zOf(17, 3) == ops.Round12h.zOf(15, 3))
+    assert(ops.Round12h.zOf(-2, 9) == ops.Round12h.zOf(0, 9))
+    assert(ops.Round12h.zOf(5, 99) == ops.Round12h.zOf(5, 15))
+    import spark.implicits._
+    val pts = Seq((17L, 3L), (-2L, 9L), (5L, 99L), (15L, 3L), (0L, 9L))
+      .toDF("ux", "dx")
+    val got = pts.select(ops.Round12h.zCol(col("ux"), col("dx")).as("z"))
+      .collect().map(_.getLong(0))
+    val want = Seq((17, 3), (-2, 9), (5, 99), (15, 3), (0, 9))
+      .map { case (u, d) => ops.Round12h.zOf(u, d).toLong }
+    assert(got.toSeq == want)
+  }
+
   test("q_agg_bitmap_intersect: block AND ≡ exact distinct co-presence") {
     val got = SparkEntry.queries("q_agg_bitmap_intersect")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
