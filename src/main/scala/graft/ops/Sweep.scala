@@ -1,0 +1,348 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SUFFICIENT-STATISTICS SWEEPS — the round-13 de-quadratication of
+  * the proximity-join family (round-12 verdict, weak rows q208/q213/
+  * q216 and q212's recompute branch).
+  *
+  * The bucketed pair joins ([[Round12b.bandSelfJoin]],
+  * [[Round12b.intervalOverlapJoin]]) are CORRECT and remain the
+  * facade/oracle formulation, but they MATERIALIZE the pair space:
+  * pair cardinality is Θ(Σ_bucket n_b²), quadratic in per-band
+  * density. At 100 TB a launch spike putting 10⁷ events in one hot
+  * 15-minute window yields 10¹⁴ in-bucket pairs — no AQE setting
+  * saves a join whose OUTPUT is the problem. The aggregates the
+  * declared queries actually need (pair counts, gap sums, overlap
+  * sums) are all LINEAR functionals of per-row trailing-window
+  * statistics, so they fall out of one sort + windowed prefix sums
+  * in O(n log n) with NOTHING pair-sized ever created. This module
+  * holds that machinery; `Round13Spec` proves each sweep ≡ its pair
+  * join on the fixture and on adversarial random data (dense ties,
+  * touching endpoints, empty/singleton buckets).
+  *
+  * Overflow discipline (ANSI mode throws on Long overflow, so this
+  * is correctness, not hygiene): [[bandStats]] rebases every
+  * timestamp to its OWN bucket's origin, so no intermediate ever
+  * exceeds |bucket occupancy|·band — bounded at any corpus size.
+  * [[overlapStats]] rebases to the corpus minimum; its intermediates
+  * are bounded by Σ interval lengths + max-concurrency·span, fine to
+  * petabyte corpora of session-length intervals (the bound and the
+  * time-shard-with-clipping scale path beyond it are documented on
+  * the method).
+  *
+  * The reference tree at /root/reference is absent (SURVEY.md §0);
+  * semantics follow SURVEY §2 rows 208/212/213/216.
+  */
+object Sweep {
+
+  /** Floor-division bucket id of BIGINT column `vName` (exact for
+    * negative values too — `pmod` + integral `div` on the exact
+    * multiple, the same idiom the bitmap family uses; never a double
+    * division, which loses exactness past 2⁵³). */
+  private def floorBucket(vName: String, bucket: Long): Column =
+    expr(s"($vName - pmod($vName, ${bucket}L)) div ${bucket}L")
+
+  // =================================================================
+  // Generic two-level prefix-sum probe
+  // =================================================================
+
+  /** GENERIC distributed rank/prefix-sum probe: for every PROBE row,
+    * the sums of each data weight over data rows with value below the
+    * probe's value — `strictCol` true means strictly below, false
+    * means ≤ — computed WITHOUT comparing any (probe, data) pair.
+    *
+    * Mechanism (two-level, fully partitioned):
+    *  1. per-(group, bucket) data partials, cumulated EXCLUSIVELY
+    *     over the bucket axis (a window over the |groups·buckets|-
+    *     bounded partial relation — never over facts);
+    *  2. data and probes union into one stream, window-partitioned
+    *     by (group, bucket) and ordered by (value, kind) where kind
+    *     sorts a strict probe BEFORE equal-valued data and a
+    *     non-strict probe AFTER it — the running in-bucket sum at a
+    *     probe row is then exactly the within-bucket prefix;
+    *  3. prefix = bucket carry-in + in-bucket running sum.
+    *
+    * One fact-sized sort per call, O(n log n), shuffle keyed by
+    * (group, bucket) — the 100 TB shape. Weight columns must be
+    * BIGINT; beware that the GLOBAL prefix of a weight must fit in
+    * BIGINT (rebase values first — see [[overlapStats]]).
+    *
+    * `data` needs `groupCols ++ vCol ++ wCols`; `probes` needs
+    * `groupCols ++ vCol ++ strictCol` plus any payload (payload
+    * names must avoid `wCols` and `__`-prefixed internals). Returns
+    * every probe column plus `<w>_ps` per weight. */
+  def prefixProbe(data: DataFrame, probes: DataFrame,
+                  groupCols: Seq[String], vCol: String,
+                  wCols: Seq[String], strictCol: String,
+                  bucket: Long): DataFrame = {
+    require(bucket > 0, s"bucket must be positive (got $bucket)")
+    require(wCols.nonEmpty, "need at least one weight column")
+    val gs = groupCols.map(col)
+    val dataN = data.select(
+        (gs :+ col(vCol).cast("long").as("__v")) ++
+          wCols.zipWithIndex.map { case (w, i) =>
+            col(w).cast("long").as(s"__w$i") }: _*)
+      .withColumn("__b", floorBucket("__v", bucket))
+      .withColumn("__k", lit(1))
+    val probeN = probes
+      .withColumn("__v", col(vCol).cast("long"))
+      .withColumn("__b", floorBucket("__v", bucket))
+      .withColumn("__k", when(col(strictCol), lit(0)).otherwise(lit(2)))
+
+    // level 1: bucket partials over data ∪ (probe buckets with zero
+    // weight, so every probe bucket has a carry-in row), exclusive cum
+    val zero = wCols.indices.map(i => lit(0L).as(s"__w$i"))
+    val partIn = dataN
+      .select((gs :+ col("__b")) ++
+        wCols.indices.map(i => col(s"__w$i")): _*)
+      .unionByName(probeN.select((gs :+ col("__b")) ++ zero: _*))
+    val parts = partIn.groupBy((gs :+ col("__b")): _*)
+      .agg(sum(col("__w0")).as("__p0"),
+        wCols.indices.tail.map(i => sum(col(s"__w$i")).as(s"__p$i")): _*)
+    // |groups·buckets| rows: the caller's bucket choice bounds this
+    // relation, so the (possibly partition-less) cum window is cheap
+    val wPre = Window.partitionBy(gs: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partCum = parts.select(
+      (gs :+ col("__b")) ++ wCols.indices.map(i =>
+        coalesce(sum(col(s"__p$i")).over(wPre), lit(0L))
+          .as(s"__pre$i")): _*)
+
+    // level 2: in-bucket running sums over the merged stream
+    val stream = dataN.unionByName(probeN, allowMissingColumns = true)
+    val wRun = Window.partitionBy((gs :+ col("__b")): _*)
+      .orderBy(col("__v"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = wCols.indices.foldLeft(stream) { (df, i) =>
+      df.withColumn(s"__r$i",
+        sum(coalesce(col(s"__w$i"), lit(0L))).over(wRun))
+    }
+    val probeOutCols = probes.columns.map(col)
+    run.filter(col("__k") =!= 1)
+      .join(partCum, groupCols :+ "__b", "left")
+      .select(probeOutCols ++ wCols.zipWithIndex.map { case (w, i) =>
+        (coalesce(col(s"__pre$i"), lit(0L)) + col(s"__r$i"))
+          .as(s"${w}_ps") }: _*)
+  }
+
+  // =================================================================
+  // Band self-join sufficient statistics (q208 / q212 state)
+  // =================================================================
+
+  /** Per-(attribution-bucket, unordered type pair) BAND-JOIN
+    * aggregates — pair count and µs-gap sum over all event pairs
+    * within `band` of each other — WITHOUT materializing any pair.
+    *
+    * Identity (proved in `Round13Spec` against
+    * [[Round12b.bandSelfJoin]]): every unordered qualifying pair has
+    * a unique LATER element (strictly later ts; exact ties are
+    * counted once by the separate tie pass), so
+    *   n(T1,T2)  = Σ_{events e} #{earlier partners of type T1
+    *                              within band}        (e of type T2)
+    *   gap(T1,T2)= Σ_e (k·ts_e − Σ ts_partner)
+    * and k / Σts_partner are trailing-window prefix statistics. With
+    * bucket width = band, an event's earlier partners lie in its own
+    * bucket (all of them — any same-bucket predecessor is within
+    * band) plus a SUFFIX of the previous bucket, so one window pass
+    * over (type, bucket) partitions plus the previous bucket's
+    * totals yields every statistic: the stream carries each event
+    * once as data and 2·|types| times as probes (an own-bucket probe
+    * and a previous-bucket probe per partner type), all of it
+    * shuffle-partitioned, nothing pair-sized.
+    *
+    * Overflow safety under ANSI: timestamps enter the sums REBASED to
+    * their own bucket's origin (`pmod(ts, band)` ∈ [0, band)), so
+    * every intermediate is ≤ occupancy·band regardless of corpus
+    * span; the cross-bucket correction adds the single constant
+    * `band` per pair. Attribution: a pair belongs to its later
+    * element's bucket (ties: the common bucket) — a delta event can
+    * only perturb buckets {b−1, b, b+1}, which is what makes this
+    * relation q212's maintainable stored state.
+    *
+    * Input must carry (event_id, event_type, tsu) with tsu ≥ 0 µs.
+    * Output: (abucket, t1, t2, n, gap_sum). */
+  def bandStats(evs: DataFrame, band: Long): DataFrame = {
+    require(band > 0, s"band must be positive (got $band)")
+    val ev = evs.select(col("event_id"), col("event_type"), col("tsu"))
+      .withColumn("__b", floorBucket("tsu", band))
+      .withColumn("__vr", pmod(col("tsu"), lit(band)))
+    val types = ev.select(col("event_type").as("__g")).distinct()
+
+    val dataU = ev.select(col("event_type").as("__g"), col("__b"),
+      col("tsu").as("__v"), lit(1).as("__k"),
+      lit(1L).as("__wn"), col("__vr").as("__ws"))
+    val tot = dataU.groupBy("__g", "__b")
+      .agg(sum(col("__wn")).as("__tn"), sum(col("__ws")).as("__ts"))
+
+    val pr = ev.crossJoin(broadcast(types))
+    val probes = pr.select(col("__g"), col("__b"), col("tsu").as("__v"),
+        lit(0).as("__k"), col("event_type").as("__t2"), col("__vr"),
+        lit("own").as("__m"))
+      .unionByName(pr.select(col("__g"), (col("__b") - 1).as("__b"),
+        (col("tsu") - band).as("__v"), lit(0).as("__k"),
+        col("event_type").as("__t2"), col("__vr"),
+        lit("prev").as("__m")))
+
+    val wRun = Window.partitionBy("__g", "__b")
+      .orderBy(col("__v"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = dataU.unionByName(probes, allowMissingColumns = true)
+      .withColumn("__rn", sum(coalesce(col("__wn"), lit(0L))).over(wRun))
+      .withColumn("__rs", sum(coalesce(col("__ws"), lit(0L))).over(wRun))
+
+    val contrib = run.filter(col("__k") === 0)
+      .join(tot, Seq("__g", "__b"), "left")
+      .select(
+        when(col("__m") === "own", col("__b"))
+          .otherwise(col("__b") + 1).as("abucket"),
+        least(col("__g"), col("__t2")).as("t1"),
+        greatest(col("__g"), col("__t2")).as("t2"),
+        when(col("__m") === "own", col("__rn"))
+          .otherwise(coalesce(col("__tn"), lit(0L)) - col("__rn"))
+          .as("n"),
+        when(col("__m") === "own",
+            col("__rn") * col("__vr") - col("__rs"))
+          .otherwise(
+            (coalesce(col("__tn"), lit(0L)) - col("__rn")) *
+              (col("__vr") + lit(band)) -
+              (coalesce(col("__ts"), lit(0L)) - col("__rs")))
+          .as("gap"))
+      .filter(col("n") > 0)
+
+    // exact-tie pairs (counted by neither strict trailing window):
+    // per distinct ts, C(c,2) same-type + c_a·c_b cross-type pairs,
+    // all with gap 0, attributed to the common bucket. The join is on
+    // the (ts, type) AGGREGATE — group size ≤ |types|, never facts.
+    val tc = ev.groupBy(col("tsu"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tieSame = tc.filter(col("c") > 1)
+      .select(floorBucket("tsu", band).as("abucket"),
+        col("event_type").as("t1"), col("event_type").as("t2"),
+        (col("c") * (col("c") - 1) / 2).cast("long").as("n"),
+        lit(0L).as("gap"))
+    val tieCross = tc.select(col("tsu"), col("event_type").as("ta"),
+        col("c").as("ca"))
+      .join(tc.select(col("tsu"), col("event_type").as("tb"),
+        col("c").as("cb")), "tsu")
+      .filter(col("ta") < col("tb"))
+      .select(floorBucket("tsu", band).as("abucket"),
+        col("ta").as("t1"), col("tb").as("t2"),
+        (col("ca") * col("cb")).as("n"), lit(0L).as("gap"))
+
+    contrib.unionByName(tieSame).unionByName(tieCross)
+      .groupBy("abucket", "t1", "t2")
+      .agg(sum(col("n")).as("n"), sum(col("gap")).as("gap_sum"))
+  }
+
+  // =================================================================
+  // Interval-overlap sufficient statistics (q213)
+  // =================================================================
+
+  /** Per-INTERVAL overlap statistics over all unordered pairs of
+    * closed intervals — partner count and total overlap µs — without
+    * materializing any pair. Input: (idCols..., sCol, eCol) BIGINT
+    * µs intervals; output: every input row plus `n_ov` (number of
+    * OTHER intervals overlapping it) and `ov_sum` (Σ overlap µs with
+    * them). Summing either per key reproduces the pair join's
+    * both-orientations-credited aggregate exactly.
+    *
+    * Identities (proved in `Round13Spec` against
+    * [[Round12b.intervalOverlapJoin]]):
+    *   n_ov(a)  = #{b : s_b ≤ e_a} − #{b : e_b < s_a} − 1
+    *     (a pair overlaps iff it starts before a ends and does not
+    *      end before a starts; the −1 removes a itself), and
+    *   Σ_b overlap(a,b) = A(e_a) − A(s_a) − len(a), where
+    *   A(t) = ∫₀ᵗ active(u) du = (t−t₀)·P1(t) − P2(t)
+    * with P1 = #starts≤t − #ends≤t (the concurrency at t — small)
+    * and P2 = Σ(s−t₀) over started − Σ(e−t₀) over ended: overlap is
+    * an integral, and the integrand over a's span is active−1. All
+    * four statistics are prefix sums over the endpoint stream —
+    * THREE probe rows per interval through one [[prefixProbe]] pass.
+    *
+    * Overflow bound (ANSI): values are rebased to the corpus min, so
+    * |P2| ≤ Σ interval lengths + concurrency·span — safe for any
+    * session-length corpus up to ~10⁹ interval-years; beyond that,
+    * time-shard the sweep with intervals CLIPPED to shard boundaries
+    * (overlap is integral-additive; counts attribute to the
+    * max-start shard), the same decomposition the bucketed pair join
+    * already uses. */
+  def overlapStats(iv: DataFrame, idCols: Seq[String],
+                   sCol: String, eCol: String, bucket: Long): DataFrame = {
+    val ids = idCols.map(col)
+    val base = iv.select(ids :+ col(sCol).cast("long").as("__s") :+
+      col(eCol).cast("long").as("__e"): _*)
+    val t0df = base.agg(min(col("__s")).as("__t0"))
+    val b = base.crossJoin(broadcast(t0df))
+      .withColumn("__sr", col("__s") - col("__t0"))
+      .withColumn("__er", col("__e") - col("__t0"))
+
+    // endpoint stream: starts carry (+1 concurrency, +s rebased,
+    // +1 start-count); ends carry (−1, −e, 0) with end-count 1
+    val data = b.select(col("__sr").as("__v"), lit(1L).as("wP1"),
+        col("__sr").as("wP2"), lit(1L).as("wS"), lit(0L).as("wE"))
+      .unionByName(b.select(col("__er").as("__v"), lit(-1L).as("wP1"),
+        (-col("__er")).as("wP2"), lit(0L).as("wS"), lit(1L).as("wE")))
+
+    // three probes per interval: at e (non-strict: R1 = #starts ≤ e,
+    // A(e)), at s (strict: R2 = #ends < s, A(s)) — A is indifferent
+    // to boundary strictness because boundary terms carry zero weight
+    val probes = b.select(ids :+ col("__sr") :+ col("__er") :+
+        col("__er").as("__v") :+ lit(false).as("__strict") :+
+        lit("e").as("__mk"): _*)
+      .unionByName(b.select(ids :+ col("__sr") :+ col("__er") :+
+        col("__sr").as("__v") :+ lit(true).as("__strict") :+
+        lit("s").as("__mk"): _*))
+
+    val ps = prefixProbe(data, probes, Nil, "__v",
+      Seq("wP1", "wP2", "wS", "wE"), "__strict", bucket)
+
+    // fold the two probe rows of each interval back together with ONE
+    // id-keyed partial aggregate (each statistic lives on exactly one
+    // mark, so conditional sums pivot without a join)
+    val perProbe = ps.select(ids :+ col("__mk") :+
+      (col("__v") * col("wP1_ps") - col("wP2_ps")).as("__A") :+
+      col("wS_ps").as("__r1") :+ col("wE_ps").as("__r2") :+
+      (col("__er") - col("__sr")).as("__len"): _*)
+    perProbe.groupBy(ids: _*)
+      .agg(
+        (sum(when(col("__mk") === "e", col("__r1") - 1)
+          .otherwise(-col("__r2")))).as("n_ov"),
+        (sum(when(col("__mk") === "e", col("__A") - col("__len"))
+          .otherwise(-col("__A")))).as("ov_sum"))
+  }
+
+  // =================================================================
+  // 2-D grid-join occupancy costing (q216)
+  // =================================================================
+
+  /** Candidate-pair volume of a 2-D grid self-join: Σ over ordered
+    * adjacent cell pairs of n_a·n_b, computed on the CELL OCCUPANCY
+    * relation (|cells| rows — never on facts). This is the costing
+    * input for [[Round12b]]'s q216 selector: unlike the 1-D band
+    * aggregates, per-pair 2-D gap sums have no 1-D prefix-sum
+    * decomposition (they are dominance sums over two independent
+    * orderings), so the exact grid join's Θ(candidate volume) work
+    * is inherent — what a scalable engine does is MEASURE the volume
+    * first and refuse/degrade predictably instead of discovering a
+    * 10¹⁴-pair cell the hard way. Returns one row: (n_cells,
+    * max_cell, cand_volume). */
+  def gridPairVolume(cells: DataFrame): DataFrame = {
+    val occ = cells.groupBy("tc", "vcell").agg(count(lit(1)).as("nc"))
+    // 9-neighborhood EQUI-join on the occupancy relation (probe side
+    // explodes its 3×3 neighborhood — the grid join's own trick, run
+    // on cells instead of facts, so the costing pass is |cells|·9)
+    val a = occ.select(col("nc").as("na"),
+        explode(expr("sequence(tc - 1, tc + 1)")).as("tc"), col("vcell"))
+      .select(col("na"), col("tc"),
+        explode(expr("sequence(vcell - 1, vcell + 1)")).as("vcell"))
+    a.join(occ, Seq("tc", "vcell"))
+      .agg(coalesce(sum(col("na") * col("nc")), lit(0L))
+        .as("cand_volume"))
+      .crossJoin(occ.agg(count(lit(1)).as("n_cells"),
+        coalesce(max(col("nc")), lit(0L)).as("max_cell")))
+      .select(col("n_cells"), col("max_cell"), col("cand_volume"))
+  }
+}

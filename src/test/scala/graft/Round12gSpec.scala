@@ -21,7 +21,12 @@ class Round12gSpec extends SparkSpecBase {
       .agg(count(lit(1)).as("n_pairs"),
         sum(abs(col("a.tsu") - col("b.tsu"))).as("gap_us_sum"),
         sum(abs(col("a.vc") - col("b.vc"))).as("val_gap_sum"))
-    val got = SparkEntry.queries("q_join_grid_2d")(spark, sfDir)
+    val gotFull = SparkEntry.queries("q_join_grid_2d")(spark, sfDir)
+    // the round-13 occupancy guard must pick the exact branch at
+    // every fixture SF (the decision column is under the oracle hash)
+    assert(gotFull.select("plan").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("exact"))
+    val got = gotFull.drop("plan")
     assert(got.exceptAll(naive).count() == 0)
     assert(naive.exceptAll(got).count() == 0)
     assert(got.agg(sum(col("n_pairs"))).head().getLong(0) > 0,
