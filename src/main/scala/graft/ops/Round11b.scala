@@ -527,21 +527,22 @@ object Round11b {
       * division. The LSH swap (q51) is the documented scale path when
       * the pair set cannot be subset-bounded. */
     "q_graph_jaccard_neighbors" -> ((s, d) => {
+      // COSTED pair source (r13): the query emits EVERY intersecting
+      // pair with its exact jaccard (no threshold), so no LSH swap
+      // is sound — the scale guard is guardedInterPairs' capped
+      // branch (hot-supplier cap + exact re-verify), the same
+      // degradation the grid join declares. Decision under the hash.
       val e = bipartiteEdges(s, d).filter(col("p") < 100)
-      val deg = e.groupBy("p").agg(count(lit(1)).as("dg"))
-      val inter = e.as("a")
-        .join(e.as("b"), col("a.sk") === col("b.sk") &&
-          col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(deg.select(col("p").as("part_a"), col("dg").as("da")), "part_a")
-        .join(deg.select(col("p").as("part_b"), col("dg").as("db")), "part_b")
-        .select(col("part_a"), col("part_b"), col("inter"),
-          (col("da") + col("db") - col("inter")).as("union_sz"),
+      val (plan, pairs) =
+        graft.text.Dedup.guardedInterPairs(e, "sk", "p")
+      pairs
+        .select(col("doc_a").as("part_a"), col("doc_b").as("part_b"),
+          col("inter"),
+          (col("sz_a") + col("sz_b") - col("inter")).as("union_sz"),
           (col("inter").cast("double") /
-            (col("da") + col("db") - col("inter")).cast("double"))
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
             .as("jacc"))
+        .withColumn("plan", lit(plan))
         .orderBy("part_a", "part_b")
     }),
 
@@ -935,7 +936,8 @@ object Round11b {
          SELECT part_a, part_b, CAST(inter AS BIGINT) AS inter,
            CAST(da.dg + db.dg - inter AS BIGINT) AS union_sz,
            CAST(inter AS DOUBLE) /
-             CAST(da.dg + db.dg - inter AS DOUBLE) AS jacc
+             CAST(da.dg + db.dg - inter AS DOUBLE) AS jacc,
+           'exact' AS plan
          FROM i
          JOIN deg da ON da.p = part_a
          JOIN deg db ON db.p = part_b

@@ -132,6 +132,95 @@ object Dedup {
     })
   }
 
+  /** Pair-instance volume Σ_key df² of an (id, key) relation — the
+    * EXACT row count (ordered, self-pairs included) of the
+    * key-equality self-join, computable from one df aggregate BEFORE
+    * committing to a plan. [[autoPairs]]'s costing estimate exposed
+    * generically for the whole exact-pair family (VERDICT r12 next
+    * step 4). The relation must be DISTINCT on (id, key). */
+  def pairVolume(rel: DataFrame, keyCol: String): Long =
+    rel.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      // coalesce(0): an empty relation sums to NULL — trivially exact
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).cast("long"))
+      .head().getLong(0)
+
+  /** Deterministic per-key population cap: only the `cap` SMALLEST
+    * ids per key survive — seed-free, so reproducible on any engine
+    * and cluster layout (the GridCellCap / MinHash MaxBucket
+    * discipline applied to a flat (id, key) relation). */
+  def capPerKey(rel: DataFrame, keyCol: String, idCol: String,
+                cap: Int): DataFrame =
+    rel.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(idCol))))
+      .filter(col("__rn") <= cap).drop("__rn")
+
+  /** Occupancy-costed EXACT-VALUE pair source over ANY distinct
+    * (id, key) relation — [[autoPairs]] generalized past the
+    * J ≥ 0.5 token corpus it was built for (VERDICT r12 next step 4:
+    * q65 shingles, q109 containment, q175 graph adjacency). Returns
+    * (plan, pairs) with pairs = (doc_a < doc_b, inter, sz_a, sz_b),
+    * values EXACT in both branches:
+    *
+    *  - `exact` (volume ≤ volumeCap): the full key self-join —
+    *    complete recall. The LSH swap is NOT sound here: these
+    *    callers threshold at J ≥ 0.1, on asymmetric containment, or
+    *    not at all, all outside the banding S-curve — so the guarded
+    *    degradation below is the scale path instead.
+    *  - `capped` (volume > volumeCap): candidate pairs are drawn
+    *    from the [[capPerKey]]-capped relation (candidate volume
+    *    bounded by Σ min(df, keyCap)²), then every candidate is
+    *    verified against the FULL per-id sets — emitted rows carry
+    *    exact inter/sizes; recall is a declared lower bound (a pair
+    *    ALL of whose shared keys are hot may be missed), the LSH
+    *    MaxBucket cap-and-quarantine semantics applied to the exact
+    *    family.
+    *
+    * Callers surface the decision as a `plan` column under the
+    * oracle hash (the gridPairs2d discipline), so the selector
+    * itself is oracle-pinned on the fixture. */
+  def guardedInterPairs(rel0: DataFrame, keyCol: String, idCol: String,
+      volumeCap: Long = 20L * 1000 * 1000, keyCap: Int = 4096,
+      knownVolume: Option[Long] = None): (String, DataFrame) = {
+    val rel = rel0.select(col(idCol).as("doc_id"), col(keyCol).as("tok"))
+    val vol = knownVolume.getOrElse(pairVolume(rel, "tok"))
+    val sz = rel.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val szB = sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val out =
+      if (vol <= volumeCap) {
+        val a = rel.select(col("doc_id").as("doc_a"), col("tok"))
+        val b = rel.select(col("doc_id").as("doc_b"), col("tok"))
+        ("exact", a.join(b, Seq("tok"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter")))
+      } else {
+        val capped = capPerKey(rel, "tok", "doc_id", keyCap)
+        val a = capped.select(col("doc_id").as("doc_a"), col("tok"))
+        val b = capped.select(col("doc_id").as("doc_b"), col("tok"))
+        val cands = a.join(b, Seq("tok"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        // exact re-verification against the FULL sets (doc-count-
+        // sized, broadcast): capping bounds RECALL, never values
+        val sets = rel.groupBy("doc_id")
+          .agg(collect_set(col("tok")).as("toks"))
+        val pa = sets.select(col("doc_id").as("doc_a"),
+          col("toks").as("toks_a"))
+        val pb = sets.select(col("doc_id").as("doc_b"),
+          col("toks").as("toks_b"))
+        ("capped", cands
+          .join(broadcast(pa), "doc_a").join(broadcast(pb), "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("toks_a"), col("toks_b")))
+              .cast("bigint")))
+      }
+    (out._1, out._2
+      .join(broadcast(szA), "doc_a").join(broadcast(szB), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("sz_a"), col("sz_b")))
+  }
+
   /** Session-scoped memo for the deterministic subset pair graph and
     * doc set — the Graphs.cached pattern applied to the dedup family:
     * q50, q108 and q126 all consume the SAME exact-Jaccard pair
@@ -306,13 +395,23 @@ object Dedup {
       * Integer threshold (10·inter >= 8·|A|), one token self-join,
       * sizes broadcast — the q50 shape with an ordered pair space. */
     "q_text_containment" -> ((s, d) => {
-      // intersection is SYMMETRIC: the MEMOIZED canonical-pair
-      // relation (shared with the Jaccard family) is emitted in both
-      // orientations — (a,b) keeps sz_a, (b,a) promotes sz_b — and the
-      // asymmetric |A∩B|/|A| threshold applies per direction. After
-      // the shared memo is built this query costs only the union +
-      // filter.
-      val inter = cachedSubsetInter(s, d)
+      // intersection is SYMMETRIC: the canonical-pair relation is
+      // emitted in both orientations — (a,b) keeps sz_a, (b,a)
+      // promotes sz_b — and the asymmetric |A∩B|/|A| threshold
+      // applies per direction. Pair source is COSTED (r13): under
+      // the volume cap the MEMOIZED canonical pairs (shared with the
+      // Jaccard family) serve both orientations for free; over it,
+      // [[guardedInterPairs]]' capped branch bounds the self-join —
+      // the token vocabulary here is ~31 terms, so Σdf² grows
+      // QUADRATICALLY with the corpus (17.9M at sf0.1 → ~1.8G at
+      // sf1) and this row is exactly where the guard earns its keep.
+      // The decision rides the hash as `plan`.
+      val toks = subsetTokens(s, d)
+      val vol = pairVolume(toks, "tok")
+      val (plan, inter) =
+        if (vol <= 20L * 1000 * 1000) ("exact", cachedSubsetInter(s, d))
+        else guardedInterPairs(toks, "tok", "doc_id",
+          knownVolume = Some(vol))
       val both = inter
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))
         .unionByName(inter.select(col("doc_b").as("doc_a"),
@@ -320,6 +419,7 @@ object Dedup {
       both
         .filter(col("inter") * 10 >= col("sz_a") * 8)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))
+        .withColumn("plan", lit(plan))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -327,19 +427,18 @@ object Dedup {
       * integer-threshold machinery as q50 over contiguous shingles
       * (stricter than token sets: order-sensitive). */
     "q_sim_shingle_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d)
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      val szB = sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-      a.join(b, Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-        .join(broadcast(szA), "doc_a").join(broadcast(szB), "doc_b")
+      // COSTED pair source (r13): J ≥ 0.1 sits far below the LSH
+      // banding S-curve, so the scale path is the capped-candidate +
+      // exact-verify branch of [[guardedInterPairs]], not a MinHash
+      // swap. Shingle df is near-1 in natural text (volume ~n), so
+      // the exact branch holds to much larger corpora than the token
+      // family; the guard protects against boilerplate shingles.
+      val (plan, pairs) = guardedInterPairs(shingles(s, d), "sh", "doc_id")
+      pairs
         .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
         .filter(col("inter") * 10 >= col("union_sz"))
         .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+        .withColumn("plan", lit(plan))
         .orderBy("doc_a", "doc_b")
     })
   )
@@ -466,7 +565,7 @@ object Dedup {
            FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
            GROUP BY a.doc_id, b.doc_id
          )
-         SELECT doc_a, doc_b, inter, sa.sz AS sz_a
+         SELECT doc_a, doc_b, inter, sa.sz AS sz_a, 'exact' AS plan
          FROM inter JOIN sz sa ON sa.doc_id = doc_a
          WHERE 10 * inter >= 8 * sa.sz
          ORDER BY doc_a, doc_b""",
@@ -526,7 +625,8 @@ object Dedup {
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
            GROUP BY a.doc_id, b.doc_id
          )
-         SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz
+         SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS union_sz,
+                'exact' AS plan
          FROM inter
          JOIN sz sa ON sa.doc_id = doc_a
          JOIN sz sb ON sb.doc_id = doc_b
