@@ -321,7 +321,14 @@ object Round8 {
     // shuffles. Verification runs against the UNFILTERED stored
     // doc-set relation: rebuilt buckets contain no deleted docs
     // (bucketsTouched applies the delta before grouping), so the join
-    // never looks up a deleted doc.
+    // never looks up a deleted doc. At 100 TB the probe sides must be
+    // SEMI-FILTERED to the rebuilt buckets' member docs before the
+    // broadcast (delta-proportional — every candidate endpoint lives
+    // in a rebuilt bucket's ds list); at this fixture scale that
+    // filter measured as a net loss (r13 A/B: the two probe builds
+    // race to compute the not-yet-materialized bucket rebuild), so
+    // the declared row keeps the whole-relation broadcast and the
+    // production swap is this one-line semi-join.
     val kg = cachedLshKnownGood(s, d).withColumn("known", lit(true))
     val sets = cachedDocSetsAll(s, d)
     val pa = sets.select(col("doc_id").as("doc_a"),
@@ -369,6 +376,25 @@ object Round8 {
     // matEvery=1 flattens lineage each round so the broadcast builds
     // never re-plan the growing join chain. The checkpoint runs
     // INSIDE the conf block: Spark reads session conf at ACTION time.
+    //
+    // r13 A/B (quiet window, interleaved BenchOne warm medians): this
+    // shape is the local optimum of four measured variants. (a)
+    // pair-graph-restricted state (loop over pair endpoints only,
+    // corpus joins the labels once at the end): batch 1.0->1.5 s —
+    // at sf0.1 the corpus (~5k docs) is barely larger than the pair
+    // node set (~4.5k), so the restriction saves nothing and its
+    // extra distinct/checkpoint/final-join jobs are pure overhead; at
+    // 100 TB the restriction IS the right production shape (the
+    // corpus-sized frame would otherwise be re-materialized every
+    // round) and becomes worth its fixed cost once corpus >> pair
+    // nodes. (b) shuffle-hash rounds: 2.7->3.6 s (3 stages x 32
+    // tasks of scheduling per round lose to tiny broadcast builds).
+    // (c) matEvery=5: q139 37->40 jobs, 2.8->3.8 s — the in-loop
+    // broadcast exchanges re-execute through unmaterialized lineage
+    // per action, re-confirming the r9 finding. The row's remaining
+    // warm cost is the local[32] job-launch floor (~37 jobs x ~60 ms
+    // across maintenance + collapse), not data volume — it shrinks
+    // RELATIVE to data at larger SF (see SCALING.md).
     graft.iter.IterQueries.loopConf(s) {
       val state0 = docs
         .select(col("doc_id").as("node"), col("doc_id").as("label"))
