@@ -40,13 +40,36 @@ object Bench {
     // first timed query measures the query, not the cold start.
     try SparkEntry.queries.get("q_scan_project").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_TRACE=1: per-query progress lines on stderr (the
+    // one-line-JSON stdout contract stays intact) — used by the sf1
+    // scale-stress runs, where a single row can dominate the wall and
+    // the end-of-run JSON alone can't say which.
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+    // SPARK_GRAFT_QTIMEOUT=<sec>: per-query watchdog — cancel the
+    // query's job group after N seconds so one pathological row can't
+    // hang an unattended scale run; the cancelled query records its
+    // elapsed-to-cancel time and lands in `failed` like any throw.
+    val qTimeout = sys.env.get("SPARK_GRAFT_QTIMEOUT").map(_.toLong)
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t })
     // Returns (seconds, succeeded): a query that throws records its
     // elapsed-to-failure time but is flagged, so failures are
     // distinguishable from fast successes in the JSON.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
+      val cancel = qTimeout.map { sec =>
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        watchdog.schedule(new Runnable {
+          def run(): Unit = {
+            System.err.println(s"[bench] TIMEOUT $name after $sec s — cancelling")
+            spark.sparkContext.cancelJobGroup(name)
+          }
+        }, sec, java.util.concurrent.TimeUnit.SECONDS)
+      }
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
+      cancel.foreach(_.cancel(false))
+      if (qTimeout.isDefined) spark.sparkContext.clearJobGroup()
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Optional isolation filter: SPARK_GRAFT_ONLY=q_a,q_b benches just
@@ -70,10 +93,12 @@ object Bench {
     // builds its stored state before the maintenance query reads it,
     // which is the documented production sequence.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to repeats).map(_ => timeOnce(fn))
+      val runs = (1 to repeats).map(_ => timeOnce(name, fn))
       val samples = runs.map(_._1)
       val sortedS = samples.sorted
       val median = sortedS(sortedS.length / 2)
+      if (trace) System.err.println(
+        f"[bench] $name median=${median}%.3f s samples=${samples.map(x => f"$x%.2f").mkString(",")} ok=${runs.forall(_._2)}")
       name -> (median, sortedS.head, samples.head, runs.forall(_._2))
     }
     // 3-decimal rounding halves the line length (ms resolution is
