@@ -34,7 +34,7 @@ object SparkEntry {
       Round12c.defs ++ Round12d.defs ++ Round12e.defs ++ Round12f.defs ++
       Round12g.defs ++ Round12h.defs ++ Round12i.defs ++
       Curation.defs ++
-      HeavyHitters.defs ++ BloomPrune.defs
+      HeavyHitters.defs ++ BloomPrune.defs ++ TpcH.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
@@ -52,5 +52,5 @@ object SparkEntry {
       Round12c.sql ++ Round12d.sql ++ Round12e.sql ++ Round12f.sql ++
       Round12g.sql ++ Round12h.sql ++ Round12i.sql ++
       Curation.sql ++
-      HeavyHitters.sql ++ BloomPrune.sql
+      HeavyHitters.sql ++ BloomPrune.sql ++ TpcH.sql
 }
