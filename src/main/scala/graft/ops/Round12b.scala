@@ -436,42 +436,65 @@ object Round12b {
   // ---------------------------------------------------------------
 
   /** Candidate-volume ceiling above which the exact 2-D grid join is
-    * refused: 2³¹ candidate pairs ≈ minutes of cluster work — beyond
-    * it the declared plan degrades predictably instead of launching
-    * an unbounded job. */
-  val GridVolumeCap: Long = 1L << 31
+    * refused: 2²⁷ (~134M) candidate pairs ≈ tens of seconds of probe
+    * work at this operator's measured ~150 ns/candidate — beyond it
+    * the declared plan degrades predictably instead of launching an
+    * unbounded job. (The r13 sf1 scale run measured the previous 2³¹
+    * ceiling admitting a 41 s exact join at 1M events — the ceiling
+    * was protecting against mega-cells but not against DENSITY, where
+    * many mid-size cells multiply volume with no cell ever tripping a
+    * fixed per-cell cap.) */
+  val GridVolumeCap: Long = 1L << 27
 
-  /** Per-cell population cap of the degraded branch (deterministic:
+  /** Per-cell population ceiling of the degraded branch (deterministic:
     * the smallest event ids per cell are retained — reproducible on
     * any engine and cluster layout, like every seed-free cap in the
-    * LSH family). */
+    * LSH family). The EFFECTIVE cap is adaptive (see [[gridPairs2d]]):
+    * this constant is only its upper clamp. */
   val GridCellCap: Int = 4096
 
   /** The q216 guarded grid join over `ev` (event_id, event_type,
     * tsu, vc): measures adjacent-cell candidate volume on the cell
     * occupancy relation, then runs the exact pair join under
-    * [[GridVolumeCap]] or the [[GridCellCap]]-capped variant over
-    * it; the chosen branch is a `plan` column under the oracle
-    * hash. */
+    * [[GridVolumeCap]] or the capped variant over it; the chosen
+    * branch is a `plan` column under the oracle hash.
+    *
+    * The capped branch's per-cell cap is ADAPTIVE: every retained row
+    * probes at most 9·k build rows, so k = volumeCap / (9 · n_rows)
+    * bounds the post-cap candidate volume by ~volumeCap BY
+    * CONSTRUCTION whatever the density profile (a fixed per-cell cap
+    * only binds on mega-cells and lets many mid-size cells multiply
+    * volume unboundedly — the r13 sf1 finding: 2³¹ ceiling + 4096
+    * cell cap admitted a 41 s exact join at 1M events whose cells
+    * averaged ~30 rows). k clamps to [min(16, cellCap), cellCap]. The
+    * result is a declared deterministic lower bound, exactly the
+    * MinHash MaxBucket cap semantics; the production EXACT path at
+    * dense scale is the per-type-pair time-sweep with an order-
+    * statistic (BIT) value index — O(n log n) sequentially, a tier-(c)
+    * custom operator if ever declared. */
   def gridPairs2d(ev: DataFrame, T: Long, V: Long,
                   volumeCap: Long = GridVolumeCap,
                   cellCap: Int = GridCellCap,
-                  knownVolume: Option[Long] = None): DataFrame = {
-    val volume = knownVolume.getOrElse {
+                  knownStats: Option[(Long, Long)] = None): DataFrame = {
+    val (volume, nRows) = knownStats.getOrElse {
       val cells = ev.select(
         expr(s"(tsu - pmod(tsu, ${T}L)) div ${T}L").as("tc"),
         expr(s"(vc - pmod(vc, ${V}L)) div ${V}L").as("vcell"))
-      Sweep.gridPairVolume(cells).head().getAs[Long]("cand_volume")
+      val r = Sweep.gridPairVolume(cells).head()
+      (r.getAs[Long]("cand_volume"), r.getAs[Long]("n_rows"))
     }
     val (input, plan) =
       if (volume <= volumeCap) (ev, "exact")
       else {
+        val k = math.min(cellCap.toLong,
+          math.max(math.min(16L, cellCap.toLong),
+            volumeCap / (9L * math.max(1L, nRows))))
         val wCell = Window.partitionBy(
             expr(s"(tsu - pmod(tsu, ${T}L)) div ${T}L"),
             expr(s"(vc - pmod(vc, ${V}L)) div ${V}L"))
           .orderBy(col("event_id"))
         (ev.withColumn("__rn", row_number().over(wCell))
-          .filter(col("__rn") <= cellCap).drop("__rn"), "capped")
+          .filter(col("__rn") <= k).drop("__rn"), "capped")
       }
     val probe = input.select(col("event_id").as("id_a"),
         col("event_type").as("ta"), col("tsu").as("tsu_a"),
@@ -1011,16 +1034,23 @@ object Round12b {
         unix_micros(col("ts")).as("tsu"),
         floor(col("value") * lit(100)).cast("long").as("vc"))
       // the costing pass is one occupancy aggregate over a static
-      // input — memoize its scalar result across calls in a session
+      // input — memoize its scalar results across calls in a session
       // (the same table-statistics reuse every cost-based selector
       // in the engine applies)
-      val vol = volMemo.getOrElseUpdate((s, d, "grid_vol"), {
+      def stats(): (Long, Long) = {
         val cells = ev.select(
           expr(s"(tsu - pmod(tsu, ${T}L)) div ${T}L").as("tc"),
           expr(s"(vc - pmod(vc, ${V}L)) div ${V}L").as("vcell"))
-        Sweep.gridPairVolume(cells).head().getAs[Long]("cand_volume")
-      })
-      gridPairs2d(ev, T, V, knownVolume = Some(vol))
+        val r = Sweep.gridPairVolume(cells).head()
+        volMemo.put((s, d, "grid_vol"), r.getAs[Long]("cand_volume"))
+        volMemo.put((s, d, "grid_rows"), r.getAs[Long]("n_rows"))
+        (r.getAs[Long]("cand_volume"), r.getAs[Long]("n_rows"))
+      }
+      val known = for {
+        v <- volMemo.get((s, d, "grid_vol"))
+        n <- volMemo.get((s, d, "grid_rows"))
+      } yield (v, n)
+      gridPairs2d(ev, T, V, knownStats = Some(known.getOrElse(stats())))
     }),
 
     /** q217: INTEGER OUTLIER DETECTION [N data-quality] — per-user

@@ -342,7 +342,9 @@ object Sweep {
       .agg(coalesce(sum(col("na") * col("nc")), lit(0L))
         .as("cand_volume"))
       .crossJoin(occ.agg(count(lit(1)).as("n_cells"),
-        coalesce(max(col("nc")), lit(0L)).as("max_cell")))
-      .select(col("n_cells"), col("max_cell"), col("cand_volume"))
+        coalesce(max(col("nc")), lit(0L)).as("max_cell"),
+        coalesce(sum(col("nc")), lit(0L)).as("n_rows")))
+      .select(col("n_cells"), col("max_cell"), col("n_rows"),
+        col("cand_volume"))
   }
 }
