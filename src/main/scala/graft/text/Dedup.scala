@@ -139,10 +139,32 @@ object Dedup {
     * generically for the whole exact-pair family (VERDICT r12 next
     * step 4). The relation must be DISTINCT on (id, key). */
   def pairVolume(rel: DataFrame, keyCol: String): Long =
-    rel.groupBy(keyCol).agg(count(lit(1)).as("df"))
+    pairStats(rel, keyCol)._1
+
+  /** (candidate volume Σdf², distinct key count) of a flat (id, key)
+    * relation — the two scalars the guarded pair source needs: the
+    * volume picks the branch, the key count sizes the adaptive cap. */
+  def pairStats(rel: DataFrame, keyCol: String): (Long, Long) = {
+    val r = rel.groupBy(keyCol).agg(count(lit(1)).as("df"))
       // coalesce(0): an empty relation sums to NULL — trivially exact
-      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).cast("long"))
-      .head().getLong(0)
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).cast("long")
+          .as("vol"),
+        count(lit(1)).as("n_keys"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The guarded pair source's adaptive per-key cap: post-cap
+    * candidate volume is Σ min(df, k)² ≤ n_keys·k², so k =
+    * √(volumeCap / n_keys) bounds the degraded branch's work by
+    * ~volumeCap for ANY df profile; clamped to [min(16, keyCap),
+    * keyCap] (the floor keeps a minimum of usefulness on degenerate
+    * single-key relations, trading a bounded volume overshoot of
+    * n_keys·16²). */
+  def adaptiveKeyCap(volumeCap: Long, keyCap: Int, nKeys: Long): Int =
+    math.min(keyCap.toLong,
+      math.max(math.min(16L, keyCap.toLong),
+        math.sqrt(volumeCap.toDouble / math.max(1L, nKeys)).toLong)).toInt
 
   /** Deterministic per-key population cap: only the `cap` SMALLEST
     * ids per key survive — seed-free, so reproducible on any engine
@@ -168,22 +190,28 @@ object Dedup {
     *    not at all, all outside the banding S-curve — so the guarded
     *    degradation below is the scale path instead.
     *  - `capped` (volume > volumeCap): candidate pairs are drawn
-    *    from the [[capPerKey]]-capped relation (candidate volume
-    *    bounded by Σ min(df, keyCap)²), then every candidate is
-    *    verified against the FULL per-id sets — emitted rows carry
+    *    from the [[capPerKey]]-capped relation, then every candidate
+    *    is verified against the FULL per-id sets — emitted rows carry
     *    exact inter/sizes; recall is a declared lower bound (a pair
     *    ALL of whose shared keys are hot may be missed), the LSH
     *    MaxBucket cap-and-quarantine semantics applied to the exact
-    *    family.
+    *    family. The per-key cap is ADAPTIVE: post-cap candidate
+    *    volume is Σ min(df, k)² ≤ n_keys·k², so k = √(volumeCap /
+    *    n_keys) (clamped to [min(16, keyCap), keyCap]) bounds the
+    *    degraded branch's work BY CONSTRUCTION for any df profile —
+    *    the r13 sf1 scale run measured the previous FIXED 4096 cap
+    *    admitting a 92 s run on a ~31-term vocabulary (31·4096² ≈
+    *    half a billion candidates slip under any fixed per-key cap
+    *    when the key space is small).
     *
     * Callers surface the decision as a `plan` column under the
     * oracle hash (the gridPairs2d discipline), so the selector
     * itself is oracle-pinned on the fixture. */
   def guardedInterPairs(rel0: DataFrame, keyCol: String, idCol: String,
       volumeCap: Long = 20L * 1000 * 1000, keyCap: Int = 4096,
-      knownVolume: Option[Long] = None): (String, DataFrame) = {
+      knownStats: Option[(Long, Long)] = None): (String, DataFrame) = {
     val rel = rel0.select(col(idCol).as("doc_id"), col(keyCol).as("tok"))
-    val vol = knownVolume.getOrElse(pairVolume(rel, "tok"))
+    val (vol, nKeys) = knownStats.getOrElse(pairStats(rel, "tok"))
     val sz = rel.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val szA = sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val szB = sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
@@ -195,7 +223,8 @@ object Dedup {
           .filter(col("doc_a") < col("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter")))
       } else {
-        val capped = capPerKey(rel, "tok", "doc_id", keyCap)
+        val k = adaptiveKeyCap(volumeCap, keyCap, nKeys)
+        val capped = capPerKey(rel, "tok", "doc_id", k)
         val a = capped.select(col("doc_id").as("doc_a"), col("tok"))
         val b = capped.select(col("doc_id").as("doc_b"), col("tok"))
         val cands = a.join(b, Seq("tok"))
@@ -407,11 +436,11 @@ object Dedup {
       // sf1) and this row is exactly where the guard earns its keep.
       // The decision rides the hash as `plan`.
       val toks = subsetTokens(s, d)
-      val vol = pairVolume(toks, "tok")
+      val (vol, nKeys) = pairStats(toks, "tok")
       val (plan, inter) =
         if (vol <= 20L * 1000 * 1000) ("exact", cachedSubsetInter(s, d))
         else guardedInterPairs(toks, "tok", "doc_id",
-          knownVolume = Some(vol))
+          knownStats = Some((vol, nKeys)))
       val both = inter
         .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"))
         .unionByName(inter.select(col("doc_b").as("doc_a"),

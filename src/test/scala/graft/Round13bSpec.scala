@@ -58,16 +58,28 @@ class Round13bSpec extends SparkSpecBase {
     }
   }
 
-  test("capped branch keeps FULL recall when every key is under the " +
-      "key cap (cap larger than max df)") {
-    val rel = hotRel(30)
+  test("capped branch's ADAPTIVE key cap bounds post-cap candidate " +
+      "volume by the volume cap (r13 sf1 finding: a fixed per-key cap " +
+      "admits unbounded volume on small key spaces)") {
+    val rel = hotRel(60)
+    val (vol, nKeys) = Dedup.pairStats(rel, "tok")
+    val volumeCap = 4000L
+    assert(vol > volumeCap, s"fixture must force the capped branch ($vol)")
+    val k = Dedup.adaptiveKeyCap(volumeCap, 4096, nKeys)
+    // the internal cap is the tested formula...
+    assert(k == math.sqrt(volumeCap.toDouble / nKeys).toLong.toInt)
+    // ...and it bounds the post-cap candidate volume by the cap
+    val post = rel.groupBy("tok").count()
+      .select(least(col("count"), lit(k.toLong)).as("c"))
+      .agg(sum(col("c") * col("c"))).as[Long].head()
+    assert(post <= volumeCap, s"post-cap volume $post > cap $volumeCap")
+    // soundness still holds: capped ⊆ exact with identical values
     val (_, exact) = Dedup.guardedInterPairs(rel, "tok", "doc_id",
       volumeCap = 1000000L)
     val (p, capped) = Dedup.guardedInterPairs(rel, "tok", "doc_id",
-      volumeCap = 10L, keyCap = 1000)
+      volumeCap = volumeCap)
     assert(p == "capped")
     assert(capped.exceptAll(exact).count() == 0)
-    assert(exact.exceptAll(capped).count() == 0)
   }
 
   test("pairVolume is the exact self-join cardinality; empty and " +
