@@ -454,7 +454,7 @@ object Graft {
     * (event_type, blk, bm, n). */
   def bitmapBlocks(df: DataFrame, typeCol: String,
                    idCol: String): DataFrame =
-    ops.Round12c.bitmapBlocks(
+    ops.Analytics.bitmapBlocks(
       renamed(df, typeCol -> "event_type", idCol -> "user_id"))
 
   /** RFM segmentation (row 222): facts reduce per user in one
@@ -462,14 +462,14 @@ object Graft {
     * needs (user, ts, value). */
   def rfmSegments(ev: DataFrame, userCol: String, tsCol: String,
                   valueCol: String): DataFrame =
-    ops.Round12c.rfmSegments(ops.Round12c.rfmPerUser(
+    ops.Analytics.rfmSegments(ops.Analytics.rfmPerUser(
       renamed(ev, userCol -> "user_id", tsCol -> "ts",
         valueCol -> "value")))
 
   /** Rolling exact distinct — per day DAU + trailing-7-day WAU via
     * bitmap partials (row 226). */
   def dauWau(ev: DataFrame, userCol: String, tsCol: String): DataFrame =
-    ops.Round12d.dauWau(ops.Round12d.dailyBitmaps(
+    ops.Analytics.dauWau(ops.Analytics.dailyBitmaps(
       renamed(ev, userCol -> "user_id", tsCol -> "ts")))
 
   /** First/last-touch attribution per channel (row 227): input needs
@@ -479,12 +479,12 @@ object Graft {
                   touchTypes: Seq[String] = Seq("view", "click"),
                   lookbackUs: Long = 7L * 24 * 3600 * 1000000)
       : DataFrame =
-    ops.Round12d.attributionRollup(
-      ops.Round12d.attrPerPurchase(ev, convType, touchTypes, lookbackUs))
+    ops.Analytics.attributionRollup(
+      ops.Analytics.attrPerPurchase(ev, convType, touchTypes, lookbackUs))
 
   /** Per-day new/returning/churned user accounting (row 233). */
   def lifecycle(ev: DataFrame, userCol: String, tsCol: String): DataFrame =
-    ops.Round12e.lifecycle(
+    ops.Analytics.lifecycle(
       renamed(ev, userCol -> "user_id", tsCol -> "ts"))
 
   /** Exact-rational OLS regression per group (rows 230-231): x/y are
@@ -494,41 +494,41 @@ object Graft {
     * signed-sum incremental state. */
   def linreg(df: DataFrame, groupCol: String, xCol: String,
              yCol: String): DataFrame =
-    ops.Round12e.linregFinalize(
-      ops.Round12e.linregMoments(df, groupCol, xCol, yCol), groupCol)
+    ops.Analytics.linregFinalize(
+      ops.Analytics.linregMoments(df, groupCol, xCol, yCol), groupCol)
 
   /** Exact-rational Gini concentration per group (row 237) over a
     * cent-scaled amount; `keyCol` must make (cents, key) unique. */
   def gini(df: DataFrame, groupCol: String, centsCol: String,
            keyCol: String): DataFrame =
-    ops.Round12g.gini(df, groupCol, centsCol, keyCol)
+    ops.Analytics.gini(df, groupCol, centsCol, keyCol)
 
   /** Exact-integer 2×2 chi-square A/B test per type (rows 240-241):
     * arm = id parity; returns contingency counts, the χ² digit-string
     * rational, and the α=0.05 verdict. The counts relation is the
     * invertible signed-sum incremental state. */
   def chisq(ev: DataFrame, typeCol: String, idCol: String): DataFrame =
-    ops.Round12g.chisqFinalize(ops.Round12g.chisqCounts(
+    ops.Analytics.chisqFinalize(ops.Analytics.chisqCounts(
       renamed(ev, typeCol -> "event_type", idCol -> "user_id")))
 
   /** Trigram frequency spectrum (row 235) — the Good-Turing /
     * vocabulary-growth input over any (textCol) corpus. */
   def freqSpectrum(docs: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    ops.Round12f.freqSpectrum(docs.select(col(textCol).as("text")))
+    ops.Analytics.freqSpectrum(docs.select(col(textCol).as("text")))
   }
 
   /** Per-user daily-count outliers under the Tukey fence (row 234),
     * exact quartiles. */
   def outlierIqr(ev: DataFrame, userCol: String, tsCol: String): DataFrame =
-    ops.Round12f.outlierIqr(
+    ops.Analytics.outlierIqr(
       renamed(ev, userCol -> "user_id", tsCol -> "ts"))
 
   /** Per-user 3σ day anomalies, exact integer arithmetic (rows
     * 225/228). */
   def anomalySigma(ev: DataFrame, userCol: String,
                    tsCol: String): DataFrame =
-    ops.Round12c.anomalySigma(
+    ops.Analytics.anomalySigma(
       renamed(ev, userCol -> "user_id", tsCol -> "ts"))
 
   /** Per-node triangle incidences of a canonical (a < b) edge list —
@@ -540,5 +540,5 @@ object Graft {
   /** Morton (Z-order) code of two 4-bit cell coordinates — the
     * clustering key behind row 242's layout. */
   def zMorton(ux: Column, dx: Column): Column =
-    ops.Round12h.zCol(ux, dx)
+    ops.Layout.zCol(ux, dx)
 }

@@ -29,10 +29,9 @@ object SparkEntry {
       Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
       TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
-      Round3.defs ++ Round6.defs ++ Round8.defs ++ Round9.defs ++ Round10.defs ++
-      Round11.defs ++ Round11b.defs ++ Round12.defs ++ Round12b.defs ++
-      Round12c.defs ++ Round12d.defs ++ Round12e.defs ++ Round12f.defs ++
-      Round12g.defs ++ Round12h.defs ++ Round12i.defs ++
+      Round3.defs ++ Round6.defs ++ Round8.defs ++
+      Layout.defs ++ Selectors.defs ++ Round11b.defs ++ Round12.defs ++ Round12b.defs ++
+      Analytics.defs ++
       Curation.defs ++
       HeavyHitters.defs ++ BloomPrune.defs ++ TpcH.defs
 
@@ -47,10 +46,9 @@ object SparkEntry {
       Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
       TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++
-      Round3.sql ++ Round6.sql ++ Round8.sql ++ Round9.sql ++ Round10.sql ++
-      Round11.sql ++ Round11b.sql ++ Round12.sql ++ Round12b.sql ++
-      Round12c.sql ++ Round12d.sql ++ Round12e.sql ++ Round12f.sql ++
-      Round12g.sql ++ Round12h.sql ++ Round12i.sql ++
+      Round3.sql ++ Round6.sql ++ Round8.sql ++
+      Layout.sql ++ Selectors.sql ++ Round11b.sql ++ Round12.sql ++ Round12b.sql ++
+      Analytics.sql ++
       Curation.sql ++
       HeavyHitters.sql ++ BloomPrune.sql ++ TpcH.sql
 }

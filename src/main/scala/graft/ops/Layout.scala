@@ -3,21 +3,135 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
+import graft.engine.Dec._
 
-/** Round-12 batch 12 (SURVEY §2 row 242): Z-ORDER clustered layout —
-  * the multi-dimensional data-skipping member of the layout family
-  * (hive partition pruning q158, dynamic partition pruning q223,
-  * bucketed co-location q157, small-file compaction q186). Facts are
-  * written partitioned by the Morton (bit-interleaved) code of the
-  * two query dimensions; a 2-D box predicate then prunes to exactly
-  * the partitions whose Z-cell rectangle intersects the box — the
-  * mechanism behind Delta/Iceberg OPTIMIZE ZORDER, expressed with
-  * stock Spark partitioned writes.
-  *
-  * The reference tree at /root/reference is absent (SURVEY.md §0);
-  * semantics follow SURVEY §2 row 242.
-  */
-object Round12h {
+/** The STORAGE-LAYOUT family (SURVEY §2 rows 157-158, 242, 249 —
+  * consolidated r13 from the former Round11/Round12h modules as a
+  * pure move, same keys/plans/hashes): bucketed co-location (q157),
+  * hive partition pruning (q158), Z-order clustering (q242) and its
+  * signed-incremental maintenance (q249). Together with dynamic
+  * partition pruning (q223, Analytics) and compaction (q186) this is
+  * the engine's 100 TB read-layout story. Each layout is written ONCE
+  * per (session, fixture) — stored layout, not per-query scratch;
+  * paths carry the Spark application id so concurrent processes never
+  * share a directory. */
+object Layout {
+
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+  graft.engine.Memos.register { () => memo.clear() }
+
+  private def scratchRootL(s: SparkSession, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_r11_" +
+      Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
+
+  /** Bucketed orders/customer tables (8 buckets on the join key,
+    * sorted within buckets), registered in the session catalog —
+    * the co-located layout for repeated big⋈big joins. Returns the
+    * (orders, customer) table names. */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val suffix = Integer.toHexString(d.hashCode)
+    val (ordT, custT) = (s"g157_ord_$suffix", s"g157_cust_$suffix")
+    memo.getOrElseUpdate((s, d, "bucketed"), {
+      val root = scratchRootL(s, d)
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      s.sql(s"DROP TABLE IF EXISTS $custT")
+      orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$root/ord_b").mode("overwrite").saveAsTable(ordT)
+      customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$root/cust_b").mode("overwrite").saveAsTable(custT)
+      "done"
+    })
+    (ordT, custT)
+  }
+
+  /** Hive-partitioned (day=...) copy of events — the partition-pruned
+    * read layout. Returns its path. */
+  private def partitionedEvents(s: SparkSession, d: String): String =
+    memo.getOrElseUpdate((s, d, "evByDay"), {
+      val path = s"${scratchRootL(s, d)}/ev_by_day"
+      events(s, d).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      path
+    })
+
+  private val defsBuckets: Map[String, Q] = Map(
+    /** q157: co-located bucketed join as a DECLARED query — orders ⋈
+      * customer on custkey over the 8-bucket layout, merge-join hinted
+      * so the executed plan is the zero-exchange sort-merge join the
+      * bucketing exists for (the hint, not a session-conf toggle,
+      * because the driver executes this frame at action time, after
+      * this function returned — conf set here would not apply).
+      * ColocationSpec asserts the no-Exchange plan; the oracle hash
+      * asserts the result equals the plain join-aggregate over the
+      * parquet originals. At 100 TB this layout turns every repeated
+      * custkey join from two corpus shuffles into a local merge. */
+    "q_join_colocated" -> ((s, d) => {
+      val (ordT, custT) = bucketedTables(s, d)
+      s.table(ordT).hint("merge")
+        .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec2(col("o_totalprice")))).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    /** q158: partition-pruned scan as a DECLARED query — one day's
+      * events read back from the hive-partitioned layout (the scan
+      * touches exactly one day=... directory; PartitionPruneSpec
+      * asserts the PartitionFilters plan), aggregated per event type.
+      * Oracle = the same day filtered from the original events parquet
+      * by timestamp range: pruning must be result-invisible. */
+    "q_scan_partition_pruned" -> ((s, d) => {
+      val path = partitionedEvents(s, d)
+      s.read.parquet(path)
+        .filter(col("day") === "2024-01-05")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    })
+  )
+
+  private val sqlBuckets: Map[String, String] = Map(
+    // q157's oracle is the PLAIN join-aggregate over the parquet
+    // originals — the bucketed layout must be result-invisible.
+    "q_join_colocated" ->
+      """SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // q158's oracle filters the original events by the UTC day range —
+    // partition pruning must be result-invisible.
+    "q_scan_partition_pruned" ->
+      """SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+         GROUP BY event_type ORDER BY event_type"""
+  )
+
+  // ================================================================
+  // former Round12h module (Z-order layout; merged r13, pure move)
+  // ================================================================
+
+  /** Round-12 batch 12 (SURVEY §2 row 242): Z-ORDER clustered layout —
+    * the multi-dimensional data-skipping member of the layout family
+    * (hive partition pruning q158, dynamic partition pruning q223,
+    * bucketed co-location q157, small-file compaction q186). Facts are
+    * written partitioned by the Morton (bit-interleaved) code of the
+    * two query dimensions; a 2-D box predicate then prunes to exactly
+    * the partitions whose Z-cell rectangle intersects the box — the
+    * mechanism behind Delta/Iceberg OPTIMIZE ZORDER, expressed with
+    * stock Spark partitioned writes.
+    *
+    * The reference tree at /root/reference is absent (SURVEY.md §0);
+    * semantics follow SURVEY §2 row 242.
+    */
 
   private val statsMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), (Long, Int, Int)]
@@ -150,7 +264,7 @@ object Round12h {
       .map(r => zOf(r.getInt(0), r.getInt(1))).distinct.toSeq
   }
 
-  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val defsZorder: Map[String, Q] = Map(
 
     /** q242: Z-ORDER LAYOUT + 2-D BOX PRUNING [N scale path] —
       * events are written ONCE (session-memoized, appId-isolated
@@ -222,7 +336,7 @@ object Round12h {
       boxQuery(s, scratch, stats)
     }))
 
-  def sql: Map[String, String] = Map(
+  private val sqlZorder: Map[String, String] = Map(
     "q_scan_zorder" -> zorderSql("events"),
     "q_incr_zorder" -> zorderSql(
       "(SELECT * FROM events WHERE event_id % 10 <> 1)"))
@@ -239,4 +353,8 @@ object Round12h {
         WHERE user_id BETWEEN 3 AND 8
           AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
                                    AND DATE '2024-01-21'"""
+
+  val defs: Map[String, Q] = defsBuckets ++ defsZorder
+
+  val sql: Map[String, String] = sqlBuckets ++ sqlZorder
 }

@@ -3,89 +3,23 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables._
-import graft.engine.Dec._
 
-/** Round-11 declared queries: the two 100 TB layout capabilities that
-  * were previously spec-only (VERDICT r10 gap 6) put under the oracle
-  * hash as declared rows. Each produces results IDENTICAL to the plain
-  * form of the same computation — what the oracle can check — while
-  * the plan-shape half of the claim (no Exchange on a bucketed join,
-  * PartitionFilters on a pruned scan) stays asserted by
-  * ColocationSpec / PartitionPruneSpec, since a DuckDB hash cannot see
-  * physical plans.
-  *
-  * Both queries write their layout ONCE per (session, fixture) — the
-  * bucketed tables and the hive-partitioned directory are STORED
-  * layout, the artifact a production lake maintains continuously, not
-  * per-query scratch. Paths carry the Spark application id (same
-  * isolation rule as q156): concurrent processes never share a
-  * directory. */
-object Round11 {
+/** The COST-BASED SELECTOR surface (SURVEY §2 rows 159-161, moved
+  * here from the former Round11 module in the r13 consolidation —
+  * pure move, same keys/plans/hashes): the declared selector rows of
+  * the pair/KNN families (exact vs capped-LSH / brute vs IVF chosen
+  * by measured candidate volume, decision under the oracle hash) and
+  * the recall audit that makes approximate-family quality a
+  * driver-visible number. */
+object Selectors {
 
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), String]
   private val dfMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
   graft.engine.Memos.register { () =>
-    memo.clear()
     dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
   }
 
-  private def scratchRoot(s: SparkSession, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_r11_" +
-      Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
-
-  /** Bucketed orders/customer tables (8 buckets on the join key,
-    * sorted within buckets), registered in the session catalog —
-    * the co-located layout for repeated big⋈big joins. Returns the
-    * (orders, customer) table names. */
-  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val suffix = Integer.toHexString(d.hashCode)
-    val (ordT, custT) = (s"g157_ord_$suffix", s"g157_cust_$suffix")
-    memo.getOrElseUpdate((s, d, "bucketed"), {
-      val root = scratchRoot(s, d)
-      s.sql(s"DROP TABLE IF EXISTS $ordT")
-      s.sql(s"DROP TABLE IF EXISTS $custT")
-      orders(s, d).write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$root/ord_b").mode("overwrite").saveAsTable(ordT)
-      customer(s, d).write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$root/cust_b").mode("overwrite").saveAsTable(custT)
-      "done"
-    })
-    (ordT, custT)
-  }
-
-  /** Hive-partitioned (day=...) copy of events — the partition-pruned
-    * read layout. Returns its path. */
-  private def partitionedEvents(s: SparkSession, d: String): String =
-    memo.getOrElseUpdate((s, d, "evByDay"), {
-      val path = s"${scratchRoot(s, d)}/ev_by_day"
-      events(s, d).withColumn("day", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-      path
-    })
-
   val defs: Map[String, Q] = Map(
-    /** q157: co-located bucketed join as a DECLARED query — orders ⋈
-      * customer on custkey over the 8-bucket layout, merge-join hinted
-      * so the executed plan is the zero-exchange sort-merge join the
-      * bucketing exists for (the hint, not a session-conf toggle,
-      * because the driver executes this frame at action time, after
-      * this function returned — conf set here would not apply).
-      * ColocationSpec asserts the no-Exchange plan; the oracle hash
-      * asserts the result equals the plain join-aggregate over the
-      * parquet originals. At 100 TB this layout turns every repeated
-      * custkey join from two corpus shuffles into a local merge. */
-    "q_join_colocated" -> ((s, d) => {
-      val (ordT, custT) = bucketedTables(s, d)
-      s.table(ordT).hint("merge")
-        .join(s.table(custT), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          dbl(sum(dec2(col("o_totalprice")))).as("revenue"))
-        .orderBy("c_mktsegment")
-    }),
-
     /** q159: RECALL OF THE APPROXIMATE FAMILY AS NUMBERS IN THE DUMP
       * (VERDICT r10 ask 4) — the sketch rows are oracle=none by
       * nature, so their quality lived only in spec booleans; this row
@@ -183,35 +117,10 @@ object Round11 {
         .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
       val (plan, knn) = graft.text.Similarity.autoKnn(s, emb, probes, topK = 3)
       knn.withColumn("plan", lit(plan)).orderBy("probe_id", "vec_id")
-    }),
-
-    /** q158: partition-pruned scan as a DECLARED query — one day's
-      * events read back from the hive-partitioned layout (the scan
-      * touches exactly one day=... directory; PartitionPruneSpec
-      * asserts the PartitionFilters plan), aggregated per event type.
-      * Oracle = the same day filtered from the original events parquet
-      * by timestamp range: pruning must be result-invisible. */
-    "q_scan_partition_pruned" -> ((s, d) => {
-      val path = partitionedEvents(s, d)
-      s.read.parquet(path)
-        .filter(col("day") === "2024-01-05")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          count_distinct(col("user_id")).as("n_users"))
-        .orderBy("event_type")
     })
   )
 
   val sql: Map[String, String] = Map(
-    // q157's oracle is the PLAIN join-aggregate over the parquet
-    // originals — the bucketed layout must be result-invisible.
-    "q_join_colocated" ->
-      """SELECT c_mktsegment,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-             AS revenue
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // q160's oracle is q50's exact pair computation with the expected
     // decision as a constant column: the selector's choice is part of
     // the checked result.
@@ -257,16 +166,6 @@ object Round11 {
            SELECT *, row_number() OVER (
              PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
            FROM sims)
-         WHERE rn <= 3 ORDER BY probe_id, vec_id""",
-    // q158's oracle filters the original events by the UTC day range —
-    // partition pruning must be result-invisible.
-    "q_scan_partition_pruned" ->
-      """SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM events
-         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
-           AND ts <  TIMESTAMP '2024-01-06 00:00:00'
-         GROUP BY event_type ORDER BY event_type"""
+         WHERE rn <= 3 ORDER BY probe_id, vec_id"""
   )
 }

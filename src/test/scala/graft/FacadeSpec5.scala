@@ -23,7 +23,7 @@ class FacadeSpec5 extends SparkSpecBase {
   test("bitmapBlocks adapter ≡ kernel on fixture columns") {
     sameRows(
       Graft.bitmapBlocks(evRenamed, "kind", "uid"),
-      ops.Round12c.bitmapBlocks(ev))
+      ops.Analytics.bitmapBlocks(ev))
   }
 
   test("rfmSegments adapter ≡ declared q_events_rfm") {

@@ -31,7 +31,7 @@ class Round12hSpec extends SparkSpecBase {
       (s"t${rnd.nextInt(4)}", rnd.nextInt(3000).toLong)
     }
     val df = rows.toDF("event_type", "user_id")
-    val got = ops.Round12c.bitmapBlocks(df)
+    val got = ops.Analytics.bitmapBlocks(df)
       .groupBy("event_type")
       .agg(sum(expr("bit_count(bm)")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -50,7 +50,7 @@ class Round12hSpec extends SparkSpecBase {
       (s"t${rnd.nextInt(3)}", (rnd.nextInt(2000) - 1000).toLong)
     }
     val df = rows.toDF("event_type", "user_id")
-    val got = ops.Round12c.bitmapBlocks(df)
+    val got = ops.Analytics.bitmapBlocks(df)
       .groupBy("event_type")
       .agg(sum(expr("bit_count(bm)")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -58,7 +58,7 @@ class Round12hSpec extends SparkSpecBase {
       t -> rs.map(_._2).distinct.size.toLong }
     assert(got == exact)
     // every bit index must be in [0,32): shiftleft stays in-word
-    val bad = ops.Round12c.bitmapBlocks(df)
+    val bad = ops.Analytics.bitmapBlocks(df)
       .filter(expr("bm = 0 OR bm IS NULL")).count()
     assert(bad == 0, "a block word collapsed to 0/NULL - bad shift")
   }
@@ -67,16 +67,16 @@ class Round12hSpec extends SparkSpecBase {
     // round-12 advice: coordinates beyond the pinned base range must
     // merge into the nearest edge cell, never alias into an interior
     // cell.
-    assert(ops.Round12h.zOf(17, 3) == ops.Round12h.zOf(15, 3))
-    assert(ops.Round12h.zOf(-2, 9) == ops.Round12h.zOf(0, 9))
-    assert(ops.Round12h.zOf(5, 99) == ops.Round12h.zOf(5, 15))
+    assert(ops.Layout.zOf(17, 3) == ops.Layout.zOf(15, 3))
+    assert(ops.Layout.zOf(-2, 9) == ops.Layout.zOf(0, 9))
+    assert(ops.Layout.zOf(5, 99) == ops.Layout.zOf(5, 15))
     import spark.implicits._
     val pts = Seq((17L, 3L), (-2L, 9L), (5L, 99L), (15L, 3L), (0L, 9L))
       .toDF("ux", "dx")
-    val got = pts.select(ops.Round12h.zCol(col("ux"), col("dx")).as("z"))
+    val got = pts.select(ops.Layout.zCol(col("ux"), col("dx")).as("z"))
       .collect().map(_.getLong(0))
     val want = Seq((17, 3), (-2, 9), (5, 99), (15, 3), (0, 9))
-      .map { case (u, d) => ops.Round12h.zOf(u, d).toLong }
+      .map { case (u, d) => ops.Layout.zOf(u, d).toLong }
     assert(got.toSeq == want)
   }
 
@@ -100,7 +100,7 @@ class Round12hSpec extends SparkSpecBase {
   test("q_incr_bitmap_distinct: maintenance ≡ batch recompute; " +
     "untouched blocks pass through") {
     val post = ev.filter(col("event_id") % 10 =!= 1)
-    val batch = ops.Round12c.bitmapBlocks(
+    val batch = ops.Analytics.bitmapBlocks(
         post.select(col("event_type"), col("user_id")))
       .groupBy("event_type")
       .agg(sum(expr("bit_count(bm)")).cast("long").as("n_users_exact"),
@@ -118,10 +118,10 @@ class Round12hSpec extends SparkSpecBase {
     val touched = delta
       .select(col("event_type"), expr("user_id div 32").as("blk"))
       .distinct()
-    val untouchedBase = ops.Round12c.bitmapBlocks(
+    val untouchedBase = ops.Analytics.bitmapBlocks(
         base.select(col("event_type"), col("user_id")))
       .join(touched, Seq("event_type", "blk"), "left_anti")
-    val postPartials = ops.Round12c.bitmapBlocks(
+    val postPartials = ops.Analytics.bitmapBlocks(
       post.select(col("event_type"), col("user_id")))
     assert(untouchedBase.exceptAll(postPartials).count() == 0,
       "an untouched (type, block) partial differs between base and " +
@@ -152,7 +152,7 @@ class Round12hSpec extends SparkSpecBase {
 
   test("q_incr_rfm: maintenance ≡ batch rescore; untouched users pass through") {
     val post = ev.filter(col("event_id") % 10 =!= 1)
-    val batch = ops.Round12c.rfmSegments(ops.Round12c.rfmPerUser(
+    val batch = ops.Analytics.rfmSegments(ops.Analytics.rfmPerUser(
       post.select(col("event_id"), col("user_id"), col("ts"),
         col("value"))))
     val got = SparkEntry.queries("q_incr_rfm")(spark, sfDir)
@@ -165,9 +165,9 @@ class Round12hSpec extends SparkSpecBase {
     val delta = ev.filter(col("event_id") % 10 === 0)
       .unionByName(ev.filter(col("event_id") % 10 === 1))
     val affected = delta.select("user_id").distinct()
-    val untouched = ops.Round12c.rfmPerUser(base)
+    val untouched = ops.Analytics.rfmPerUser(base)
       .join(affected, Seq("user_id"), "left_anti")
-    val postP = ops.Round12c.rfmPerUser(post)
+    val postP = ops.Analytics.rfmPerUser(post)
     assert(untouched.exceptAll(postP).count() == 0,
       "an untouched user's base partial differs from its post partial")
   }

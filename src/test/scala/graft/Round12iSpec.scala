@@ -38,7 +38,7 @@ class Round12iSpec extends SparkSpecBase {
       .select(col("user_id"),
         expr("date_add(DATE '1970-01-01', CAST(dnum AS INT))")
           .cast("timestamp").as("ts"))
-    val got = ops.Round12d.dauWau(ops.Round12d.dailyBitmaps(df))
+    val got = ops.Analytics.dauWau(ops.Analytics.dailyBitmaps(df))
       .collect()
       .map(r => r.getDate(0).toLocalDate.toEpochDay.toInt ->
         (r.getLong(1), r.getLong(2))).toMap
@@ -73,7 +73,7 @@ class Round12iSpec extends SparkSpecBase {
     val df = rows.toDF("event_id", "user_id", "event_type", "tsu")
       .select(col("event_id"), col("user_id"), col("event_type"),
         timestamp_micros(col("tsu")).as("ts"))
-    val got = ops.Round12d.attribution(df).collect()
+    val got = ops.Analytics.attribution(df).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     // brute force: per purchase, scan the user's touches in window
     val look = 7L * 86400 * 1000000
@@ -98,7 +98,7 @@ class Round12iSpec extends SparkSpecBase {
 
   test("q_incr_anomaly_sigma: maintenance ≡ batch recompute over post") {
     val post = ev.filter(col("event_id") % 10 =!= 1)
-    val batch = ops.Round12c.anomalySigma(post)
+    val batch = ops.Analytics.anomalySigma(post)
     val got = SparkEntry.queries("q_incr_anomaly_sigma")(spark, sfDir)
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)
@@ -107,7 +107,7 @@ class Round12iSpec extends SparkSpecBase {
 
   test("q_incr_dau_wau: maintenance ≡ batch recompute; untouched cells pass through") {
     val post = ev.filter(col("event_id") % 10 =!= 1)
-    val batch = ops.Round12d.dauWau(ops.Round12d.dailyBitmaps(post))
+    val batch = ops.Analytics.dauWau(ops.Analytics.dailyBitmaps(post))
     val got = SparkEntry.queries("q_incr_dau_wau")(spark, sfDir)
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)
@@ -120,9 +120,9 @@ class Round12iSpec extends SparkSpecBase {
       .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("dnum"),
         expr("user_id div 32").as("blk"))
       .distinct()
-    val untouchedBase = ops.Round12d.dailyBitmaps(base)
+    val untouchedBase = ops.Analytics.dailyBitmaps(base)
       .join(touched, Seq("dnum", "blk"), "left_anti")
-    val postWords = ops.Round12d.dailyBitmaps(post)
+    val postWords = ops.Analytics.dailyBitmaps(post)
     assert(untouchedBase.exceptAll(postWords).count() == 0,
       "untouched base words must be verbatim post words")
   }

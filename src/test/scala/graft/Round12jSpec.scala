@@ -38,8 +38,8 @@ class Round12jSpec extends SparkSpecBase {
 
   test("q_incr_linreg: signed-sum maintenance ≡ batch recompute over post") {
     val post = li.filter(col("l_orderkey") % 10 =!= 1)
-    val batch = ops.Round12e.linregFinalize(
-      ops.Round12e.linregPartials(post))
+    val batch = ops.Analytics.linregFinalize(
+      ops.Analytics.linregPartials(post))
     val got = SparkEntry.queries("q_incr_linreg")(spark, sfDir)
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)
@@ -48,7 +48,7 @@ class Round12jSpec extends SparkSpecBase {
 
   test("q_incr_attribution: maintenance ≡ batch recompute; untouched credits pass through") {
     val post = ev.filter(col("event_id") % 10 =!= 1)
-    val batch = ops.Round12d.attribution(post)
+    val batch = ops.Analytics.attribution(post)
     val got = SparkEntry.queries("q_incr_attribution")(spark, sfDir)
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)
@@ -59,9 +59,9 @@ class Round12jSpec extends SparkSpecBase {
     val affected = ev.filter(col("event_id") % 10 === 0 ||
         col("event_id") % 10 === 1)
       .select("user_id").distinct()
-    val untouched = ops.Round12d.attrPerPurchase(base)
+    val untouched = ops.Analytics.attrPerPurchase(base)
       .join(affected, Seq("user_id"), "left_anti")
-    val postCredits = ops.Round12d.attrPerPurchase(post)
+    val postCredits = ops.Analytics.attrPerPurchase(post)
     assert(untouched.exceptAll(postCredits).count() == 0,
       "untouched credits must be verbatim post credits")
   }

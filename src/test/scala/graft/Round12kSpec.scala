@@ -57,7 +57,7 @@ class Round12kSpec extends SparkSpecBase {
     // doc1 has trigram "a b c" twice (via overlap with doc2), the
     // rest are hapax
     val docs = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
-    val got = ops.Round12f.freqSpectrum(docs).collect()
+    val got = ops.Analytics.freqSpectrum(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // trigrams: doc1 -> "a b c", "b c d"; doc2 -> "a b c"
     assert(got == Map(1L -> (1L, 1L), 2L -> (1L, 2L)))
@@ -65,7 +65,7 @@ class Round12kSpec extends SparkSpecBase {
 
   test("q_incr_lifecycle: maintenance ≡ batch recompute over post") {
     val post = ev.filter(col("event_id") % 10 =!= 1)
-    val batch = ops.Round12e.lifecycle(post)
+    val batch = ops.Analytics.lifecycle(post)
     val got = SparkEntry.queries("q_incr_lifecycle")(spark, sfDir)
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)

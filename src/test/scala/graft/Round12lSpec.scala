@@ -99,7 +99,7 @@ class Round12lSpec extends SparkSpecBase {
   test("q_incr_chisq: signed-sum maintenance ≡ batch recompute over post") {
     val post = graft.engine.Tables.events(spark, sfDir)
       .filter(col("event_id") % 10 =!= 1)
-    val batch = ops.Round12g.chisqFinalize(ops.Round12g.chisqCounts(post))
+    val batch = ops.Analytics.chisqFinalize(ops.Analytics.chisqCounts(post))
     val got = SparkEntry.queries("q_incr_chisq")(spark, sfDir)
     assert(got.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(got).count() == 0)

@@ -8,25 +8,25 @@ class Round12mSpec extends SparkSpecBase {
 
   test("zOf: Morton interleave is a bijection on the 16×16 grid") {
     val all = for { x <- 0 until 16; y <- 0 until 16 }
-      yield ops.Round12h.zOf(x, y)
+      yield ops.Layout.zOf(x, y)
     assert(all.distinct.size == 256)
     assert(all.min == 0 && all.max == 255)
     // locality sanity: adjacent cells in x differ in interleaved
     // even/odd bit positions only
-    assert(ops.Round12h.zOf(0, 0) == 0)
-    assert(ops.Round12h.zOf(1, 0) == 2)
-    assert(ops.Round12h.zOf(0, 1) == 1)
+    assert(ops.Layout.zOf(0, 0) == 0)
+    assert(ops.Layout.zOf(1, 0) == 2)
+    assert(ops.Layout.zOf(0, 1) == 1)
   }
 
   test("zCol ≡ zOf on the full grid") {
     import spark.implicits._
     val df = (for { x <- 0 until 16; y <- 0 until 16 } yield (x, y))
       .toDF("x", "y")
-      .withColumn("z", ops.Round12h.zCol(col("x"), col("y")))
+      .withColumn("z", ops.Layout.zCol(col("x"), col("y")))
     val got = df.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
     for { x <- 0 until 16; y <- 0 until 16 }
-      assert(got((x, y)) == ops.Round12h.zOf(x, y))
+      assert(got((x, y)) == ops.Layout.zOf(x, y))
   }
 
   test("q_scan_zorder: result ≡ unpruned plain filter; plan prunes on zb") {
@@ -79,7 +79,7 @@ class Round12mSpec extends SparkSpecBase {
     val stats = (15L, 19723, 19738) // maxU, minD, maxD (Jan 2024)
     val scratch = java.nio.file.Files
       .createTempDirectory("zorder_maint_spec").toString
-    ops.Round12h.zorderWrite(base, stats, scratch, dynamic = false)
+    ops.Layout.zorderWrite(base, stats, scratch, dynamic = false)
     val fs = new org.apache.hadoop.fs.Path(scratch)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def cellFiles(c: Int) = {
@@ -89,14 +89,14 @@ class Round12mSpec extends SparkSpecBase {
         .map(f => f.getPath.getName ->
           (f.getLen, f.getModificationTime)).toMap
     }
-    val cellA = ops.Round12h.cellsOf(mk(Seq((0L, 1L, 0))), stats).head
-    val cellB = ops.Round12h.cellsOf(mk(Seq((0L, 2L, 1))), stats).head
-    val cellC = ops.Round12h.cellsOf(mk(Seq((0L, 3L, 2))), stats).head
+    val cellA = ops.Layout.cellsOf(mk(Seq((0L, 1L, 0))), stats).head
+    val cellB = ops.Layout.cellsOf(mk(Seq((0L, 2L, 1))), stats).head
+    val cellC = ops.Layout.cellsOf(mk(Seq((0L, 3L, 2))), stats).head
     val beforeC = cellFiles(cellC)
     assert(beforeC.nonEmpty && cellFiles(cellB).nonEmpty)
     Thread.sleep(1100) // mtime resolution guard
-    ops.Round12h.zorderMaintain(spark, scratch, post,
-      ops.Round12h.cellsOf(delta, stats), stats)
+    ops.Layout.zorderMaintain(spark, scratch, post,
+      ops.Layout.cellsOf(delta, stats), stats)
     // untouched cell C: files byte-identical (same names, sizes, mtimes)
     assert(cellFiles(cellC) == beforeC,
       "untouched cell's files must pass through unwritten")
@@ -123,7 +123,7 @@ class Round12mSpec extends SparkSpecBase {
     val uxs = (3L * 16 / (maxU + 1)).toInt to (8L * 16 / (maxU + 1)).toInt
     val dxs = ((dnumOf("2024-01-08") - minD) * 16 / (maxD - minD + 1)) to
       ((dnumOf("2024-01-21") - minD) * 16 / (maxD - minD + 1))
-    val cand = (for { x <- uxs; y <- dxs } yield ops.Round12h.zOf(x, y))
+    val cand = (for { x <- uxs; y <- dxs } yield ops.Layout.zOf(x, y))
       .distinct
     assert(cand.nonEmpty && cand.size < 256,
       s"candidates ${cand.size} must be a strict subset")
