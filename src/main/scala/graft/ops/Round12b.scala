@@ -435,67 +435,47 @@ object Round12b {
   // q216 kernel: occupancy-guarded 2-D grid join
   // ---------------------------------------------------------------
 
-  /** Candidate-volume ceiling above which the exact 2-D grid join is
-    * refused: 2²⁷ (~134M) candidate pairs ≈ tens of seconds of probe
-    * work at this operator's measured ~150 ns/candidate — beyond it
-    * the declared plan degrades predictably instead of launching an
-    * unbounded job. (The r13 sf1 scale run measured the previous 2³¹
-    * ceiling admitting a 41 s exact join at 1M events — the ceiling
-    * was protecting against mega-cells but not against DENSITY, where
-    * many mid-size cells multiply volume with no cell ever tripping a
-    * fixed per-cell cap.) */
+  /** Candidate-volume ceiling above which the exact 2-D grid PAIR
+    * JOIN is refused: 2²⁷ (~134M) candidate pairs ≈ tens of seconds
+    * of probe work at this operator's measured ~150 ns/candidate.
+    * Beyond it the selector switches to [[Sweep2D.gridPairsExact]] —
+    * the O(n log n) segmented Fenwick sweep that computes the SAME
+    * aggregates without materializing pairs — so the answer stays
+    * EXACT at any density; only the plan changes. (History: the r13
+    * sf1 scale run measured the original 2³¹ ceiling admitting a 41 s
+    * exact join at 1M events — density from many mid-size cells
+    * multiplies candidate volume with no cell ever tripping a fixed
+    * per-cell cap, which killed first the fixed 4096 cap and then the
+    * volume-adaptive cap that briefly replaced it: both were LOSSY
+    * lower bounds, and the sweep made the whole cap family obsolete
+    * in the same round.) */
   val GridVolumeCap: Long = 1L << 27
 
-  /** Per-cell population ceiling of the degraded branch (deterministic:
-    * the smallest event ids per cell are retained — reproducible on
-    * any engine and cluster layout, like every seed-free cap in the
-    * LSH family). The EFFECTIVE cap is adaptive (see [[gridPairs2d]]):
-    * this constant is only its upper clamp. */
-  val GridCellCap: Int = 4096
-
-  /** The q216 guarded grid join over `ev` (event_id, event_type,
+  /** The q216 cost-based grid join over `ev` (event_id, event_type,
     * tsu, vc): measures adjacent-cell candidate volume on the cell
-    * occupancy relation, then runs the exact pair join under
-    * [[GridVolumeCap]] or the capped variant over it; the chosen
-    * branch is a `plan` column under the oracle hash.
-    *
-    * The capped branch's per-cell cap is ADAPTIVE: every retained row
-    * probes at most 9·k build rows, so k = volumeCap / (9 · n_rows)
-    * bounds the post-cap candidate volume by ~volumeCap BY
-    * CONSTRUCTION whatever the density profile (a fixed per-cell cap
-    * only binds on mega-cells and lets many mid-size cells multiply
-    * volume unboundedly — the r13 sf1 finding: 2³¹ ceiling + 4096
-    * cell cap admitted a 41 s exact join at 1M events whose cells
-    * averaged ~30 rows). k clamps to [min(16, cellCap), cellCap]. The
-    * result is a declared deterministic lower bound, exactly the
-    * MinHash MaxBucket cap semantics; the production EXACT path at
-    * dense scale is the per-type-pair time-sweep with an order-
-    * statistic (BIT) value index — O(n log n) sequentially, a tier-(c)
-    * custom operator if ever declared. */
+    * occupancy relation, then runs the exact PAIR JOIN under
+    * [[GridVolumeCap]] (`plan='exact'` — the oracle-pinned fixture
+    * branch, and the cheaper one while candidate volume is small) or
+    * the exact SEGMENTED SWEEP above it (`plan='sweep'`,
+    * [[Sweep2D.gridPairsExact]] — identical values by Round13Spec on
+    * fixture + adversarial random data). Both branches are exact;
+    * the selector is purely a cost decision, surfaced as the `plan`
+    * column under the oracle hash. */
   def gridPairs2d(ev: DataFrame, T: Long, V: Long,
                   volumeCap: Long = GridVolumeCap,
-                  cellCap: Int = GridCellCap,
                   knownStats: Option[(Long, Long)] = None): DataFrame = {
-    val (volume, nRows) = knownStats.getOrElse {
+    val (volume, _) = knownStats.getOrElse {
       val cells = ev.select(
         expr(s"(tsu - pmod(tsu, ${T}L)) div ${T}L").as("tc"),
         expr(s"(vc - pmod(vc, ${V}L)) div ${V}L").as("vcell"))
       val r = Sweep.gridPairVolume(cells).head()
       (r.getAs[Long]("cand_volume"), r.getAs[Long]("n_rows"))
     }
-    val (input, plan) =
-      if (volume <= volumeCap) (ev, "exact")
-      else {
-        val k = math.min(cellCap.toLong,
-          math.max(math.min(16L, cellCap.toLong),
-            volumeCap / (9L * math.max(1L, nRows))))
-        val wCell = Window.partitionBy(
-            expr(s"(tsu - pmod(tsu, ${T}L)) div ${T}L"),
-            expr(s"(vc - pmod(vc, ${V}L)) div ${V}L"))
-          .orderBy(col("event_id"))
-        (ev.withColumn("__rn", row_number().over(wCell))
-          .filter(col("__rn") <= k).drop("__rn"), "capped")
-      }
+    if (volume > volumeCap)
+      return Sweep2D.gridPairsExact(ev, T, V)
+        .withColumn("plan", lit("sweep"))
+        .orderBy("t1", "t2")
+    val (input, plan) = (ev, "exact")
     val probe = input.select(col("event_id").as("id_a"),
         col("event_type").as("ta"), col("tsu").as("tsu_a"),
         col("vc").as("vc_a"),
@@ -1012,21 +992,18 @@ object Round12b {
       * axes exact integers, each qualifying pair matches exactly
       * once; equi join, shuffle/AQE-eligible, never a nested loop).
       *
-      * Unlike the 1-D rows, the per-pair 2-D gap sums have NO
-      * prefix-sum decomposition (they are dominance sums over two
-      * independent orderings), so Θ(candidate volume) work is
-      * inherent to the exact answer. The round-13 fix for the
-      * round-12 weak grade is therefore a COSTED GUARD, not a sweep:
-      * [[Sweep.gridPairVolume]] measures the adjacent-cell candidate
-      * volume on the |cells|-sized occupancy relation first (an
-      * eager costing action — the autoTopK/autoKnn pattern); under
-      * the cap the exact join runs (`plan='exact'`, the branch the
-      * oracle hash pins at every fixture SF); over it, each cell's
-      * population is deterministically capped at [[GridCellCap]]
-      * smallest event ids (`plan='capped'`) — the MinHash MaxBucket
-      * cap-and-quarantine semantics, a declared lower bound instead
-      * of an undeclared 10¹⁴-pair job. `Round13Spec`/`Round12gSpec`
-      * pin both branches. */
+      * Unlike the 1-D rows, the per-pair 2-D gap sums have no
+      * ONE-DIMENSIONAL prefix-sum decomposition, so the round-13 fix
+      * for the round-12 weak grade is a COSTED SELECTOR between two
+      * EXACT plans: [[Sweep.gridPairVolume]] measures the
+      * adjacent-cell candidate volume on the |cells|-sized occupancy
+      * relation first (an eager costing action — the autoTopK/autoKnn
+      * pattern); under the cap the pair join runs (`plan='exact'`,
+      * the branch the oracle hash pins at every fixture SF); over it
+      * the segmented Fenwick sweep runs ([[Sweep2D.gridPairsExact]],
+      * `plan='sweep'` — O(n log n) in density, identical values,
+      * pairs never materialized). `Round13Spec`/`Round12gSpec` pin
+      * both branches. */
     "q_join_grid_2d" -> ((s, d) => {
       val T = 900L * 1000000L
       val V = 5000L

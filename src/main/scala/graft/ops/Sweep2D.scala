@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EXACT distributed 2-D proximity-pair aggregation — the production
+  * exact path for the q216 grid join at densities where the pair join
+  * is quadratic ([[Round12b.gridPairs2d]]'s scaladoc names this
+  * operator; the r13 sf1 scale run motivated it).
+  *
+  * Problem: for events (id, type, tsu, vc), aggregate over all
+  * unordered pairs with |Δtsu| ≤ T and |Δvc| ≤ V, per unordered type
+  * pair: pair count, Σ|Δtsu|, Σ|Δvc|. Materializing the pairs is
+  * Θ(Σ_cell n²) — density-quadratic; this operator computes the SAME
+  * aggregates in O(n log n) per segment with pairs never materialized:
+  *
+  *  1. SEGMENT by time: seg = tsu div S with S = 64·T. Rows in the
+  *     trailing T-band of each segment are duplicated as GHOSTS into
+  *     the next segment (a ≤ 1/64 duplication factor), so every pair
+  *     (|Δt| ≤ T < S spans at most adjacent segments) has both
+  *     endpoints co-resident in the LATER endpoint's segment. Ghosts
+  *     are inserted into the sweep index but never probe, so each
+  *     pair is counted exactly once — at its later endpoint (ties
+  *     broken by event id).
+  *  2. Within a segment (one `mapPartitions` task per hash-partitioned
+  *     seg group, rows pre-sorted by (seg, tsu, id)): a two-pointer
+  *     time window [tsu_b − T, tsu_b] over the sorted rows, with one
+  *     FENWICK (binary-indexed) TREE per event type over the
+  *     segment-local vc-rank space, each node carrying (count, Σtsu,
+  *     Σvc). A probe b queries each type's tree twice — the vc ranges
+  *     (vc_b − V, vc_b] and (vc_b, vc_b + V] — and gets its pair
+  *     count k, Σ gap = k·tsu_b − Σtsu, and Σ|Δvc| =
+  *     (k_le·vc_b − Σvc_le) + (Σvc_gt − k_gt·vc_b) in O(|types|·log n).
+  *  3. Per-task partial (t1, t2) aggregates merge in one tiny groupBy.
+  *
+  * Exactness is therefore unconditional — no cap, no recall bound —
+  * and the r13 sweep spec proves ≡ the pair join on the fixture and
+  * on adversarial random data (segment-boundary pairs, exact-band
+  * edges, timestamp ties, duplicate rows).
+  *
+  * Determinism: all arithmetic is integer (µs, cents); Fenwick sums
+  * rebase tsu to the segment's ghost-band origin so a segment of up
+  * to ~10⁸ rows cannot overflow a BIGINT Σtsu. Memory is O(segment
+  * rows · |types present in segment|) longs per task — S trades ghost
+  * duplication (T/S) against segment size; production tunes S to the
+  * cluster's task memory exactly like shuffle-partition sizing.
+  * mapPartitions is tier-(d) by the engine's extension policy: a
+  * rank-indexed sliding-window sweep is iterator state no Catalyst
+  * expression or window frame can express (2-D dominance sums). */
+object Sweep2D {
+
+  /** Fenwick tree over 1-based ranks carrying (count, Σa, Σb). */
+  private final class Bit(n: Int) {
+    val cnt = new Array[Long](n + 1)
+    val sa = new Array[Long](n + 1)
+    val sb = new Array[Long](n + 1)
+    def update(i0: Int, c: Long, a: Long, b: Long): Unit = {
+      var i = i0
+      while (i <= n) { cnt(i) += c; sa(i) += a; sb(i) += b; i += i & -i }
+    }
+    /** (count, Σa, Σb) over ranks [1, i0]. */
+    def query(i0: Int): (Long, Long, Long) = {
+      var i = i0; var c = 0L; var a = 0L; var b = 0L
+      while (i > 0) { c += cnt(i); a += sa(i); b += sb(i); i -= i & -i }
+      (c, a, b)
+    }
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("t1", StringType), StructField("t2", StringType),
+    StructField("n_pairs", LongType), StructField("gap_us_sum", LongType),
+    StructField("val_gap_sum", LongType)))
+
+  /** One segment's sweep: `rows` sorted by (tsu, id); ghosts carry
+    * real=false. Emits the segment's (t1,t2) partial aggregates. */
+  private def sweepSegment(rows: Array[(Long, String, Long, Long, Boolean)],
+                           T: Long, V: Long, tsuBase: Long)
+      : Iterator[Row] = {
+    val n = rows.length
+    if (n == 0) return Iterator.empty
+    // segment-local vc rank space (distinct vc values, sorted)
+    val vcs = rows.map(_._4).distinct.sorted
+    def rankLe(v: Long): Int = { // ranks whose vc <= v  (0 if none)
+      var lo = 0; var hi = vcs.length
+      while (lo < hi) { val m = (lo + hi) >>> 1
+        if (vcs(m) <= v) lo = m + 1 else hi = m }
+      lo
+    }
+    val rankOf = scala.collection.mutable.HashMap.empty[Long, Int]
+    var i = 0
+    while (i < vcs.length) { rankOf(vcs(i)) = i + 1; i += 1 }
+    val bits = scala.collection.mutable.HashMap.empty[String, Bit]
+    val acc = scala.collection.mutable.HashMap
+      .empty[(String, String), Array[Long]]
+    var lo = 0 // first row still inside the time window
+    var b = 0
+    while (b < n) {
+      val (idB, tB, tsuB, vcB, real) = rows(b)
+      // evict rows older than tsu_b - T
+      while (lo < b && rows(lo)._3 < tsuB - T) {
+        val (_, t, tsu, vc, _) = rows(lo)
+        bits(t).update(rankOf(vc), -1L, -(tsu - tsuBase), -vc)
+        lo += 1
+      }
+      if (real) {
+        // query every type's tree over vc ∈ [vcB - V, vcB + V]
+        val loR = rankLe(vcB - V - 1) // ranks strictly below the range
+        val midR = rankLe(vcB)        // ranks with vc <= vcB
+        val hiR = rankLe(vcB + V)
+        bits.foreach { case (tA, bit) =>
+          val (cLo, aLo, bLo) = bit.query(loR)
+          val (cMid, aMid, bMid) = bit.query(midR)
+          val (cHi, aHi, bHi) = bit.query(hiR)
+          val kLe = cMid - cLo; val kGt = cHi - cMid
+          val k = kLe + kGt
+          if (k > 0) {
+            val sumTsu = (aHi - aLo)
+            val gap = k * (tsuB - tsuBase) - sumTsu
+            val vg = (kLe * vcB - (bMid - bLo)) + ((bHi - bMid) - kGt * vcB)
+            val key = if (tA <= tB) (tA, tB) else (tB, tA)
+            val slot = acc.getOrElseUpdate(key, new Array[Long](3))
+            slot(0) += k; slot(1) += gap; slot(2) += vg
+          }
+        }
+      }
+      // insert b (real or ghost) for later probes
+      bits.getOrElseUpdate(tB, new Bit(vcs.length))
+        .update(rankOf(vcB), 1L, tsuB - tsuBase, vcB)
+      b += 1
+    }
+    acc.iterator.map { case ((t1, t2), s) => Row(t1, t2, s(0), s(1), s(2)) }
+  }
+
+  /** The exact sweep over `ev` (event_id, event_type, tsu, vc):
+    * returns (t1, t2, n_pairs, gap_us_sum, val_gap_sum) — identical
+    * values to the exact pair join, pairs never materialized.
+    * `segFactor` = S/T (ghost duplication 1/segFactor; segment memory
+    * grows with it). */
+  def gridPairsExact(ev: DataFrame, T: Long, V: Long,
+                     segFactor: Int = 64): DataFrame = {
+    require(T > 0 && V >= 0 && segFactor >= 2,
+      s"need T > 0, V >= 0, segFactor >= 2 (got T=$T V=$V seg=$segFactor)")
+    val s = ev.sparkSession
+    val S = segFactor * T
+    val base = ev.select(col("event_id").cast("long"),
+      col("event_type").cast("string"), col("tsu").cast("long"),
+      col("vc").cast("long"))
+      .withColumn("seg", expr(s"(tsu - pmod(tsu, ${S}L)) div ${S}L"))
+    val real = base.withColumn("real", lit(true))
+    val ghosts = base.filter(expr(s"pmod(tsu, ${S}L) >= ${S - T}L"))
+      .withColumn("seg", col("seg") + 1).withColumn("real", lit(false))
+    val arranged = real.unionByName(ghosts)
+      .repartition(col("seg"))
+      .sortWithinPartitions("seg", "tsu", "event_id")
+    val partials = arranged.queryExecution.toRdd.mapPartitions { it =>
+      // group consecutive rows by seg (sorted within the partition);
+      // copy out of the reused InternalRow before buffering
+      val rows = it.map { ir =>
+        (ir.getLong(4), // seg
+          (ir.getLong(0), ir.getUTF8String(1).toString, ir.getLong(2),
+            ir.getLong(3), ir.getBoolean(5)))
+      }.buffered
+      new Iterator[Iterator[Row]] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): Iterator[Row] = {
+          val seg = rows.head._1
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Long, Long, Boolean)]
+          while (rows.hasNext && rows.head._1 == seg) buf += rows.next()._2
+          // rebase tsu to the segment's ghost-band origin (never
+          // negative: ghosts start at seg·S − T)
+          val S2 = S // capture
+          sweepSegment(buf.toArray, T, V, seg * S2 - T)
+        }
+      }.flatten
+    }
+    s.createDataFrame(partials, outSchema)
+      .groupBy("t1", "t2")
+      .agg(sum("n_pairs").as("n_pairs"),
+        sum("gap_us_sum").as("gap_us_sum"),
+        sum("val_gap_sum").as("val_gap_sum"))
+  }
+}

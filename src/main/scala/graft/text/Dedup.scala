@@ -168,7 +168,7 @@ object Dedup {
 
   /** Deterministic per-key population cap: only the `cap` SMALLEST
     * ids per key survive — seed-free, so reproducible on any engine
-    * and cluster layout (the GridCellCap / MinHash MaxBucket
+    * and cluster layout (the MinHash MaxBucket
     * discipline applied to a flat (id, key) relation). */
   def capPerKey(rel: DataFrame, keyCol: String, idCol: String,
                 cap: Int): DataFrame =

@@ -161,8 +161,9 @@ class Round13Spec extends SparkSpecBase {
       "e" -> 3L))
   }
 
-  test("gridPairs2d selector: exact branch under the cap ≡ ungated " +
-      "join; capped branch retains smallest ids per cell") {
+  test("gridPairs2d selector: exact pair join under the cap; the " +
+      "SWEEP branch above it computes IDENTICAL aggregates (fixture + " +
+      "segment-boundary/tie/duplicate adversarial data)") {
     import spark.implicits._
     val (tband, vband) = (100L, 10L)
     // one hot cell (20 rows) + a sparse neighborhood
@@ -173,26 +174,37 @@ class Round13Spec extends SparkSpecBase {
     val exact = Round12b.gridPairs2d(ev, tband, vband)
     assert(exact.select("plan").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("exact"))
-    // force the capped branch: tiny volume cap + per-cell cap of 5
-    val capped = Round12b.gridPairs2d(ev, tband, vband,
-      volumeCap = 1L, cellCap = 5)
-    assert(capped.select("plan").distinct().collect()
-      .map(_.getString(0)).toSeq == Seq("capped"))
-    // capped ≡ exact join over the per-cell 5 smallest event ids
-    val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy(expr(s"(tsu - pmod(tsu, ${tband}L)) div ${tband}L"),
-        expr(s"(vc - pmod(vc, ${vband}L)) div ${vband}L"))
-      .orderBy(col("event_id"))
-    val retained = ev.withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= 5).drop("rn")
-    val ref = Round12b.gridPairs2d(retained, tband, vband)
-      .withColumn("plan", lit("capped"))
-    assert(capped.exceptAll(ref).count() == 0)
-    assert(ref.exceptAll(capped).count() == 0)
-    // the capped branch is a LOWER BOUND of the exact aggregate
-    val nExact = exact.agg(sum("n_pairs")).head().getLong(0)
-    val nCapped = capped.agg(sum("n_pairs")).head().getLong(0)
-    assert(nCapped < nExact)
+    // force the sweep branch: tiny volume cap
+    val swept = Round12b.gridPairs2d(ev, tband, vband, volumeCap = 1L)
+    assert(swept.select("plan").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("sweep"))
+    // the sweep is EXACT: identical aggregate rows, only `plan` differs
+    assert(swept.drop("plan").exceptAll(exact.drop("plan")).count() == 0)
+    assert(exact.drop("plan").exceptAll(swept.drop("plan")).count() == 0)
+
+    // adversarial: random rows engineered to straddle sweep segment
+    // boundaries (seg = 64·T), hit exact band edges, tie timestamps
+    // and duplicate (tsu, vc) points, at two segment factors
+    val rnd = new scala.util.Random(13)
+    val adv = (1 to 400).map { i =>
+      val tsu = rnd.nextInt(3) match {
+        case 0 => 6400L * (1 + rnd.nextInt(3)) + rnd.nextInt(3) - 1
+        case 1 => 100L * rnd.nextInt(200)
+        case _ => rnd.nextInt(20000).toLong
+      }
+      (i.toLong, s"t${rnd.nextInt(3)}", tsu, (rnd.nextInt(40) - 20).toLong)
+    } ++ Seq((500L, "t0", 6400L, 0L), (501L, "t1", 6400L, 0L),
+      (502L, "t1", 6300L, 10L), (503L, "t2", 6500L, -10L))
+    val advDf = adv.toDF("event_id", "event_type", "tsu", "vc")
+    val advExact = Round12b.gridPairs2d(advDf, tband, vband).drop("plan")
+    for (segFactor <- Seq(2, 64)) {
+      val advSweep = graft.ops.Sweep2D
+        .gridPairsExact(advDf, tband, vband, segFactor)
+        .orderBy("t1", "t2")
+      assert(advSweep.exceptAll(advExact).count() == 0 &&
+        advExact.exceptAll(advSweep).count() == 0,
+        s"sweep(segFactor=$segFactor) diverged from the pair join")
+    }
   }
 
   test("gridPairVolume: counts adjacent-cell candidate volume on a " +
