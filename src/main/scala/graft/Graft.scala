@@ -439,6 +439,17 @@ object Graft {
                           bucket: Long): DataFrame =
     ops.Round12b.intervalOverlapJoin(iv, idCols, sCol, eCol, bucket)
 
+  /** EXACT 2-D proximity-pair aggregates (per unordered type pair:
+    * count, Σ|Δt|, Σ|Δv| over all pairs with |Δt| ≤ T and |Δv| ≤ V)
+    * in O(n log n) per time segment with pairs never materialized —
+    * [[ops.Sweep2D.gridPairsExact]], the density-proof plan the q216
+    * selector switches to above its candidate-volume cap. Input
+    * columns: event_id (unique BIGINT), event_type, tsu, vc (exact
+    * integers). */
+  def gridPairsExact(ev: DataFrame, T: Long, V: Long,
+                     segFactor: Int = 64): DataFrame =
+    ops.Sweep2D.gridPairsExact(ev, T, V, segFactor)
+
   // -----------------------------------------------------------------
   // round-12 analytics kernels (rows 219-242)
   // -----------------------------------------------------------------
