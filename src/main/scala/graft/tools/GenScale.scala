@@ -51,7 +51,14 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    mainWith(spark, src, out, factor)
+    spark.stop()
+  }
 
+  /** The generator body on a caller-supplied session (in-process
+    * callers: GenScaleSpec). */
+  def mainWith(spark: SparkSession, src: String, out: String,
+               factor: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
     /** `factor` copies of `df`, with the named long/int key columns
@@ -82,6 +89,5 @@ object GenScale {
       "event_id" -> OffEvent, "user_id" -> OffUser))
     write("documents", scaled(read("documents"), "doc_id" -> OffDoc))
     write("embeddings", scaled(read("embeddings"), "vec_id" -> OffVec))
-    spark.stop()
   }
 }
