@@ -82,6 +82,58 @@ class Round13bSpec extends SparkSpecBase {
     assert(capped.exceptAll(exact).count() == 0)
   }
 
+  test("q_sim_setjoin_dedup: representative pairs × cluster sizes ≡ " +
+      "the full τ-join's cross-cluster pair share (dedup-first loses " +
+      "nothing)") {
+    val full = SparkEntry.queries("q_sim_setjoin_prefix")(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dd = SparkEntry.queries("q_sim_setjoin_dedup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    // doc -> its md5-cluster representative (min doc_id), clone counts
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rep: Map[Long, Long] = docs.groupBy(_._2).iterator.flatMap {
+      case (_, ms) =>
+        val r = ms.map(_._1).min
+        ms.iterator.map(m => m._1 -> r)
+    }.toMap
+    // cross-cluster share of the FULL join, keyed by (rep_a, rep_b)
+    val cross: Map[(Long, Long), Long] = full.toSeq
+      .map { case (a, b) => (rep(a), rep(b)) }
+      .filter { case (ra, rb) => ra != rb }
+      .map { case (ra, rb) => (math.min(ra, rb), math.max(ra, rb)) }
+      .groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    assert(cross == dd.map { case (k, v) => k -> v },
+      s"expansion mismatch: full-join cross share $cross vs dedup rows $dd")
+    // The fixture's %2 half happens to carry NO exact-dup clusters
+    // (measured: every md5 cluster is a singleton at both oracle
+    // SFs), so the multi-doc expansion is exercised on a synthetic
+    // clone corpus: 3 texts × {3, 2, 1} clones, where both cross-
+    // cluster pairs qualify at τ = 1/2.
+    val clones = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"),
+      (10L, "a b c e"), (11L, "a b c e"),
+      (20L, "a b c d e")).toDF("doc_id", "text")
+    val got = graft.ops.Round12b
+      .dedupFirstJaccardPairs(clones, "doc_id", "text", 1, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // reps: 1 (n=3), 10 (n=2), 20 (n=1); J(1,10)=3/5, J(1,20)=4/5,
+    // J(10,20)=4/5 — all ≥ 1/2
+    assert(got == Map(
+      (1L, 10L) -> (3L, 2L, 6L),
+      (1L, 20L) -> (3L, 1L, 3L),
+      (10L, 20L) -> (2L, 1L, 2L)), s"synthetic expansion wrong: $got")
+    // and the expansion matches the brute-force full join's
+    // cross-cluster count: 3·2 + 3·1 + 2·1 = 11
+    assert(got.values.map(_._3).sum == 11L)
+  }
+
   test("pairVolume is the exact self-join cardinality; empty and " +
       "singleton relations cost 0/1") {
     val rel = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "tok")
