@@ -558,9 +558,44 @@ object Extras {
         .select(lower(col("tci")).as("event_type_ci"), col("n"),
           col("n_upper"))
         .orderBy("event_type_ci")
+    }),
+
+    /** q273: RECURSIVE CTE calendar spine (Spark-4 surface row, like
+      * VARIANT q247 / collation q248) — the warehouse pattern SQL
+      * recursion exists for: generate the complete month dimension by
+      * UNION ALL self-reference (84 iterations, far under Spark's
+      * recursion-level limit; Spark 4.x executes it as a UnionLoop
+      * plan) and LEFT JOIN facts onto the spine so ZERO-ACTIVITY
+      * months survive with (0, NULL) — the rows a facts-only groupBy
+      * structurally cannot produce (the fixture's 2001-09..12 tail is
+      * exactly such months, so the hash pins the retention). One
+      * dialect-common text for both engines, the TpcH discipline;
+      * UNION-distinct recursion is not yet in Spark and is documented
+      * out of scope. */
+    "q_sql_recursive_cte" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(recursiveCteSql)
     }))
 
+  /** q273's dialect-common text (Spark executes it; DuckDB is the
+    * oracle on the SAME string). */
+  private val recursiveCteSql =
+    """WITH RECURSIVE months AS (
+         SELECT TIMESTAMP '1995-01-01' AS m
+         UNION ALL
+         SELECT m + INTERVAL 1 MONTH FROM months
+         WHERE m < TIMESTAMP '2001-12-01'
+       )
+       SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+              CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+       FROM months LEFT JOIN orders
+         ON date_trunc('month', o_orderdate) = m
+       GROUP BY m ORDER BY m"""
+
   private val sqlStatsRel: Map[String, String] = Map(
+
+    "q_sql_recursive_cte" -> recursiveCteSql,
 
     "q_agg_histogram_eqdepth" ->
       """WITH t AS (
