@@ -575,6 +575,30 @@ object Extras {
     "q_sql_recursive_cte" -> ((s, d) => {
       orders(s, d).createOrReplaceTempView("orders")
       s.sql(recursiveCteSql)
+    }),
+
+    /** q274: SQL-DEFINED SCALAR FUNCTION (Spark-4 surface row — the
+      * declarative UDF tier ABOVE the engine's extension ladder: the
+      * function body is SQL, so Catalyst inlines it into the plan and
+      * it stays inside whole-stage codegen, unlike the JVM-closure
+      * UDF surface q54 declares). `disc_price` encapsulates the
+      * engine's exact-decimal money rule once and every caller
+      * inherits it — the governance use case for SQL UDFs. The oracle
+      * runs the INLINED expression (DuckDB's macro syntax differs;
+      * the hash proves Spark's function dispatch ≡ inlining, which is
+      * precisely the feature's contract). */
+    "q_fn_sql_udf" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+            p DOUBLE, disc DOUBLE) RETURNS DECIMAL(38,4)
+          RETURN CAST(p AS DECIMAL(18,2))
+                 * (1 - CAST(disc AS DECIMAL(4,2)))""")
+      s.sql("""SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(disc_price(l_extendedprice, l_discount))
+               AS DOUBLE) AS disc_revenue
+           FROM lineitem
+           GROUP BY l_returnflag ORDER BY l_returnflag""")
     }))
 
   /** q273's dialect-common text (Spark executes it; DuckDB is the
@@ -596,6 +620,17 @@ object Extras {
   private val sqlStatsRel: Map[String, String] = Map(
 
     "q_sql_recursive_cte" -> recursiveCteSql,
+
+    // q274's oracle inlines the SQL UDF body (DuckDB's macro syntax
+    // differs; the hash proves dispatch ≡ inlining).
+    "q_fn_sql_udf" ->
+      """SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2))))
+               AS DOUBLE) AS disc_revenue
+         FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_agg_histogram_eqdepth" ->
       """WITH t AS (
