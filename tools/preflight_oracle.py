@@ -78,7 +78,10 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sfdir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        # driver fixtures are single files; GenScale scale-outs are
+        # Spark-style directories of part files
+        src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
