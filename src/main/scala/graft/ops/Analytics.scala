@@ -35,10 +35,16 @@ object Analytics {
     * under the event delta, and RFM (recency/frequency/monetary)
     * customer segmentation.
     *
-    * Determinism: bitmaps are BIGINT bit_or over `1 << (user_id % 32)`
-    * — bit 31 of a 32-entry block never reaches the BIGINT sign bit,
-    * so both engines build the identical non-negative word and
-    * bit_count agrees bit-for-bit. RFM scores are ntile(5) over a
+    * Determinism: bitmaps are BIGINT bit_or over `1 << pmod(user_id,
+    * 32)` — bit 31 of a 32-entry block never reaches the BIGINT sign
+    * bit, so both engines build the identical non-negative word and
+    * bit_count agrees bit-for-bit, for ANY integer id domain: the
+    * oracle SQL mirrors the floor/pmod split as `(user_id - ((user_id
+    * % 32 + 32) % 32)) // 32` / `(user_id % 32 + 32) % 32` (ADVICE
+    * r13 — DuckDB's truncating `%` diverges from pmod on negative
+    * dividends, but the mirrored form is pmod on both engines, and
+    * the block division is exact so truncation == floor). RFM scores
+    * are ntile(5) over a
     * provably UNIQUE total order (metric, user_id), identical in any
     * SQL-standard engine. All sums are BIGINT; monetary enters as
     * floor(value·100) — one IEEE multiply of the parquet double then
@@ -314,8 +320,10 @@ object Analytics {
 
     "q_agg_bitmap_intersect" ->
       """WITH b AS (
-           SELECT event_type, user_id // 32 AS blk,
-                  bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm
+           SELECT event_type,
+                  (user_id - ((user_id % 32 + 32) % 32)) // 32 AS blk,
+                  bit_or(1::BIGINT
+                    << CAST((user_id % 32 + 32) % 32 AS INT)) AS bm
            FROM events GROUP BY 1, 2
          )
          SELECT a.event_type AS t1, b.event_type AS t2,
@@ -395,8 +403,10 @@ object Analytics {
     * oracle itself states "maintenance ≡ recompute". */
   private def bitmapSql(rel: String): String =
     s"""WITH b AS (
-          SELECT event_type, user_id // 32 AS blk,
-                 bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bm,
+          SELECT event_type,
+                 (user_id - ((user_id % 32 + 32) % 32)) // 32 AS blk,
+                 bit_or(1::BIGINT
+                   << CAST((user_id % 32 + 32) % 32 AS INT)) AS bm,
                  count(*) AS n
           FROM $rel GROUP BY 1, 2
         )
@@ -418,8 +428,11 @@ object Analytics {
     * of the DAU/WAU partials.
     *
     * Determinism: all bitmap words are BIGINT bit_or over
-    * `1 << (user_id % 32)` (bit 31 never reaches the sign bit — see
-    * Round12c), attribution picks its touch by the provably UNIQUE
+    * `1 << pmod(user_id, 32)` with the floor/pmod block split (bit 31
+    * never reaches the sign bit; negative ids map to well-defined
+    * cells — the r12/r13 hardening, applied to dailyBitmaps and the
+    * q229 touched-cell exprs too), attribution picks its touch by the
+    * provably UNIQUE
     * order (ts, event_id), and every output is BIGINT counts or DATE —
     * no floats anywhere in the family.
     *
@@ -444,8 +457,8 @@ object Analytics {
   def dailyBitmaps(ev: DataFrame): DataFrame =
     ev.groupBy(
         datediff(to_date(col("ts")), lit("1970-01-01")).as("dnum"),
-        expr("user_id div 32").as("blk"))
-      .agg(expr("bit_or(shiftleft(1L, CAST(user_id % 32 AS INT)))")
+        expr("(user_id - pmod(user_id, 32)) div 32").as("blk"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pmod(user_id, 32) AS INT)))")
         .as("bm"))
 
   /** Bitmap partials → per-day exact DAU + trailing-7-day WAU.
@@ -595,7 +608,7 @@ object Analytics {
           col("event_id") % 10 === 1)
         .select(
           datediff(to_date(col("ts")), lit("1970-01-01")).as("dnum"),
-          expr("user_id div 32").as("blk"))
+          expr("(user_id - pmod(user_id, 32)) div 32").as("blk"))
         .distinct()
       val baseP = dfMemoEng.getOrElseUpdate((s, d, "dauwau_partials"), {
         val p = dailyBitmaps(base).persist()
@@ -606,7 +619,7 @@ object Analytics {
       val rec = dailyBitmaps(
         post.withColumn("dnum",
             datediff(to_date(col("ts")), lit("1970-01-01")))
-          .withColumn("blk", expr("user_id div 32"))
+          .withColumn("blk", expr("(user_id - pmod(user_id, 32)) div 32"))
           .join(broadcast(touched), Seq("dnum", "blk"), "left_semi"))
       dauWau(keep.unionByName(rec))
     }))

@@ -158,7 +158,11 @@ object Round12b {
       col("n_docs").as("n_docs_a"))
     val nb = reps.select(col(idCol).as("doc_b"),
       col("n_docs").as("n_docs_b"))
-    pairs.join(broadcast(na), "doc_a").join(broadcast(nb), "doc_b")
+    // no broadcast hint (r13 audit): the reps relation is reps-count-
+    // sized, which DEGENERATES to |docs| on a clone-free corpus — AQE
+    // decides from runtime sizes (broadcast at fixture scale, shuffle
+    // join when reps are corpus-like)
+    pairs.join(na, "doc_a").join(nb, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
         col("n_docs_a"), col("n_docs_b"),
         (col("n_docs_a") * col("n_docs_b")).as("n_pairs_represented"))

@@ -330,7 +330,14 @@ object Round8 {
     // filter measured as a net loss (r13 A/B: the two probe builds
     // race to compute the not-yet-materialized bucket rebuild), so
     // the declared row keeps the whole-relation broadcast and the
-    // production swap is this one-line semi-join.
+    // production swap is this one-line semi-join. Broadcast-audit
+    // survivor (r13 task 2): kg is the verified-pair store (two longs
+    // per near-dup pair — near-dup-volume-bounded, broadcastable by
+    // the LSH family's own scale argument); pa/pb are the STORED
+    // doc-set relation, corpus-sized, kept hinted ONLY on the A/B
+    // evidence above, with the semi-filter swap documented as the
+    // production shape — the generic library path (Dedup.verifyPairs)
+    // is semi-pruned and hint-free since r14.
     val kg = cachedLshKnownGood(s, d).withColumn("known", lit(true))
     val sets = cachedDocSetsAll(s, d)
     val pa = sets.select(col("doc_id").as("doc_a"),

@@ -62,13 +62,37 @@ object GenScale {
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
 
     /** `factor` copies of `df`, with the named long/int key columns
-      * shifted by c*offset in copy c (copy 0 verbatim). */
-    def scaled(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      * shifted by c*offset in copy c (copy 0 verbatim).
+      *
+      * GUARD (ADVICE r13): every shifted column's observed maximum
+      * must sit strictly BELOW its per-copy offset — otherwise copies
+      * collide (running GenScale on an already-scaled directory, or on
+      * a fixture whose keys outgrew the constants, would silently
+      * break the key-uniqueness / FK-consistency invariants the
+      * scale-run oracles rely on). One cheap agg per table; negative
+      * keys are rejected too (a negative key in copy 0 could collide
+      * with copy-boundary keys after shifting). */
+    def scaled(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      if (factor > 1 && shifts.nonEmpty) {
+        val aggs = shifts.flatMap { case (k, _) =>
+          Seq(max(col(k)).cast("long"), min(col(k)).cast("long")) }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        shifts.zipWithIndex.foreach { case ((k, off), i) =>
+          if (!r.isNullAt(2 * i)) {
+            val mx = r.getLong(2 * i); val mn = r.getLong(2 * i + 1)
+            require(mx < off && mn >= 0L,
+              s"GenScale: $k range [$mn, $mx] escapes [0, $off) — " +
+                "source already scaled or offsets too small; refusing " +
+                "to write colliding copies")
+          }
+        }
+      }
       (0 until factor).map { c =>
         shifts.foldLeft(df) { case (d, (k, off)) =>
           d.withColumn(k, (col(k) + lit(c * off)).cast(d.schema(k).dataType))
         }
       }.reduce(_ unionByName _)
+    }
 
     def write(t: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")

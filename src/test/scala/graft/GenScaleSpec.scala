@@ -63,5 +63,23 @@ class GenScaleSpec extends SparkSpecBase {
     val genHours = gen("events").select(date_trunc("hour", col("ts")))
       .distinct().count()
     assert(srcHours == genHours, "timestamp domain changed")
+
+    // KEY UNIQUENESS (ADVICE r13): shifted copies must never collide —
+    // every primary key stays unique in the scaled output
+    for ((t, k) <- Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+                       "events" -> "event_id", "documents" -> "doc_id",
+                       "embeddings" -> "vec_id"))
+      assert(gen(t).select(k).distinct().count() == gen(t).count(),
+        s"$t.$k not unique after scaling — copy collision")
+
+    // GUARD (ADVICE r13): re-scaling an already-scaled directory must
+    // REFUSE (its keys exceed the per-copy offsets), not silently
+    // write colliding copies
+    val out2 = java.nio.file.Files.createTempDirectory("genscale_guard")
+      .toString
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.GenScale.mainWith(spark, out, out2, 2)
+    }
+    assert(e.getMessage.contains("escapes"), e.getMessage)
   }
 }

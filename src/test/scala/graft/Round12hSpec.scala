@@ -13,7 +13,7 @@ class Round12hSpec extends SparkSpecBase {
     val got = SparkEntry.queries("q_agg_bitmap_distinct")(spark, sfDir)
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users_exact"),
-        countDistinct(expr("user_id div 32")).as("n_blocks"),
+        countDistinct(expr("(user_id - pmod(user_id, 32)) div 32")).as("n_blocks"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
     assert(got.exceptAll(exact).count() == 0)
@@ -116,7 +116,7 @@ class Round12hSpec extends SparkSpecBase {
     val delta = ev.filter(col("event_id") % 10 === 0)
       .unionByName(ev.filter(col("event_id") % 10 === 1))
     val touched = delta
-      .select(col("event_type"), expr("user_id div 32").as("blk"))
+      .select(col("event_type"), expr("(user_id - pmod(user_id, 32)) div 32").as("blk"))
       .distinct()
     val untouchedBase = ops.Analytics.bitmapBlocks(
         base.select(col("event_type"), col("user_id")))

@@ -118,7 +118,7 @@ class Round12iSpec extends SparkSpecBase {
     val touched = ev.filter(col("event_id") % 10 === 0 ||
         col("event_id") % 10 === 1)
       .select(datediff(to_date(col("ts")), lit("1970-01-01")).as("dnum"),
-        expr("user_id div 32").as("blk"))
+        expr("(user_id - pmod(user_id, 32)) div 32").as("blk"))
       .distinct()
     val untouchedBase = ops.Analytics.dailyBitmaps(base)
       .join(touched, Seq("dnum", "blk"), "left_anti")
