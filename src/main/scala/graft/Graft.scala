@@ -447,7 +447,7 @@ object Graft {
     * columns: event_id (unique BIGINT), event_type, tsu, vc (exact
     * integers). */
   def gridPairsExact(ev: DataFrame, T: Long, V: Long,
-                     segFactor: Int = 64): DataFrame =
+                     segFactor: Int = 0): DataFrame =
     ops.Sweep2D.gridPairsExact(ev, T, V, segFactor)
 
   // -----------------------------------------------------------------

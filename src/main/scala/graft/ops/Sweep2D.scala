@@ -132,17 +132,83 @@ object Sweep2D {
     acc.iterator.map { case ((t1, t2), s) => Row(t1, t2, s(0), s(1), s(2)) }
   }
 
+  /** Fallback segment factor when no occupancy stats are measured
+    * (the r13 fixed constant, kept as the documented anchor). */
+  val DefaultSegFactor = 64
+
+  /** Clamp range for [[autoSegFactor]]: the floor keeps ghost
+    * duplication ≤ 1/16 = 6.25%; the ceiling keeps the costing
+    * estimate honest under skew (a 4096·T segment that the uniform
+    * estimate calls small can still hold a burst). */
+  val MinSegFactor = 16
+  val MaxSegFactor = 4096
+
+  /** Per-segment working set the auto-sizer targets: tuples + Fenwick
+    * arrays for targetRows ≈ low hundreds of MB per task — the same
+    * envelope shuffle-partition sizing aims for. */
+  val TargetSegmentRows = 2L * 1000 * 1000
+
+  /** OCCUPANCY-DERIVED segment factor (VERDICT r13 task 6 — the
+    * `adaptiveKeyCap` discipline applied to segment sizing: derive
+    * the knob from measured stats instead of a fixed constant,
+    * because a fixed constant does not bound work). One cheap agg
+    * measures (n, time span); the expected rows in a segment of
+    * width f·T is n·f·T/span under the uniform estimate, so
+    *
+    *   f_occupancy   = targetRows·span / (n·T)   (memory bound)
+    *   f_parallelism = span / (T·4·cores)        (≥ 4 segments/core)
+    *
+    * and the factor is min of the two, clamped to
+    * [[MinSegFactor]]..[[MaxSegFactor]]. On DENSE corpora f shrinks
+    * below the r13 fixed 64 — deliberately: holding 64 as a hard
+    * floor would let one segment outgrow task memory at exactly the
+    * densities the sweep exists for (the fixed-cap lesson, third
+    * occurrence); the real floor is [[MinSegFactor]], where ghost
+    * duplication is still only 6.25%. On SPARSE corpora f grows
+    * (fewer, fuller segments — less duplication), bounded by the
+    * parallelism term so the sweep never collapses below ~4 tasks
+    * per core.
+    *
+    * Measured occupancy at the scale fixtures (T = 900 s, the q216
+    * band; events span the fixed 2024 year ≈ 3.15e13 µs):
+    * sf1 ≈ 1.0M rows → ~29 rows per T-band, segment at f=64 ≈ 1.8k
+    * rows; sf3 ≈ 3.1M rows → ~88 rows per T-band, f=64 segment ≈
+    * 5.6k rows (~1 MB) — both far under target, so the auto factor
+    * is parallelism-bounded (f ≈ 270 at 32 cores: ~128 segments of
+    * ≈ 24k rows ≈ 4 MB at sf3, recorded for the task-memory
+    * envelope). Round13Spec re-proves sweep ≡ pair join at the
+    * derived factor. */
+  def autoSegFactor(ev: DataFrame, T: Long,
+                    targetRows: Long = TargetSegmentRows): Int = {
+    require(T > 0, s"need T > 0 (got $T)")
+    val r = ev.agg(count(lit(1)), min(col("tsu").cast("long")),
+      max(col("tsu").cast("long"))).head()
+    val n = r.getLong(0)
+    if (n == 0) return DefaultSegFactor
+    val span = math.max(1L, r.getLong(2) - r.getLong(1) + 1)
+    val fOcc = targetRows.toDouble * span / (n.toDouble * T)
+    val fPar = span.toDouble /
+      (T.toDouble * 4 * ev.sparkSession.sparkContext.defaultParallelism)
+    val f = math.min(fOcc, fPar)
+    math.max(MinSegFactor.toLong,
+      math.min(MaxSegFactor.toLong, f.toLong)).toInt
+  }
+
   /** The exact sweep over `ev` (event_id, event_type, tsu, vc):
     * returns (t1, t2, n_pairs, gap_us_sum, val_gap_sum) — identical
     * values to the exact pair join, pairs never materialized.
     * `segFactor` = S/T (ghost duplication 1/segFactor; segment memory
-    * grows with it). */
+    * grows with it); 0 = derive from measured occupancy via
+    * [[autoSegFactor]] (the default since r14 — the result is
+    * factor-invariant, only task memory and ghost volume move). */
   def gridPairsExact(ev: DataFrame, T: Long, V: Long,
-                     segFactor: Int = 64): DataFrame = {
-    require(T > 0 && V >= 0 && segFactor >= 2,
-      s"need T > 0, V >= 0, segFactor >= 2 (got T=$T V=$V seg=$segFactor)")
+                     segFactor: Int = 0): DataFrame = {
+    require(T > 0 && V >= 0 && (segFactor == 0 || segFactor >= 2),
+      s"need T > 0, V >= 0, segFactor 0 (auto) or >= 2 " +
+        s"(got T=$T V=$V seg=$segFactor)")
+    val f = if (segFactor == 0) autoSegFactor(ev, T) else segFactor
     val s = ev.sparkSession
-    val S = segFactor * T
+    val S = f.toLong * T
     val base = ev.select(col("event_id").cast("long"),
       col("event_type").cast("string"), col("tsu").cast("long"),
       col("vc").cast("long"))

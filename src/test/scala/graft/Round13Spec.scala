@@ -197,7 +197,10 @@ class Round13Spec extends SparkSpecBase {
       (502L, "t1", 6300L, 10L), (503L, "t2", 6500L, -10L))
     val advDf = adv.toDF("event_id", "event_type", "tsu", "vc")
     val advExact = Round12b.gridPairs2d(advDf, tband, vband).drop("plan")
-    for (segFactor <- Seq(2, 64)) {
+    // derived factor included (r14): the auto-sizer must also be
+    // result-invisible
+    val auto = graft.ops.Sweep2D.autoSegFactor(advDf, tband)
+    for (segFactor <- Seq(2, 64, auto)) {
       val advSweep = graft.ops.Sweep2D
         .gridPairsExact(advDf, tband, vband, segFactor)
         .orderBy("t1", "t2")
@@ -205,6 +208,31 @@ class Round13Spec extends SparkSpecBase {
         advExact.exceptAll(advSweep).count() == 0,
         s"sweep(segFactor=$segFactor) diverged from the pair join")
     }
+  }
+
+  test("autoSegFactor derives the segment factor from measured " +
+      "occupancy: shrinks on dense corpora (memory bound), grows on " +
+      "sparse ones (parallelism bound), clamps to [16, 4096], and " +
+      "falls back to 64 on empty input") {
+    import spark.implicits._
+    val S2D = graft.ops.Sweep2D
+    // dense: 1M-row-equivalent target forced tiny → occupancy term
+    // drives f to the floor
+    val dense = (1 to 2000)
+      .map(i => (i.toLong, "t", (i % 100).toLong, 0L))
+      .toDF("event_id", "event_type", "tsu", "vc")
+    assert(S2D.autoSegFactor(dense, 10L, targetRows = 20L)
+      == S2D.MinSegFactor)
+    // sparse: huge span, few rows → parallelism term binds well above
+    // the floor, below the ceiling
+    val sparse = (1 to 50)
+      .map(i => (i.toLong, "t", i.toLong * 1000000L, 0L))
+      .toDF("event_id", "event_type", "tsu", "vc")
+    val f = S2D.autoSegFactor(sparse, 100L)
+    assert(f > S2D.MinSegFactor && f <= S2D.MaxSegFactor, s"f=$f")
+    // empty input: the documented fixed fallback
+    assert(S2D.autoSegFactor(dense.filter(lit(false)), 10L)
+      == S2D.DefaultSegFactor)
   }
 
   test("gridPairVolume: counts adjacent-cell candidate volume on a " +
