@@ -260,7 +260,20 @@ object Round8 {
     * Only STORED state is memoized (banded index, bucket relation,
     * doc-set relation, per-bucket pair store); the delta maintenance
     * re-runs per invocation, scratch persist()ed and released. */
-  private def lshPairsIncr(s: SparkSession, d: String): DataFrame = {
+  private def lshPairsIncr(s: SparkSession, d: String): DataFrame =
+    // The whole maintenance runs under the iterative-loop conf (r14,
+    // VERDICT r13 task 4 — attack the JOB count, not the data volume):
+    // its stage shapes are static (every join side carries an explicit
+    // hint, the one shuffle is the delta-sized bucket re-group), so
+    // with AQE ON each broadcast build and exchange materialized as
+    // its own query-stage JOB — profiled 6 extra jobs ≈ 0.4 s of pure
+    // launch floor at sf0.1 — while AQE-off fuses the fused
+    // pass-through ∪ rebuild ∪ verify checkpoint into a couple of
+    // statically-planned jobs. Results are conf-invariant
+    // (Round8Spec's batch-identity holds unchanged).
+    graft.iter.IterQueries.loopConf(s) { lshPairsIncrBody(s, d) }
+
+  private def lshPairsIncrBody(s: SparkSession, d: String): DataFrame = {
     // SPARK_GRAFT_PHASE=1: coarse phase walls for the maintenance
     // cascade (diagnostic only — the forced count()s change the job
     // structure, so never enable during a real bench).
