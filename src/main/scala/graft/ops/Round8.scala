@@ -429,6 +429,31 @@ object Round8 {
     }
   }
 
+  /** Distinct (idCol, trigram-md5) rows — the q148/q276 fingerprint
+    * relation (hoisted r14 so the batch row and its signed
+    * maintenance share one tokenizer by construction). */
+  private def contamGrams(docs: DataFrame, idCol: String): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id").as(idCol),
+        explode(expr(
+          """transform(sequence(1, size(toks) - 2),
+               i -> md5(concat(element_at(toks, i), ' ',
+                               element_at(toks, i + 1), ' ',
+                               element_at(toks, i + 2))))""")).as("g"))
+      .distinct()
+
+  /** The q148 overlap join: train grams probe the BROADCAST eval gram
+    * relation (the eval set is a genuinely tiny held-out artifact —
+    * the declared audit survivor), pairs thresholded at >= 3 shared
+    * distinct grams. */
+  private def contamPairs(train: DataFrame, ev: DataFrame): DataFrame =
+    train.join(broadcast(ev), "g")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= 3)
+
   /** Session memo for q154's STORED centroid model (the converged
     * base-corpus centroids — production writes them through
     * `KMeans.writeCentroids` / reads them back, `Round6Spec` proves
@@ -636,23 +661,45 @@ object Round8 {
       * per-pair count. At 100 TB this is the production shape: the
       * eval set is always tiny next to the corpus. */
     "q_text_contamination" -> ((s, d) => {
-      def grams(docs: DataFrame, idCol: String) = docs
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id").as(idCol),
-          explode(expr(
-            """transform(sequence(1, size(toks) - 2),
-                 i -> md5(concat(element_at(toks, i), ' ',
-                                 element_at(toks, i + 1), ' ',
-                                 element_at(toks, i + 2))))""")).as("g"))
-        .distinct()
       val doc = documents(s, d)
-      val train = grams(doc.filter(col("doc_id") % 97 =!= 0), "train_id")
-      val ev = grams(doc.filter(col("doc_id") % 97 === 0), "eval_id")
-      train.join(broadcast(ev), "g")
-        .groupBy("train_id", "eval_id")
-        .agg(count(lit(1)).as("shared_grams"))
-        .filter(col("shared_grams") >= 3)
+      val train = contamGrams(doc.filter(col("doc_id") % 97 =!= 0),
+        "train_id")
+      val ev = contamGrams(doc.filter(col("doc_id") % 97 === 0), "eval_id")
+      contamPairs(train, ev).orderBy("train_id", "eval_id")
+    }),
+
+    /** q276: INCREMENTAL DECONTAMINATION [P §3 — group-level
+      * recompute] — q148 maintained under the signed training-corpus
+      * delta (doc_id %10: 0=insert, 1=delete; the eval set is a FIXED
+      * held-out artifact, %97==0, untouched by training-data churn).
+      * A (train doc, eval doc) overlap score depends only on that one
+      * train doc's grams, so the delta rule is exactly the group-level
+      * one: untouched train docs' pair rows pass through from the
+      * stored base state (memoized here, the q103 partials store in
+      * production), deleted train docs' rows drop by one broadcast
+      * anti-join, and only INSERTED docs tokenize and probe the
+      * (tiny, broadcast) eval gram relation — per-batch work is
+      * delta-sized, the training corpus never re-tokenizes. Oracle =
+      * q148's full recompute over the post-delta corpus: maintenance
+      * must be result-invisible. */
+    "q_incr_contamination" -> ((s, d) => {
+      val doc = documents(s, d)
+      val ev = contamGrams(doc.filter(col("doc_id") % 97 === 0), "eval_id")
+      val baseState = cached(s, d, "contamBase") {
+        contamPairs(contamGrams(
+            doc.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 10 =!= 0),
+            "train_id"), ev)
+          .localCheckpoint()
+      }
+      val deleted = doc
+        .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 10 === 1)
+        .select(col("doc_id").as("train_id"))
+      val inserted = contamGrams(
+        doc.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 10 === 0),
+        "train_id")
+      baseState
+        .join(broadcast(deleted), Seq("train_id"), "left_anti")
+        .unionByName(contamPairs(inserted, ev))
         .orderBy("train_id", "eval_id")
     }),
 
@@ -988,6 +1035,29 @@ object Round8 {
            SELECT DISTINCT doc_id, g FROM g
          ), tr AS (
            SELECT doc_id AS train_id, g FROM dg WHERE doc_id % 97 <> 0
+         ), ev AS (
+           SELECT doc_id AS eval_id, g FROM dg WHERE doc_id % 97 = 0
+         )
+         SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS shared_grams
+         FROM tr JOIN ev USING (g)
+         GROUP BY train_id, eval_id HAVING count(*) >= 3
+         ORDER BY train_id, eval_id""",
+    /** q276 oracle: q148's full recompute over the POST-delta
+      * training corpus (%10 <> 1 — deletes gone, inserts present);
+      * the eval side stays the fixed %97 artifact. Maintenance must
+      * be result-invisible. */
+    "q_incr_contamination" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                    i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' ||
+                             toks[i + 2]))) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents) t
+         ), dg AS (
+           SELECT DISTINCT doc_id, g FROM g
+         ), tr AS (
+           SELECT doc_id AS train_id, g FROM dg
+           WHERE doc_id % 97 <> 0 AND doc_id % 10 <> 1
          ), ev AS (
            SELECT doc_id AS eval_id, g FROM dg WHERE doc_id % 97 = 0
          )

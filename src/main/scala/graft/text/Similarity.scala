@@ -63,6 +63,48 @@ object Similarity {
     "q_sim_cosine_pairs" -> ((s, d) =>
       cosinePairs(embeddings(s, d), 0.32).orderBy("vec_a", "vec_b")),
 
+    /** q275: INT8-QUANTIZED cosine pairs [N scale path] — q67's pair
+      * detection run on symmetric int8 quantization (per-vector scale
+      * 127/max|x|, floor), the memory/bandwidth shape production ANN
+      * actually ships: 4× smaller vectors, integer dot products
+      * (exact BIGINT — SIMD-friendly at the executor), one double
+      * division at the end. The whole quantize→dot→threshold chain is
+      * deterministic cross-engine (exact float→double widening, one
+      * IEEE multiply+divide then floor, integer sums), so unlike
+      * every other ANN row this one is FULLY oracle-checkable — the
+      * approximation is in the declared representation, not in the
+      * arithmetic. Recall vs the float pairs is measured in
+      * Round14Spec (the q159 recall-audit discipline). Zero vectors
+      * quantize to all-zero (qn = 0) and are excluded — cosine is
+      * undefined there in the float row too. */
+    "q_sim_cosine_quantized" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .withColumn("m",
+          expr("aggregate(emb, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+        .withColumn("qv", expr(
+          """CASE WHEN m = 0D THEN transform(emb, x -> 0L)
+             ELSE transform(emb, x -> CAST(floor(x * 127.0 / m) AS BIGINT))
+             END"""))
+        .withColumn("qn", expr(
+          "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"))
+        .select("vec_id", "qv", "qn")
+      val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("qn").as("qna"))
+      val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+        col("qn").as("qnb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .filter(col("qna") > 0 && col("qnb") > 0)
+        .withColumn("qdot", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("qcos",
+          col("qdot").cast("double") / (sqrt(col("qna")) * sqrt(col("qnb"))))
+        .filter(col("qcos") >= 0.32)
+        .select(col("vec_a"), col("vec_b"), col("qdot"), col("qcos"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     /** q110: EMBEDDING-COSINE DEDUP COLLAPSE — the embedding-space
       * analogue of q108 [N]: connected components of the cosine>=0.4
       * pair graph (min-label, FIXED 5 rounds) giving one canonical
@@ -299,6 +341,39 @@ object Similarity {
   }
 
   val sql: Map[String, String] = Map(
+    /** q275 oracle: the identical quantize→integer-dot→one-division
+      * chain in DuckDB list ops — every step exact or
+      * deterministically IEEE (see the Spark scaladoc). */
+    "q_sim_cosine_quantized" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS m
+           FROM embeddings
+         ), q AS (
+           SELECT vec_id,
+             CASE WHEN m = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(emb,
+                    x -> CAST(floor(x * 127.0 / m) AS BIGINT)) END AS qv
+           FROM e
+         ), n AS (
+           SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qn
+           FROM q
+         ), pairs AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               p -> p[1] * p[2])) AS BIGINT) AS qdot,
+             a.qn AS qna, b.qn AS qnb
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE a.qn > 0 AND b.qn > 0
+         )
+         SELECT vec_a, vec_b, qdot,
+                CAST(qdot AS DOUBLE) / (sqrt(qna) * sqrt(qnb)) AS qcos
+         FROM pairs
+         WHERE CAST(qdot AS DOUBLE) / (sqrt(qna) * sqrt(qnb)) >= 0.32
+         ORDER BY vec_a, vec_b""",
     "q_sim_topk_cosine" ->
       """WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,

@@ -15,10 +15,10 @@ class RegistrySmokeSpec extends SparkSpecBase {
     // round file would shadow an old operator with zero compile
     // signal. Pin the declared inventory count (update alongside
     // SURVEY §2's totals block when adding rows).
-    assert(SparkEntry.queries.size == 274,
-      s"expected 274 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
-    assert(SparkEntry.oracleSql.size == 259,
-      s"expected 259 oracle entries, found ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 276,
+      s"expected 276 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
+    assert(SparkEntry.oracleSql.size == 261,
+      s"expected 261 oracle entries, found ${SparkEntry.oracleSql.size}")
   }
 
   test("entry returns rows") {
