@@ -78,6 +78,13 @@ object Similarity {
       * quantize to all-zero (qn = 0) and are excluded — cosine is
       * undefined there in the float row too. */
     "q_sim_cosine_quantized" -> ((s, d) => {
+      // per-VECTOR quantization runs as HOFs (|vectors| rows —
+      // interpreted is fine); the per-PAIR dot is the hot path and
+      // runs as the codegen LongDot expression (integer sums are
+      // exactly order-independent, so the swap from the HOF chain is
+      // hash-invisible; the HOF chain measured 26.7 s at sf0.1's
+      // 12.5M pairs)
+      val ldot = graft.functions.LongDot.long_dot _
       val q = embeddings(s, d)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
@@ -87,17 +94,15 @@ object Similarity {
           """CASE WHEN m = 0D THEN transform(emb, x -> 0L)
              ELSE transform(emb, x -> CAST(floor(x * 127.0 / m) AS BIGINT))
              END"""))
-        .withColumn("qn", expr(
-          "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"))
-        .select("vec_id", "qv", "qn")
+        .select("vec_id", "qv")
+        .withColumn("qn", ldot(col("qv"), col("qv")))
       val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
         col("qn").as("qna"))
       val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
         col("qn").as("qnb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .filter(col("qna") > 0 && col("qnb") > 0)
-        .withColumn("qdot", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+        .withColumn("qdot", ldot(col("qa"), col("qb")))
         .withColumn("qcos",
           col("qdot").cast("double") / (sqrt(col("qna")) * sqrt(col("qnb"))))
         .filter(col("qcos") >= 0.32)
