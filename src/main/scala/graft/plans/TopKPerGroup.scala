@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BaseOrdering,
@@ -55,15 +54,17 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * the operator is shuffle-bound, not expression-bound; its inputs
   * and outputs are UnsafeRows).
   *
-  * Known costs (round-12 advice, accepted trade-offs): the winners
-  * shuffle goes through the plain RDD `partitionBy` path, so each
-  * (key, row) pair pays Java/Kryo serialization instead of the SQL
-  * exchange's raw UnsafeRow format — acceptable because the operator
-  * only ever shuffles the pruned |groups|·k·|partitions| winner set,
-  * not the corpus; a later iteration could adopt ShuffledRowRDD. And
-  * the `shuffledRows`/`numOutputRows` SQLMetrics are APPROXIMATE
-  * under task retries / stage re-execution (re-run tasks re-count);
-  * they are displayed for plan insight, never used for correctness. */
+  * The winners shuffle rides the SQL EXCHANGE path (r14, retiring the
+  * r12-documented trade-off): `Bridge.hashShuffleRows` builds the
+  * same HashPartitioning dependency a physical exchange would —
+  * partition ids from Murmur3Hash(keys), `UnsafeRowSerializer` on
+  * the wire — so the pruned winner rows ship as raw row bytes with
+  * zero Java/Kryo object serialization; the reduce side re-derives
+  * each row's group key with the bound key projection (cheaper than
+  * shipping keys). Remaining documented caveat: the `shuffledRows` /
+  * `numOutputRows` SQLMetrics are APPROXIMATE under task retries /
+  * stage re-execution (re-run tasks re-count); they are displayed
+  * for plan insight, never used for correctness. */
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
                             sortOrder: Seq[SortOrder], child: SparkPlan)
     extends UnaryExecNode {
@@ -99,7 +100,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
     // form merges (code-review finding, round 12)
     val normGExprs = gExprs.map(
       org.apache.spark.sql.graftbridge.Bridge.normalizeFloat)
-    val partial = childRdd.mapPartitions { iter =>
+    val partial: RDD[InternalRow] = childRdd.mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(normGExprs, attrs)
       val rowProj = UnsafeProjection.create(attrs, attrs)
       val ord = RowOrdering.create(order, attrs)
@@ -110,16 +111,23 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       groups.entrySet().iterator().asScala.flatMap { e =>
         e.getValue.iterator().asScala.map { v =>
           shufRows += 1
-          (e.getKey, v)
+          v: InternalRow
         }
       }
     }
-    partial.partitionBy(new HashPartitioner(nParts))
+    // SQL exchange path: raw UnsafeRow bytes on the wire, partitioned
+    // by Murmur3Hash of the (float-normalized) group keys — see the
+    // class scaladoc
+    org.apache.spark.sql.graftbridge.Bridge
+      .hashShuffleRows(sparkContext, partial, attrs, normGExprs, nParts)
       .mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(normGExprs, attrs)
         val ord = RowOrdering.create(order, attrs)
         val groups = new java.util.HashMap[UnsafeRow,
           java.util.PriorityQueue[UnsafeRow]]()
-        iter.foreach { case (key, row) => topKOf(groups, key, row, kk, ord) }
+        iter.foreach { row =>
+          topKOf(groups, keyProj(row), row.asInstanceOf[UnsafeRow], kk, ord)
+        }
         import scala.jdk.CollectionConverters._
         groups.entrySet().iterator().asScala.flatMap { e =>
           // emit each group's survivors in sort order (heap order is

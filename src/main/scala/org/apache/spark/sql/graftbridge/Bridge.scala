@@ -55,4 +55,35 @@ object Bridge {
   def normalizeFloat(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
       .normalize(e)
+
+  /** Hash-partition an InternalRow RDD through the SQL EXCHANGE path:
+    * partition ids from `Pmod(Murmur3Hash(keys))` exactly like a
+    * physical HashPartitioning exchange, and `UnsafeRowSerializer` on
+    * the wire — raw row bytes, zero Java/Kryo object serialization.
+    * This is what lets a tier-(c) custom operator
+    * ([[graft.plans.TopKPerGroupExec]]) shuffle its pruned rows at
+    * the same per-byte cost as any built-in exchange instead of the
+    * plain RDD `partitionBy` pair path (the r12-documented trade-off,
+    * retired r14). Driver-side only (builds the ShuffleDependency);
+    * `keys` reference `attrs` and are bound internally. */
+  def hashShuffleRows(
+      sc: org.apache.spark.SparkContext,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      keys: Seq[Expression], numPartitions: Int)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.{ShuffledRowRDD, UnsafeRowSerializer}
+    import org.apache.spark.sql.execution.metric.{
+      SQLShuffleReadMetricsReporter, SQLShuffleWriteMetricsReporter}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val writeMetrics =
+      SQLShuffleWriteMetricsReporter.createShuffleWriteMetrics(sc)
+    val readMetrics =
+      SQLShuffleReadMetricsReporter.createShuffleReadMetrics(sc)
+    val dep = ShuffleExchangeExec.prepareShuffleDependency(
+      rdd, attrs, HashPartitioning(keys, numPartitions),
+      new UnsafeRowSerializer(attrs.length), writeMetrics)
+    new ShuffledRowRDD(dep, readMetrics)
+  }
 }
