@@ -21,7 +21,16 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * codegen like every other comparison in the pair filter. Same
   * input assumptions as [[FloatDot]] (equal-length, no null
   * elements — our quantizer emits fixed-width transform output);
-  * Column-API-only, not registered for SQL text. */
+  * Column-API-only, not registered for SQL text.
+  *
+  * INPUT CONTRACT (ADVICE r14, deliberate FloatDot-precedent
+  * behavior): mismatched lengths min-truncate and null ELEMENTS read
+  * as garbage via ArrayData.getLong — there is no per-element guard
+  * in the codegen loop, that is exactly why it is fast. Callers must
+  * feed fixed-width, null-element-free arrays; inside this repo the
+  * only producers are [[graft.text.Similarity.quantize]]'s transform
+  * output and its IVF index columns, which satisfy the contract by
+  * construction. */
 case class LongDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -181,10 +181,14 @@ object Sweep2D {
   def autoSegFactor(ev: DataFrame, T: Long,
                     targetRows: Long = TargetSegmentRows): Int = {
     require(T > 0, s"need T > 0 (got $T)")
-    val r = ev.agg(count(lit(1)), min(col("tsu").cast("long")),
+    // n counts NON-NULL tsu only: NULL rows never enter a band, so
+    // counting them would bias fOcc low; and a non-empty relation
+    // whose tsu is all NULL has null min/max (ADVICE r14) — fall back
+    // to the default factor instead of NPEing on Row.getLong.
+    val r = ev.agg(count(col("tsu")), min(col("tsu").cast("long")),
       max(col("tsu").cast("long"))).head()
     val n = r.getLong(0)
-    if (n == 0) return DefaultSegFactor
+    if (n == 0 || r.isNullAt(1) || r.isNullAt(2)) return DefaultSegFactor
     val span = math.max(1L, r.getLong(2) - r.getLong(1) + 1)
     val fOcc = targetRows.toDouble * span / (n.toDouble * T)
     val fPar = span.toDouble /

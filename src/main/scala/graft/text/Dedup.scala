@@ -298,11 +298,16 @@ object Dedup {
       val a = capped.select(col("doc_id").as("doc_a"), col("tok"))
       val b = capped.select(col("doc_id").as("doc_b"), col("tok"))
       // materialize the cap-bounded candidate set once: it feeds the
-      // corpus prune AND the verify probe
+      // corpus prune AND the verify probe. persist()+count(), NOT
+      // localCheckpoint (ADVICE r14): finish's unpersist only clears
+      // CacheManager entries, so a checkpoint's storage blocks would
+      // leak until ContextCleaner GC — persist makes the release
+      // real, and the InMemoryRelation gives AQE in-memory stats.
       val cands = a.join(b, Seq("tok"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-        .localCheckpoint()
+        .persist()
+      cands.count() // eager: both consumers read cache, never racing the build
       ("capped",
         graft.iter.IterQueries.finish(cappedVerify(rel, cands), cands))
     }

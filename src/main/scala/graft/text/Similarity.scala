@@ -85,17 +85,8 @@ object Similarity {
       // hash-invisible; the HOF chain measured 26.7 s at sf0.1's
       // 12.5M pairs)
       val ldot = graft.functions.LongDot.long_dot _
-      val q = embeddings(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-        .withColumn("m",
-          expr("aggregate(emb, 0D, (acc, x) -> greatest(acc, abs(x)))"))
-        .withColumn("qv", expr(
-          """CASE WHEN m = 0D THEN transform(emb, x -> 0L)
-             ELSE transform(emb, x -> CAST(floor(x * 127.0 / m) AS BIGINT))
-             END"""))
-        .select("vec_id", "qv")
-        .withColumn("qn", ldot(col("qv"), col("qv")))
+      val q = quantize(embeddings(s, d).select(col("vec_id"), col("embedding")))
+        .select("vec_id", "qv", "qn")
       val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
         col("qn").as("qna"))
       val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
@@ -109,6 +100,25 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("qdot"), col("qcos"))
         .orderBy("vec_a", "vec_b")
     }),
+
+    /** q277: QUANTIZED IVF ANN [N scale path] — q76's bucketed search
+      * run over the int8-quantized index ([[ivfIndexQuantized]]): the
+      * memory shape production ANN actually ships at 100 TB — the
+      * stored index is (vec_id, cluster, qv, qn), ~4× smaller than
+      * the float corpus, and every in-bucket dot is the codegen
+      * integer [[graft.functions.LongDot]] (SIMD-friendly BIGINT
+      * sums), one double division at the end. Centroids stay FLOAT
+      * (they are the model, k rows — quantizing them buys nothing);
+      * bucket membership is computed on the float vectors at build
+      * time and is bit-identical to q76's index, so quantization
+      * moves ONLY the scoring — the two approximations (IVF pruning,
+      * int8 representation) compose independently. oracle=none
+      * (approximate by construction, like q76); Round15Spec audits
+      * recall against BOTH the exact float top-k (joint loss) and the
+      * quantized brute force (pruning loss isolated — nprobe=k must
+      * reproduce it exactly), the q159/q275 recall-audit discipline. */
+    "q_sim_ann_ivf_quantized" -> ((s, d) =>
+      ivfTopKQuantized(s, d).drop("cluster")),
 
     /** q110: EMBEDDING-COSINE DEDUP COLLAPSE — the embedding-space
       * analogue of q108 [N]: connected components of the cosine>=0.4
@@ -195,6 +205,87 @@ object Similarity {
           (sqrt(dot(col("embedding"), col("embedding")))
             * sqrt(dot(col("probe"), col("probe"))))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
+  /** Symmetric int8 quantization of a (vec_id, embedding: array<float>)
+    * relation — THE declared quantized representation, shared by q275
+    * (exact all-pairs over it) and q277 (IVF search over it): per-
+    * vector scale 127/max|x|, floor, values in [-127, 127] as BIGINT
+    * (BIGINT because the dot-product sums are the hot consumers —
+    * the 4× claim is about the STORED int8 codes; at rest the column
+    * dictionary/bit-packs to ~1 byte/element in parquet). The squared
+    * norm `qn` rides along as one exact codegen [[graft.functions
+    * .LongDot]] per vector. Every step is exact or deterministically
+    * IEEE (float→double widening, one multiply+divide, floor), so the
+    * representation is fully oracle-checkable (q275 proves it). Zero
+    * vectors quantize to all-zero (qn = 0); consumers exclude them —
+    * cosine is undefined there in the float rows too. Output keeps
+    * the input columns and appends (qv, qn); fixed-width transform
+    * output with no null elements, satisfying LongDot's contract. */
+  def quantize(emb: DataFrame): DataFrame = {
+    val ldot = graft.functions.LongDot.long_dot _
+    emb
+      .withColumn("demb",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("m",
+        expr("aggregate(demb, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("qv", expr(
+        """CASE WHEN m = 0D THEN transform(demb, x -> 0L)
+           ELSE transform(demb, x -> CAST(floor(x * 127.0 / m) AS BIGINT))
+           END"""))
+      .withColumn("qn", ldot(col("qv"), col("qv")))
+      .drop("demb", "m")
+  }
+
+  /** q277's index: IVF assignment with an int8-quantized payload —
+    * the production ANN memory shape. The stored index drops the
+    * float embedding entirely: (vec_id, cluster, qv, qn). Assignment
+    * runs on the FLOAT vectors against FLOAT centroids (the same
+    * codegen FloatL2Argmin as [[ivfIndex]] — at production scale the
+    * build is offline and the float corpus never ships past it), so
+    * bucket membership is bit-identical to the float index and
+    * quantization affects only in-bucket scoring. `k = 0` sizes the
+    * centroid count at ~√n, as [[ivfIndex]]. Map-only: quantize and
+    * assign fuse into one scan, no join, no shuffle. */
+  def ivfIndexQuantized(s: SparkSession, vecs: DataFrame, k: Int = 0)
+      : (DataFrame, Array[Array[Double]]) = {
+    val kk = if (k > 0) k
+      else math.max(1, math.ceil(math.sqrt(vecs.count().toDouble)).toInt)
+    val cents = vecs.orderBy("vec_id").limit(kk).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(cents.length == kk, s"ivfIndexQuantized: need >= $kk vectors")
+    (KMeans.assign(s, quantize(vecs), cents)
+      .select("vec_id", "cluster", "qv", "qn"), cents)
+  }
+
+  /** Quantized IVF top-k (q277): [[ivfTopK]]'s probe path over the
+    * [[ivfIndexQuantized]] index. Probe→cluster selection is float
+    * (k driver-side centroid distances, same as q76); the probe's
+    * int8 codes broadcast as a one-row side and every in-bucket dot
+    * is the codegen integer [[graft.functions.LongDot]]. Zero-norm
+    * rows are excluded (cosine undefined). */
+  def ivfTopKQuantized(s: SparkSession, d: String, k: Int = 10,
+                       nprobe: Int = 3, topK: Int = 10): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (indexed, cents) = ivfIndexQuantized(s, emb, k)
+    val probeVec = emb.filter(col("vec_id") === 0).collect()
+      .head.getSeq[Float](1).map(_.toDouble).toArray
+    val probeClusters = cents.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(probeVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1).toSeq
+    val probe = quantize(emb.filter(col("vec_id") === 0))
+      .select(col("qv").as("qp"), col("qn").as("qnp"))
+    val ldot = graft.functions.LongDot.long_dot _
+    indexed.filter(col("cluster").isInCollection(probeClusters))
+      .crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0 && col("qn") > 0 && col("qnp") > 0)
+      .select(col("vec_id"), col("cluster"),
+        (ldot(col("qv"), col("qp")).cast("double") /
+          (sqrt(col("qn")) * sqrt(col("qnp")))).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
       .limit(topK)
   }
 

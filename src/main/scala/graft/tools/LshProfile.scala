@@ -23,6 +23,11 @@ object LshProfile {
       val t0 = System.nanoTime(); val r = body
       println(f"[lshprof] $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // every staged frame (docSets, cands, ...) comes back MATERIALIZED
+    // (localCheckpoint + count) — so verifyPairsLazy's double
+    // consumption of cands downstream reads checkpointed rows, never
+    // recomputing the candidate union/distinct inside the timed verify
+    // step (ADVICE r14: the profiler must not skew its own attribution)
     def cnt(name: String)(df: => DataFrame): DataFrame =
       t(name) { val x = df.localCheckpoint(); println(s"[lshprof]   rows=${x.count()}"); x }
 

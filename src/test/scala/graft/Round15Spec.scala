@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Similarity
+
+/** Round-15 row (SURVEY §2 row 277):
+  *  - q277 `q_sim_ann_ivf_quantized`: IVF search over the
+  *    int8-quantized index. Two independent approximations compose
+  *    (IVF pruning × int8 scoring); the audit isolates each — recall
+  *    vs the exact FLOAT top-k measures the joint loss, nprobe=k vs
+  *    the quantized brute force proves the pruning is the ONLY
+  *    IVF-side approximation (the q159/q275 recall-audit discipline),
+  *    and the index schema check pins the 4× memory claim (no float
+  *    embedding stored). */
+class Round15Spec extends SparkSpecBase {
+
+  test("q277 quantized IVF: recall vs float exact; nprobe=k ≡ quantized " +
+      "brute force; zero-norm exclusion") {
+    // exact float top-10 (q52, the oracle-checked baseline)
+    val floatTop = SparkEntry.queries("q_sim_topk_cosine")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    // quantized brute force = nprobe=k (all clusters searched): the
+    // representation loss alone, anchored by q275's oracle-checked
+    // integer arithmetic
+    val qBrute = Similarity.ivfTopKQuantized(spark, sfDir, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val bruteRecall = qBrute.map(_._1).count(floatTop).toDouble / floatTop.size
+    assert(bruteRecall >= 0.8,
+      s"int8 representation recall $bruteRecall too low vs float top-k")
+    // the declared row: nprobe=3 of k=10 clusters
+    val ivfq = SparkEntry.queries("q_sim_ann_ivf_quantized")(spark, sfDir)
+      .collect()
+    assert(ivfq.length == 10, s"expected 10 rows, got ${ivfq.length}")
+    ivfq.foreach { r =>
+      val qcos = r.getDouble(1)
+      assert(qcos >= -1.0 - 1e-12 && qcos <= 1.0 + 1e-12,
+        s"qcos $qcos outside Cauchy–Schwarz bound")
+    }
+    val jointRecall =
+      ivfq.map(_.getLong(0)).count(floatTop).toDouble / floatTop.size
+    assert(jointRecall >= 0.3,
+      s"quantized-IVF recall $jointRecall too low for nprobe=3 (q76's pin)")
+    // pruning-loss isolation: widening the probe to every cluster must
+    // reproduce the quantized brute force EXACTLY (ids and scores) —
+    // integer dots are order-exact, so this is bit-equality
+    val full = Similarity.ivfTopKQuantized(spark, sfDir, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(full.toSeq == qBrute.toSeq,
+      "nprobe=k must equal the quantized brute force bit-exactly")
+  }
+
+  test("quantized IVF index: no float embedding stored, assignment " +
+      "identical to the float index, quantizer shared with q275") {
+    val vecs = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val n = vecs.count()
+    val (qIndexed, qCents) = Similarity.ivfIndexQuantized(spark, vecs)
+    // the 4× memory shape: the stored index carries ONLY the int8
+    // codes + norm, never the float embedding
+    assert(qIndexed.columns.toSeq == Seq("vec_id", "cluster", "qv", "qn"),
+      s"unexpected index schema: ${qIndexed.columns.mkString(",")}")
+    assert(qIndexed.count() == n, "assignment must be total")
+    // bucket membership bit-identical to the float index (assignment
+    // runs on float vectors in both — quantization moves only scoring)
+    val (fIndexed, fCents) = Similarity.ivfIndex(spark, vecs)
+    assert(qCents.length == fCents.length)
+    val qa = qIndexed.select("vec_id", "cluster")
+    val fa = fIndexed.select("vec_id", "cluster")
+    assert(qa.exceptAll(fa).count() == 0 && fa.exceptAll(qa).count() == 0,
+      "quantized index bucket membership diverged from the float index")
+    // the quantizer is the SAME declared representation q275 checks:
+    // norms are exact integer self-dots, zero vector ⇒ qn = 0
+    val q = Similarity.quantize(vecs)
+    assert(q.filter(col("qn") < 0).count() == 0, "qn must be >= 0")
+    val maxAbs = q.select(max(expr(
+      "aggregate(qv, 0L, (acc, x) -> greatest(acc, abs(x)))"))).head().getLong(0)
+    assert(maxAbs <= 127, s"int8 code out of range: $maxAbs")
+  }
+}
