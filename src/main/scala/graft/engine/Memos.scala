@@ -1,19 +1,44 @@
 package graft.engine
 
-/** Central eviction registry for the session-scoped structure memos
-  * (`Graphs.cached`, `Dedup`/`Similarity`/`SimHash`/`Round8` memo
-  * maps). The memos deliberately pin persisted / localCheckpointed
-  * frames for reuse across a query registry run — that is their job —
-  * but a long-lived session that switches fixture dirs, or a harness
-  * that wants a cold-cache measurement, needs a way to drop them all:
-  * each memo object registers its own clear function here on first
-  * use, and [[clearAll]] evicts every initialized memo (unpersisting
-  * what it can and releasing the references so checkpoint blocks
-  * become GC-reclaimable).
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Central registry for the session-scoped structure memos
+  * (`Graphs`, `Dedup`/`Similarity`/`SimHash`/`Round8`/... stores).
+  * The memos deliberately pin persisted / localCheckpointed frames
+  * for reuse across a query registry run — that is their job — but
+  * pinned storage needs two controls:
   *
-  * Nothing calls this automatically on the driver's bench path: the
-  * driver benches one fixture dir per session, where pinned reuse is
-  * the documented methodology (BASELINE.md). */
+  *  1. [[clearAll]] — full eviction, for a harness that switches
+  *     fixture dirs or wants a cold-cache measurement. Nothing calls
+  *     it automatically on the driver's bench path: the driver
+  *     benches one fixture dir per session, where pinned reuse is the
+  *     documented methodology (BASELINE.md).
+  *  2. A BYTE BUDGET (r15, VERDICT r14 task 4) — the memo set grows
+  *     with the fixture (~347 MB at sf0.1, ~12 GB at sf1 per
+  *     SCALING.md), and an unbounded session eventually outgrows the
+  *     JVM. Every memo map is a [[Store]]; each ADMISSION checks the
+  *     block manager's total pinned bytes against [[budgetBytes]]
+  *     and evicts least-recently-HIT entries across ALL stores until
+  *     the total fits (never the entry just admitted). Eviction is a
+  *     real release — CacheManager entry AND any checkpoint RDD
+  *     blocks in the frame's plan (`Dataset.unpersist` alone leaves
+  *     the latter to ContextCleaner GC, the ADVICE-r14 leak) — and a
+  *     later re-miss simply rebuilds (`MemoBudgetSpec` proves it).
+  *
+  * Eviction-safety contract: an evicted checkpointed frame is
+  * unreadable (its lineage was truncated at materialization), so
+  * handed-out memo frames must be consumed within the query that
+  * fetched them — which the registry convention guarantees: every
+  * access goes through `getOrElseUpdate` (bumping the LRU clock), so
+  * the frames a running query depends on are always the NEWEST-hit
+  * entries and are evicted last; queries materialize their result
+  * before returning. A budget small enough to evict a same-query
+  * dependency mid-build degrades persisted deps to lineage recompute
+  * and is out of contract for checkpointed ones — set the budget
+  * above the largest single query's working set (the default, half
+  * the driver heap, is two orders above it at every measured SF). */
 object Memos {
   private val clearers =
     new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
@@ -25,4 +50,96 @@ object Memos {
     * fixtures or before a cold-cache measurement; the next query
     * rebuilds what it needs. */
   def clearAll(): Unit = clearers.forEach(f => f())
+
+  // ------------------------------------------------------------------
+  // r15: byte-budgeted stores
+  // ------------------------------------------------------------------
+
+  /** Conf key for the memo byte budget (default: half the driver
+    * JVM's max heap — in local mode the one JVM holds every block). */
+  val BudgetConf = "spark.graft.memoBudgetBytes"
+
+  /** The session's memo byte budget. */
+  def budgetBytes(s: SparkSession): Long =
+    s.conf.getOption(BudgetConf).map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory() / 2)
+
+  /** Bytes currently pinned in the block manager (memory + disk),
+    * across ALL cached/checkpointed RDDs — memo entries and any
+    * in-flight query scratch. The budget compares against this total:
+    * what matters at runtime is the real storage pressure, not the
+    * memos' own share of it. */
+  def storedBytes(s: SparkSession): Long =
+    s.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+
+  /** Cumulative budget evictions (observability + spec hook). */
+  val evictions = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Fully release a memoized frame: the CacheManager entry and any
+    * checkpoint RDD blocks embedded in its plan. Blocking, so the
+    * budget check right after an eviction reads post-release sizes. */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = true)
+    org.apache.spark.sql.graftbridge.Bridge.planRdds(df).foreach { r =>
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = true)
+    }
+  }
+
+  private val tick = new java.util.concurrent.atomic.AtomicLong(0)
+  private val stores =
+    new java.util.concurrent.ConcurrentLinkedQueue[Store[_]]()
+
+  private[engine] final case class Slot(df: DataFrame,
+      @volatile var lastHit: Long, removeSelf: () => Unit)
+
+  /** A session memo map with LRU byte-budget participation — the
+    * drop-in replacement for the per-module
+    * `TrieMap[..., DataFrame] + Memos.register` pattern. */
+  final class Store[K](val name: String) {
+    private val m = TrieMap.empty[K, Slot]
+    stores.add(this)
+    register { () => clear() }
+
+    /** Release and drop every entry in THIS store. */
+    def clear(): Unit = {
+      m.values.foreach(sl => release(sl.df)); m.clear()
+    }
+
+    def getOrElseUpdate(key: K, build: => DataFrame): DataFrame =
+      m.get(key) match {
+        case Some(sl) =>
+          sl.lastHit = tick.incrementAndGet(); sl.df
+        case None =>
+          val df = build
+          m.put(key, Slot(df, tick.incrementAndGet(),
+            () => { m.remove(key); () }))
+          enforceBudget(df.sparkSession, df)
+          df
+      }
+
+    def size: Int = m.size
+    private[engine] def slots: Seq[Slot] = m.values.toSeq
+  }
+
+  /** Evict least-recently-hit entries (across every store) until the
+    * block manager total fits the budget. The just-admitted frame is
+    * exempt; if everything evictable is gone and the total still
+    * exceeds the budget, the residue is in-flight query scratch —
+    * released by its own query's end-of-call discipline. */
+  private def enforceBudget(s: SparkSession,
+                            justAdmitted: DataFrame): Unit = synchronized {
+    val budget = budgetBytes(s)
+    if (budget <= 0 || storedBytes(s) <= budget) return
+    val victims = stores.asScala.flatMap(_.slots).toSeq
+      .filter(_.df ne justAdmitted)
+      .sortBy(_.lastHit)
+    val it = victims.iterator
+    while (storedBytes(s) > budget && it.hasNext) {
+      val v = it.next()
+      v.removeSelf()
+      release(v.df)
+      evictions.incrementAndGet()
+    }
+  }
 }

@@ -56,17 +56,12 @@ object Graphs {
     * reuse is a cache hit, and determinism (integer arithmetic, fixed
     * data) makes sharing semantically invisible. */
   private val memo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register(() => clear())
+    new graft.engine.Memos.Store[(SparkSession, String, String)]("graphs")
 
   /** Evict every memoized structure frame (see [[graft.engine.Memos]]):
-    * persisted frames unpersist; checkpointed ones lose their last
-    * reference and their blocks become GC-reclaimable. */
-  def clear(): Unit = {
-    memo.values.foreach(_.unpersist(blocking = false))
-    memo.clear()
-  }
+    * a full release — persisted frames unpersist AND checkpointed
+    * frames' blocks are freed at the RDD (Memos.release). */
+  def clear(): Unit = memo.clear()
 
   def cached(s: SparkSession, d: String, key: String)
             (build: => DataFrame): DataFrame =

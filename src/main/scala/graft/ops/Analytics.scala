@@ -54,14 +54,11 @@ object Analytics {
     * semantics follow SURVEY §2 rows 219-222.
     */
 
-  private val dfMemoBm = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  private val dfMemoBm = new graft.engine.Memos
+    .Store[(SparkSession, String, String)]("analytics_bitmap")
   private val writeMemoBm = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), Boolean]
-  graft.engine.Memos.register { () =>
-    dfMemoBm.values.foreach(_.unpersist(blocking = false)); dfMemoBm.clear()
-    writeMemoBm.clear()
-  }
+  graft.engine.Memos.register { () => writeMemoBm.clear() }
 
   private def scratchRootBm(s: SparkSession, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_r12c_" +
@@ -440,11 +437,8 @@ object Analytics {
     * semantics follow SURVEY §2 rows 226-229.
     */
 
-  private val dfMemoEng = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    dfMemoEng.values.foreach(_.unpersist(blocking = false)); dfMemoEng.clear()
-  }
+  private val dfMemoEng = new graft.engine.Memos
+    .Store[(SparkSession, String, String)]("analytics_engagement")
 
   // ---------------------------------------------------------------
   // DAU/WAU kernel (rolling exact distinct on bitmap partials)
@@ -1162,11 +1156,8 @@ object Analytics {
 
   private val D38x = DecimalType(38, 0)
 
-  private val dfMemoChi = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    dfMemoChi.values.foreach(_.unpersist(blocking = false)); dfMemoChi.clear()
-  }
+  private val dfMemoChi = new graft.engine.Memos
+    .Store[(SparkSession, String, String)]("analytics_chisq")
 
   // ---------------------------------------------------------------
   // chi-square A/B kernel

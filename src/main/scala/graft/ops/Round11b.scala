@@ -26,11 +26,8 @@ import graft.engine.Dec._
   */
 object Round11b {
 
-  private val dfMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
-  }
+  private val dfMemo =
+    new graft.engine.Memos.Store[(SparkSession, String, String)]("round11b")
 
   /** Distinct bipartite (part, supplier) edge relation — q170's
     * structure data, session-memoized like [[graft.iter.Graphs]]'

@@ -29,14 +29,11 @@ import graft.engine.Dec._
   */
 object Round12 {
 
-  private val dfMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  private val dfMemo =
+    new graft.engine.Memos.Store[(SparkSession, String, String)]("round12")
   private val pathMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), String]
-  graft.engine.Memos.register { () =>
-    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
-    pathMemo.clear()
-  }
+  graft.engine.Memos.register { () => pathMemo.clear() }
 
   private def scratchRoot(s: SparkSession, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_r12_" +

@@ -30,14 +30,11 @@ import graft.functions.DamerauLevenshtein
   */
 object Round12b {
 
-  private val dfMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  private val dfMemo =
+    new graft.engine.Memos.Store[(SparkSession, String, String)]("round12b")
   private val volMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), Long]
-  graft.engine.Memos.register { () =>
-    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
-    volMemo.clear()
-  }
+  graft.engine.Memos.register { () => volMemo.clear() }
 
   /** damerau_levenshtein(a, b) as a Column — wraps the codegen
     * Expression ([[graft.functions.DamerauLevenshtein]]). */

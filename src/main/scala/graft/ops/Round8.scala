@@ -148,11 +148,8 @@ object Round8 {
     * are exactly the pieces a pipeline persists anyway: the banded
     * index IS the stored state of an evolving corpus, and the
     * verified pair graph is the collapse's input table. */
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    memo.values.foreach(_.unpersist(blocking = false)); memo.clear()
-  }
+  private val memo =
+    new graft.engine.Memos.Store[(SparkSession, String, String)]("lsh")
   private def cached(s: SparkSession, d: String, key: String)
                     (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, d, key), build)
@@ -171,6 +168,33 @@ object Round8 {
   private def cachedDocSetsAll(s: SparkSession, d: String): DataFrame =
     cached(s, d, "docSetsAll")(
       Dedup.docSets(cachedToksAll(s, d)).persist())
+
+  /** Σsz of the stored doc-set relation — size metadata of STORED
+    * state (computed once per (session, dir) alongside the memo; a
+    * real catalog serves table stats for free at query time). Gates
+    * the verdict-probe broadcast in [[lshVerdictJoin]]. */
+  private val volMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+  graft.engine.Memos.register { () => volMemo.clear() }
+  private def docSetsVolume(s: SparkSession, d: String): Long =
+    volMemo.getOrElseUpdate((s, d),
+      cachedDocSetsAll(s, d)
+        .agg(coalesce(sum(col("sz")), lit(0L))).head().getLong(0))
+
+  /** Probe-broadcast gate for the signed-LSH verdict join (VERDICT
+    * r14 task 5 — the last doc-only broadcast survivor, retired into
+    * a pinned selector): at or below this stored-relation token
+    * volume the whole doc-set relation broadcasts HINTED (the r13
+    * A/B winner at fixture scale — ~116k tokens ≈ 1 MB at sf0.1,
+    * where the semi-filter's extra materialization is a measured net
+    * loss); above it the probes are semi-pruned to the candidate
+    * endpoints and HINT-FREE, so AQE decides from the post-prune
+    * sizes (delta-proportional — every candidate endpoint lives in a
+    * rebuilt bucket). 512k tokens ≈ 5 MB of strings per probe side —
+    * the region where an unconditional hint stops being obviously
+    * right; sf1's 1.16M tokens flips the branch.
+    * `BroadcastAuditSpec` pins both branches and their equality. */
+  val ProbeTokenCap: Long = 512L * 1000
 
   /** q136's verified pair graph: capped candidates ∪ the quarantined
     * buckets' spanning-star candidates, exact-Jaccard-verified. */
@@ -333,46 +357,71 @@ object Round8 {
     // touching an insert, cap-reveals, previously-failed pairs; docs
     // are immutable, so a stored verdict can never change). All three
     // joins are broadcast map-side — the candidate stream never
-    // shuffles. Verification runs against the UNFILTERED stored
-    // doc-set relation: rebuilt buckets contain no deleted docs
-    // (bucketsTouched applies the delta before grouping), so the join
-    // never looks up a deleted doc. At 100 TB the probe sides must be
-    // SEMI-FILTERED to the rebuilt buckets' member docs before the
-    // broadcast (delta-proportional — every candidate endpoint lives
-    // in a rebuilt bucket's ds list); at this fixture scale that
-    // filter measured as a net loss (r13 A/B: the two probe builds
-    // race to compute the not-yet-materialized bucket rebuild), so
-    // the declared row keeps the whole-relation broadcast and the
-    // production swap is this one-line semi-join. Broadcast-audit
-    // survivor (r13 task 2): kg is the verified-pair store (two longs
-    // per near-dup pair — near-dup-volume-bounded, broadcastable by
-    // the LSH family's own scale argument); pa/pb are the STORED
-    // doc-set relation, corpus-sized, kept hinted ONLY on the A/B
-    // evidence above, with the semi-filter swap documented as the
-    // production shape — the generic library path (Dedup.verifyPairs)
-    // is semi-pruned and hint-free since r14.
+    // shuffles. Verification runs against the stored doc-set
+    // relation through the COSTED SELECTOR [[lshVerdictJoin]] (r15,
+    // VERDICT r14 task 5): below [[ProbeTokenCap]] the whole relation
+    // broadcasts hinted (the r13 A/B winner at fixture scale — the
+    // semi-filter's extra materialization measured as a net loss
+    // there); above it the probes are semi-pruned to the candidate
+    // endpoints and hint-free. Rebuilt buckets contain no deleted
+    // docs (bucketsTouched applies the delta before grouping), so
+    // the join never looks up a deleted doc either way.
+    val (rebuilt, vScratch) = lshVerdictJoin(s, d, rebuiltCands)
+    // ONE materialization for the whole maintenance: pass-through ∪
+    // rebuild ∪ verify fuse into this single checkpoint action.
+    val pairs = kept.unionByName(rebuilt.select("doc_a", "doc_b"))
+      .localCheckpoint() // materialize before releasing the scratch
+    mark("pairs checkpoint")
+    (Seq(touched, rebuiltBk) ++ vScratch)
+      .foreach(_.unpersist(blocking = false))
+    pairs
+  }
+
+  /** The verdict join of the signed-LSH maintenance — pass-through
+    * marker + doc-set probes over the candidate stream — built LAZILY
+    * so `BroadcastAuditSpec` can pin the selector's two branches.
+    *
+    * kg is the verified-pair store (two longs per near-dup pair —
+    * near-dup-volume-bounded, broadcastable by the LSH family's own
+    * scale argument — a documented hint SURVIVOR in both branches);
+    * the doc-set probes pa/pb follow [[ProbeTokenCap]]: hinted
+    * whole-relation broadcast below it, semi-pruned to candidate
+    * endpoints + hint-free above it (the candidate stream is
+    * materialized first in that branch, so the two probe builds read
+    * cached rows instead of racing to compute the bucket rebuild —
+    * the failure mode the r13 A/B measured). Returns the lazy frame
+    * plus any scratch this function persisted (caller releases after
+    * its one materialization). */
+  private[graft] def lshVerdictJoin(s: SparkSession, d: String,
+      rebuiltCands: DataFrame, cap: Long = ProbeTokenCap)
+      : (DataFrame, Seq[DataFrame]) = {
     val kg = cachedLshKnownGood(s, d).withColumn("known", lit(true))
     val sets = cachedDocSetsAll(s, d)
-    val pa = sets.select(col("doc_id").as("doc_a"),
+    val hinted = docSetsVolume(s, d) <= cap
+    val (probes, cands, scratch) =
+      if (hinted) (sets, rebuiltCands, Nil)
+      else {
+        val mat = rebuiltCands.persist()
+        mat.count() // eager: both endpoint scans read cache
+        val ids = mat.select(col("doc_a").as("doc_id"))
+          .union(mat.select(col("doc_b").as("doc_id"))).distinct()
+        (sets.join(ids, Seq("doc_id"), "left_semi"), mat,
+          Seq(mat))
+      }
+    val pa = probes.select(col("doc_id").as("doc_a"),
       col("toks").as("toks_a"), col("sz").as("sz_a"))
-    val pb = sets.select(col("doc_id").as("doc_b"),
+    val pb = probes.select(col("doc_id").as("doc_b"),
       col("toks").as("toks_b"), col("sz").as("sz_b"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
       .cast("bigint")
-    val rebuilt = rebuiltCands
+    val out = cands
       .join(broadcast(kg), Seq("doc_a", "doc_b"), "left")
-      .join(broadcast(pa), "doc_a").join(broadcast(pb), "doc_b")
+      .join(if (hinted) broadcast(pa) else pa, "doc_a")
+      .join(if (hinted) broadcast(pb) else pb, "doc_b")
       .filter(coalesce(col("known"),
         inter * 2 >= col("sz_a") + col("sz_b") - inter))
       .select("doc_a", "doc_b")
-    // ONE materialization for the whole maintenance: pass-through ∪
-    // rebuild ∪ verify fuse into this single checkpoint action.
-    val pairs = kept.unionByName(rebuilt)
-      .localCheckpoint() // materialize before releasing the scratch
-    mark("pairs checkpoint")
-    Seq(touched, rebuiltBk)
-      .foreach(_.unpersist(blocking = false))
-    pairs
+    (out, scratch)
   }
 
   /** The LSH-sourced dedup collapse shared by q136 (batch) and q139

@@ -13,11 +13,8 @@ import graft.engine.Tables._
   * driver-visible number. */
 object Selectors {
 
-  private val dfMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    dfMemo.values.foreach(_.unpersist(blocking = false)); dfMemo.clear()
-  }
+  private val dfMemo =
+    new graft.engine.Memos.Store[(SparkSession, String, String)]("selectors")
 
   val defs: Map[String, Q] = Map(
     /** q159: RECALL OF THE APPROXIMATE FAMILY AS NUMBERS IN THE DUMP

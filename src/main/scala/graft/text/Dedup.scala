@@ -351,11 +351,7 @@ object Dedup {
     * semantically invisible, exactly as for the graph structure
     * caches. */
   private val memo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    memo.values.foreach(_.unpersist(blocking = false)); memo.clear()
-  }
+    new graft.engine.Memos.Store[(SparkSession, String, String)]("dedup")
 
   /** Canonical (doc_a < doc_b) intersection counts WITH both set
     * sizes, unthresholded — the one expensive computation (token

@@ -241,11 +241,8 @@ object SimHash {
   /** The STORED state of q147's base subset corpus (doc_id % 5 == 0
     * minus the % 50 == 0 insert class) — the preserved state [P §3],
     * session-memoized like `Round8`'s LSH stores. */
-  private val memo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    memo.values.foreach(_.unpersist(blocking = false)); memo.clear()
-  }
+  private val memo = new graft.engine.Memos
+    .Store[(org.apache.spark.sql.SparkSession, String, String)]("simhash")
   private def bandedOldCached(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "bandedOld"),

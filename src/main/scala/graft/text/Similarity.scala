@@ -27,11 +27,7 @@ object Similarity {
     * deterministic O(n²) cosine computation, so it materializes once
     * per (session, dir). */
   private val memo =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
-  graft.engine.Memos.register { () =>
-    memo.values.foreach(_.unpersist(blocking = false)); memo.clear()
-  }
+    new graft.engine.Memos.Store[(SparkSession, String)]("similarity")
 
   def cachedCosinePairs04(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d),

@@ -20,15 +20,73 @@ import org.apache.spark.sql.functions._
   * := true` gives this its own JVM like Bench/Verify.
   *
   * Usage: SPARK_HOME=/opt/spark sbt "runMain graft.tools.ClusterSmoke
-  *   [sfDir]"   (exit 0 = all green; failures listed on stderr).
+  *   [sfDir] [verifyDir]"  (exit 0 = all green; failures on stderr).
   * The driver JVM needs SPARK_HOME so the in-process Worker can build
   * executor launch commands; executor classpath/module-opens are set
-  * below. */
+  * below.
+  *
+  * VALUE TIER (r15, VERDICT r14 task 3): when `verifyDir` (a
+  * `graft.Verify` dump produced under local[32] at the SAME sfDir) is
+  * given, every row in [[ValueRows]] is re-executed under the cluster
+  * topology and compared to the dumped parquet by TWO-WAY exceptAll —
+  * full multiset equality of the result rows (strictly stronger than
+  * a hash compare; a canonical multiset hash is still logged per row
+  * for the run record). This converts the registry tier's "non-empty
+  * under real serialization" into "bit-equal to local[32]" for every
+  * custom exec/codegen path and one row per SURVEY §2 section. */
 object ClusterSmoke {
 
   /** Queries whose empty result is legitimate at sf0.001 (mirrors
     * RegistrySmokeSpec). */
   private val mayBeEmpty = Set("q_join_anti", "q_set_except")
+
+  /** The value-tier cross-section (~40 rows): every custom
+    * exec/codegen path — TopKPerGroupExec (q29/q198/q199), FloatDot
+    * (q52/q67/q91), LongDot (q275/q277), FloatL2Argmin (q76/q135),
+    * DamerauLev (q201), the Fenwick/segment sweeps (q208/q216/q217),
+    * the LSH family (q51/q108/q136/q139), Bloom (q94), the iterative
+    * loop family (q41/q42/q43/q101/q106/q107) — plus one
+    * deterministic row per §2 section. Rows whose output is
+    * FP-order-sensitive by declaration (k-means averaging) are
+    * excluded: their cross-run equality is not a contract even
+    * locally. q277/q76/q135 ARE included — assignment, integer dots
+    * and total-order tie-breaks make them partitioning-independent. */
+  private[graft] val ValueRows: Seq[String] = Seq(
+    // custom exec / codegen expressions
+    "q_topk_per_group", "q_topk_native", "q_topk_auto",
+    "q_sim_topk_cosine", "q_sim_cosine_pairs", "q_sim_knn_batch",
+    "q_sim_cosine_quantized", "q_sim_ann_ivf_quantized",
+    "q_sim_ann_ivf", "q_sim_ann_ivf_batch", "q_fn_damerau",
+    // sweeps / band joins
+    "q_join_band_time", "q_join_grid_2d", "q_events_outlier_days",
+    // LSH / dedup / signed maintenance
+    "q_dedup_minhash", "q_dedup_groups", "q_dedup_groups_lsh",
+    "q_dedup_groups_lsh_incr", "q_incr_dedup_exact", "q_dedup_simhash",
+    // iterative / incremental loops
+    "q_iter_pagerank", "q_iter_sssp", "q_iter_connected_components",
+    "q_gimv_pagerank", "q_incr_frontier", "q_incr_sssp_delete",
+    // one per remaining §2 section
+    "q_scan_pushdown", "q_filter_compound", "q_join_multiway",
+    "q_agg_basic", "q_win_rank", "q_sort_total", "q_fn_string",
+    "q_incr_delta_merge", "q_text_quality", "q_udaf_weighted_avg",
+    "q_multimodal_features", "q_join_range", "q_agg_bitmap_distinct",
+    "q_events_rfm", "q_join_colocated", "q_text_scrub",
+    "q_agg_heavy_hitters", "q_join_bloom_pruned", "q_tpch_q1",
+    "q_tpch_q9")
+
+  /** Map-typed columns are not comparable (no EXCEPT over MapType) —
+    * canonicalize them to their JSON text; everything else compares
+    * natively (arrays/structs are ordered and comparable). */
+  private def canon(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -124,6 +182,35 @@ object ClusterSmoke {
         .gridPairs2d(ev, T, V, volumeCap = 1L).drop("plan")
       require(swept.exceptAll(exact).count() == 0 &&
         exact.exceptAll(swept).count() == 0, "sweep diverged")
+    }
+
+    // 4. VALUE tier: bit-equal outputs vs a local[32] Verify dump at
+    // the same sfDir (two-way exceptAll = full multiset equality)
+    if (args.length > 1) {
+      val vd = args(1)
+      val t1 = System.nanoTime()
+      ValueRows.foreach { name =>
+        check(s"value:$name") {
+          val refRaw = spark.read.parquet(s"$vd/$name.parquet")
+          val order = refRaw.columns.sorted.map(col).toSeq
+          val ref = canon(refRaw).select(order: _*)
+          val got = canon(graft.SparkEntry.queries(name)(spark, sfDir))
+            .select(order: _*)
+          val extra = got.exceptAll(ref).count()
+          val missing = ref.exceptAll(got).count()
+          require(extra == 0 && missing == 0,
+            s"value drift vs local[32]: +$extra unexpected, " +
+              s"-$missing missing rows")
+          val h = got.agg(
+            coalesce(sum(xxhash64(to_json(struct(
+              got.columns.map(col).toSeq: _*)))), lit(0L)),
+            count(lit(1))).head()
+          println(s"[cluster-smoke] value $name rows=${h.getLong(1)} " +
+            s"hash=${java.lang.Long.toHexString(h.getLong(0))}")
+        }
+      }
+      println(f"[cluster-smoke] value tier (${ValueRows.size} rows) " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
     }
 
     val verdict =

@@ -56,6 +56,18 @@ object Bridge {
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
       .normalize(e)
 
+  /** RDDs embedded in a DataFrame's logical plan — a checkpointed
+    * Dataset's plan is a `LogicalRDD` (`private[sql]`, hence bridged)
+    * over the checkpoint RDD. The memo stores' budgeted eviction
+    * needs them: `Dataset.unpersist` only clears CacheManager
+    * entries, so a local checkpoint's storage blocks must be
+    * unpersisted at the RDD or they linger until ContextCleaner GC. */
+  def planRdds(df: DataFrame)
+      : Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] =
+    df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** Hash-partition an InternalRow RDD through the SQL EXCHANGE path:
     * partition ids from `Pmod(Murmur3Hash(keys))` exactly like a
     * physical HashPartitioning exchange, and `UnsafeRowSerializer` on

@@ -21,8 +21,10 @@ import graft.text.Dedup
   *  - Dedup.cachedSubsetInter — SURVIVOR: declared bounded-subset
   *    oracle baseline, built once per session (plan hidden behind its
   *    checkpoint, so documented rather than pinned);
-  *  - Round8 lshPairsIncr pa/pb — SURVIVOR on r13 A/B evidence, with
-  *    the semi-filter production swap documented in-line. */
+  *  - Round8 lshPairsIncr pa/pb — PINNED SELECTOR since r15 (was a
+  *    SURVIVOR on r13 A/B evidence): hinted whole-relation broadcast
+  *    at/below ProbeTokenCap (the A/B winner at fixture scale),
+  *    semi-pruned to candidate endpoints + hint-free above it. */
 class BroadcastAuditSpec extends SparkSpecBase {
 
   import spark.implicits._
@@ -53,5 +55,32 @@ class BroadcastAuditSpec extends SparkSpecBase {
   test("exactPairs: exactly the two declared size-capped hints survive") {
     val toks = Dedup.subsetTokens(spark, sfDir)
     assert(hints(Dedup.exactPairs(toks)).size == 2)
+  }
+
+  test("lshVerdictJoin selector: hinted whole-relation probes below " +
+      "the cap, semi-pruned hint-free above, identical results") {
+    // (0,0) is a guaranteed Jaccard-1 pass so the equality check is
+    // never vacuously empty; the others exercise real verdicts
+    val cands = Seq((0L, 0L), (0L, 5L), (5L, 10L), (0L, 10L))
+      .toDF("doc_a", "doc_b")
+    // below the cap (forced): kg + pa + pb all hinted
+    val (hintedF, s1) = graft.ops.Round8
+      .lshVerdictJoin(spark, sfDir, cands, Long.MaxValue)
+    assert(hints(hintedF).size == 3,
+      s"expected 3 hints (kg, pa, pb) below the cap: ${hints(hintedF).size}")
+    // above the cap (forced): only the near-dup-bounded kg hint
+    // survives; the doc-set relation is semi-pruned to endpoints
+    val (semiF, s2) = graft.ops.Round8
+      .lshVerdictJoin(spark, sfDir, cands, -1L)
+    assert(hints(semiF).size == 1,
+      s"expected only the kg hint above the cap: ${hints(semiF).size}")
+    assert(semiF.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "doc-set probes must be semi-pruned to candidate endpoints")
+    // the selector is result-invisible
+    val a = hintedF.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val b = semiF.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    assert(a.toSeq == b.toSeq, "selector branches diverged")
+    assert(a.nonEmpty, "equality check was vacuous")
+    (s1 ++ s2).foreach(_.unpersist(blocking = false))
   }
 }

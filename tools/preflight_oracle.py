@@ -12,7 +12,7 @@ name), same values in row order. Exits non-zero on any mismatch.
 This is a local tool only — it is NOT part of the Scala library and
 duckdb/pandas are used here exactly as the driver uses them.
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, re
 from decimal import Decimal
 
 import duckdb
@@ -72,9 +72,78 @@ def compare(name, sdf, ddf):
     return problems
 
 
+def split_ctes(sql):
+    """Split a NON-RECURSIVE top-level `WITH a AS (...), ... SELECT`
+    into ([(name, body), ...], final_select).
+
+    Each CTE in a non-recursive WITH references only earlier CTEs, so
+    materializing them in order as temp tables is semantically
+    identical to the single statement — but it caps the optimizer's
+    CTE re-inlining, which is what makes the unrolled loop-family
+    oracles (label-propagation / GIM-V, 5 chained self-joins) spill
+    >70 GB at sf1 (VERDICT r14 task 2). Returns (None, sql) when not
+    applicable (no WITH, or WITH RECURSIVE — whose semantics genuinely
+    need the single statement)."""
+    s = sql.strip()
+    m0 = re.match(r"(?is)^\s*WITH\b", s)
+    if not m0 or re.match(r"(?is)^\s*WITH\s+RECURSIVE\b", s):
+        return None, sql
+    i, n, ctes = m0.end(), len(s), []
+    head = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", re.I | re.S)
+    comma = re.compile(r"\s*,")
+    while True:
+        m = head.match(s, i)
+        if not m:
+            return None, sql
+        name, j = m.group(1), m.end()
+        depth, k, in_str = 1, j, False
+        while k < n and depth > 0:
+            c = s[k]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth != 0:
+            return None, sql
+        ctes.append((name, s[j:k - 1]))
+        m2 = comma.match(s, k)
+        if not m2:
+            return ctes, s[k:].strip()
+        i = m2.end()
+
+
+def run_oracle(con, sql, materialize):
+    """Execute an oracle query, optionally with each top-level CTE
+    materialized as a temp table (see split_ctes)."""
+    if not materialize:
+        return con.execute(sql).df()
+    ctes, final = split_ctes(sql)
+    if not ctes:
+        return con.execute(sql).df()
+    try:
+        for nm, body in ctes:
+            con.execute(f'DROP TABLE IF EXISTS "{nm}"')
+            con.execute(f'CREATE TEMP TABLE "{nm}" AS {body}')
+        return con.execute(final).df()
+    finally:
+        for nm, _ in ctes:
+            try:
+                con.execute(f'DROP TABLE IF EXISTS "{nm}"')
+            except Exception:
+                pass
+
+
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if a != "--materialize-ctes"]
+    materialize = "--materialize-ctes" in sys.argv[1:]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sfdir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
@@ -90,7 +159,7 @@ def main():
             continue
         sql = oracle[name]
         try:
-            ddf = con.execute(sql).df()
+            ddf = run_oracle(con, sql, materialize)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
