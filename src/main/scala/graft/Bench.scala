@@ -27,14 +27,19 @@ object Bench {
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unknown" }
     val loadStart = loadavg()
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // UTC like Verify/tests: events-time queries read the same
       // instants here as under the oracle on any host tz (ADVICE r10)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_MEMO_BUDGET=<bytes>: override the session memo byte
+    // budget (default: half the driver heap — graft.engine.Memos) for
+    // scale runs that demonstrate the budgeted eviction explicitly.
+    sys.env.get("SPARK_GRAFT_MEMO_BUDGET")
+      .foreach(b => builder.config(graft.engine.Memos.BudgetConf, b))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: absorb one-time JVM/codegen/session costs so the
     // first timed query measures the query, not the cold start.
@@ -117,6 +122,11 @@ object Bench {
     // queries regress — see BASELINE.md round-8 note).
     val storage = spark.sparkContext.getRDDStorageInfo
     val cachedMb = r3(storage.map(_.memSize).sum / 1e6)
+    // r15: the memo byte budget's observable effect — evictions > 0
+    // means the stores shed least-recently-hit state mid-run (the
+    // sf3 demonstration line in SCALING.md reads these two numbers)
+    val memoBudgetMb = r3(graft.engine.Memos.budgetBytes(spark) / 1e6)
+    val memoEvictions = graft.engine.Memos.evictions.get()
     // Top-40 slowest medians, descending — at 152 queries the full map
     // (~4 KB) no longer fits the driver's ~2 KB tail budget, so the
     // heavy tail gets its own compact line (~1 KB) that ALWAYS fits:
@@ -137,7 +147,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"top40","queries":$top40,"cached_rdds":${storage.length},"cached_mem_mb":$cachedMb,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"cached_mem_mb":$cachedMb,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"cached_mem_mb":$cachedMb,"memo_budget_mb":$memoBudgetMb,"memo_evictions":$memoEvictions,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
     spark.stop()
   }
 }

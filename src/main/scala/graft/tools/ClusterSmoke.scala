@@ -191,7 +191,7 @@ object ClusterSmoke {
       val t1 = System.nanoTime()
       ValueRows.foreach { name =>
         check(s"value:$name") {
-          val refRaw = spark.read.parquet(s"$vd/$name.parquet")
+          val refRaw = spark.read.parquet(s"$vd/$name")
           val order = refRaw.columns.sorted.map(col).toSeq
           val ref = canon(refRaw).select(order: _*)
           val got = canon(graft.SparkEntry.queries(name)(spark, sfDir))
@@ -201,8 +201,13 @@ object ClusterSmoke {
           require(extra == 0 && missing == 0,
             s"value drift vs local[32]: +$extra unexpected, " +
               s"-$missing missing rows")
+          // bit_xor, not sum: ANSI mode (Spark-4 default) throws on
+          // BIGINT sum overflow, and xxhash64 values overflow any sum
+          // after a handful of rows. XOR never overflows; duplicate
+          // multiplicity is already covered by the exceptAll above —
+          // this hash is only the run-record label.
           val h = got.agg(
-            coalesce(sum(xxhash64(to_json(struct(
+            coalesce(bit_xor(xxhash64(to_json(struct(
               got.columns.map(col).toSeq: _*)))), lit(0L)),
             count(lit(1))).head()
           println(s"[cluster-smoke] value $name rows=${h.getLong(1)} " +
