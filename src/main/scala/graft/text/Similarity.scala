@@ -285,6 +285,64 @@ object Similarity {
       .limit(topK)
   }
 
+  /** BATCH quantized IVF search — [[ivfSearchBatch]]'s probe path over
+    * the [[ivfIndexQuantized]] index: probes quantize in-plan (their
+    * float vector still drives cluster selection against the float
+    * centroids, exactly like the index build), each probe chunk
+    * broadcasts (probe_id, qp, qnp, cluster) against the cluster-
+    * pruned int8 corpus, and every dot is the codegen integer
+    * [[graft.functions.LongDot]]. Scores are integer-exact, so
+    * nprobe = k reproduces the quantized brute force bit-equally
+    * (Round15Spec) — the IVF pruning stays the ONLY approximation on
+    * top of the declared int8 representation. Same eager/chunking
+    * discipline as the float batch (corpus persisted for the call,
+    * result checkpointed, scratch released). */
+  def ivfSearchBatchQuantized(s: SparkSession, indexedQ: DataFrame,
+                              cents: Array[Array[Double]],
+                              probes: DataFrame, nprobe: Int, topK: Int,
+                              chunkSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = s.sparkContext.broadcast(cents)
+    val np = nprobe
+    val nearClusters = udf { (p: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map { i =>
+        val c = cs(i); var d2 = 0.0; var j = 0
+        while (j < c.length) { val df = p(j) - c(j); d2 += df * df; j += 1 }
+        (d2, i)
+      }.sortBy(identity).take(np).map(_._2)
+    }
+    val nProbes = probes.count()
+    val nChunks = math.max(1, math.ceil(nProbes.toDouble / chunkSize).toInt)
+    val withChunk = quantize(
+        probes.select(col("probe_id").as("vec_id"),
+          col("probe").as("embedding")))
+      .select(col("vec_id").as("probe_id"), col("qv").as("qp"),
+        col("qn").as("qnp"),
+        explode(nearClusters(col("embedding"))).as("cluster"),
+        pmod(abs(hash(col("vec_id"))), lit(nChunks)).as("chunk"))
+      .localCheckpoint()
+    val corpus = indexedQ.persist()
+    val ldot = graft.functions.LongDot.long_dot _
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val perChunk = (0 until nChunks).map { c =>
+      corpus.join(broadcast(withChunk.filter(col("chunk") === c)
+          .select("probe_id", "qp", "qnp", "cluster")), Seq("cluster"))
+        .filter(col("vec_id") =!= col("probe_id") &&
+          col("qn") > 0 && col("qnp") > 0)
+        .select(col("probe_id"), col("vec_id"),
+          (ldot(col("qv"), col("qp")).cast("double") /
+            (sqrt(col("qn")) * sqrt(col("qnp")))).as("qcos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topK)
+        .select("probe_id", "vec_id", "qcos", "rn")
+    }
+    val out = perChunk.reduce(_.unionByName(_)).localCheckpoint()
+    corpus.unpersist(blocking = false)
+    out
+  }
+
   /** Build an IVF index over `vecs` (vec_id, embedding): assignment of
     * every vector to its nearest centroid. `k = 0` (default) sizes the
     * centroid count at ~√n — the standard IVF balance point where

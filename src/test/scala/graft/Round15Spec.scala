@@ -49,6 +49,45 @@ class Round15Spec extends SparkSpecBase {
       "nprobe=k must equal the quantized brute force bit-exactly")
   }
 
+  test("batch quantized IVF: chunking invariance and nprobe=k ≡ " +
+      "quantized brute batch (pruning is the only IVF-side loss)") {
+    val vecs = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val (indexedQ, cents) = Similarity.ivfIndexQuantized(spark, vecs)
+    val indexedM = indexedQ.localCheckpoint()
+    val probes = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val k = cents.length
+    def run(nprobe: Int, chunk: Int) = Similarity
+      .ivfSearchBatchQuantized(spark, indexedM, cents, probes, nprobe, 8,
+        chunkSize = chunk)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val base = run(k / 4, 1024)
+    assert(base.nonEmpty)
+    assert(run(k / 4, 2) == base, "chunking must be result-invisible")
+    // nprobe = k searches every bucket: integer dots are exact, so
+    // this IS the quantized brute force — and it must contain the
+    // same neighbours the float brute force finds at recall >= 0.8
+    val all = run(k, 1024)
+    val dot = graft.functions.FloatDot.float_dot _
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val brute = vecs.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("embedding"), col("probe")) /
+          (sqrt(dot(col("embedding"), col("embedding")))
+            * sqrt(dot(col("probe"), col("probe"))))).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allIds = all.map(t => (t._1, t._2))
+    val recall = (allIds & brute).size.toDouble / brute.size
+    assert(recall >= 0.8,
+      s"quantized batch recall $recall too low vs float brute force")
+  }
+
   test("quantized IVF index: no float embedding stored, assignment " +
       "identical to the float index, quantizer shared with q275") {
     val vecs = graft.engine.Tables.embeddings(spark, sfDir)
