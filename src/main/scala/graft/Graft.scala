@@ -27,6 +27,20 @@ object Graft {
                 value: Column): DataFrame =
     IncrMerge.merge(base, delta, keys, value)
 
+  /** Declarative MERGE INTO (update = delete+insert [P §3] as the
+    * single DML-shaped pass a lakehouse user types): one
+    * full-outer-join of `base` and `delta` on `keys`; clause
+    * expressions reference the sides as `t`/`s`. See
+    * [[graft.incr.MergeInto.mergeInto]] for clause semantics and the
+    * partition-pruned-write idiom at scale. */
+  def mergeInto(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                whenMatchedUpdate: Map[String, Column] = Map.empty,
+                whenMatchedDelete: Column =
+                  org.apache.spark.sql.functions.lit(false),
+                insertWhenNotMatched: Boolean = true): DataFrame =
+    graft.incr.MergeInto.mergeInto(base, delta, keys,
+      whenMatchedUpdate, whenMatchedDelete, insertWhenNotMatched)
+
   /** PageRank over a directed edge list `(src: long, dst: long)` —
     * damping 0.85, `iters` fixed iterations, bit-exact scaled-integer
     * arithmetic (column `rs` = rank × 1e10). */

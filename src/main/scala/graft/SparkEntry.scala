@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.ops._
 import graft.iter.{IterQueries, KMeans, Apriori, MrbgPagerank}
-import graft.incr.IncrMerge
+import graft.incr.{IncrMerge, MergeInto}
 import graft.text.{Dedup, MinHash, SimHash, Similarity, TextStats}
 import graft.stream.StreamOps
 import graft.multimodal.Multimodal
@@ -25,7 +25,7 @@ object SparkEntry {
     Scans.defs ++ Filters.defs ++ Aggs.defs ++ SortsSets.defs ++
       Joins.defs ++ Windows.defs ++ Scalars.defs ++
       IterQueries.defs ++ KMeans.defs ++ Apriori.defs ++ MrbgPagerank.defs ++
-      IncrMerge.defs ++
+      IncrMerge.defs ++ MergeInto.defs ++
       Dedup.defs ++ MinHash.defs ++ SimHash.defs ++ Similarity.defs ++
       TextStats.defs ++
       Udaf.defs ++ StreamOps.defs ++ Multimodal.defs ++ Extras.defs ++
@@ -42,7 +42,7 @@ object SparkEntry {
     Scans.sql ++ Filters.sql ++ Aggs.sql ++ SortsSets.sql ++
       Joins.sql ++ Windows.sql ++ Scalars.sql ++
       IterQueries.sql ++ KMeans.sql ++ Apriori.sql ++ MrbgPagerank.sql ++
-      IncrMerge.sql ++
+      IncrMerge.sql ++ MergeInto.sql ++
       Dedup.sql ++ MinHash.sql ++ SimHash.sql ++ Similarity.sql ++
       TextStats.sql ++
       Udaf.sql ++ StreamOps.sql ++ Multimodal.sql ++ Extras.sql ++

@@ -76,12 +76,26 @@ object Memos {
   val evictions = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Fully release a memoized frame: the CacheManager entry and any
-    * checkpoint RDD blocks embedded in its plan. Blocking, so the
-    * budget check right after an eviction reads post-release sizes. */
+    * checkpoint RDD blocks embedded in its plan THAT NO OTHER LIVE
+    * SLOT'S PLAN STILL EMBEDS. The ownership guard matters (ADVICE
+    * r15): a derived memo entry's plan can embed another live entry's
+    * checkpoint RDD (e.g. a persisted bucket index built over a
+    * localCheckpointed banded frame) — unpersisting every plan RDD on
+    * eviction would destroy the still-live dependency's blocks and
+    * the next hit on it fails with "checkpoint block not found".
+    * A shared checkpoint RDD is therefore only freed when its LAST
+    * referencing slot is released (no permanent leak: the exclusion
+    * set shrinks as slots go). Blocking, so the budget check right
+    * after an eviction reads post-release sizes. */
   def release(df: DataFrame): Unit = {
+    val keep: Set[Int] = stores.asScala.flatMap(_.slots)
+      .filter(_.df ne df)
+      .flatMap(sl => org.apache.spark.sql.graftbridge.Bridge.planRdds(sl.df))
+      .map(_.id).toSet
     df.unpersist(blocking = true)
     org.apache.spark.sql.graftbridge.Bridge.planRdds(df).foreach { r =>
-      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      if (!keep.contains(r.id) &&
+          r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
         r.unpersist(blocking = true)
     }
   }
@@ -90,8 +104,14 @@ object Memos {
   private val stores =
     new java.util.concurrent.ConcurrentLinkedQueue[Store[_]]()
 
-  private[engine] final case class Slot(df: DataFrame,
-      @volatile var lastHit: Long, removeSelf: () => Unit)
+  /** Reference-equality slot (NOT a case class): `removeSelf` uses
+    * the conditional `TrieMap.remove(key, slot)` so an eviction
+    * selected from a stale snapshot can never drop a NEWER slot that
+    * was re-admitted at the same key after the snapshot was taken. */
+  private[engine] final class Slot(val df: DataFrame,
+      @volatile var lastHit: Long) {
+    @volatile var removeSelf: () => Unit = () => ()
+  }
 
   /** A session memo map with LRU byte-budget participation — the
     * drop-in replacement for the per-module
@@ -101,21 +121,40 @@ object Memos {
     stores.add(this)
     register { () => clear() }
 
-    /** Release and drop every entry in THIS store. */
+    /** Release and drop every entry in THIS store. The map is
+      * emptied FIRST so [[release]]'s shared-RDD exclusion set no
+      * longer counts sibling entries of this store as live — RDDs
+      * shared only within the store are freed, those still embedded
+      * by another store's live slot survive until it releases. */
     def clear(): Unit = {
-      m.values.foreach(sl => release(sl.df)); m.clear()
+      val dropped = m.values.toSeq
+      m.clear()
+      dropped.foreach(sl => release(sl.df))
     }
 
+    /** Atomic memoized admission (ADVICE r15: the plain get-then-put
+      * raced — two concurrent misses each built and persisted a
+      * frame, the loser's overwrote the winner's slot and the
+      * orphaned frame stayed pinned forever). `putIfAbsent` decides
+      * the winner; a losing builder releases its freshly built frame
+      * and returns the winner's. */
     def getOrElseUpdate(key: K, build: => DataFrame): DataFrame =
       m.get(key) match {
         case Some(sl) =>
           sl.lastHit = tick.incrementAndGet(); sl.df
         case None =>
           val df = build
-          m.put(key, Slot(df, tick.incrementAndGet(),
-            () => { m.remove(key); () }))
-          enforceBudget(df.sparkSession, df)
-          df
+          val slot = new Slot(df, tick.incrementAndGet())
+          slot.removeSelf = () => { m.remove(key, slot); () }
+          m.putIfAbsent(key, slot) match {
+            case Some(winner) =>
+              release(df)
+              winner.lastHit = tick.incrementAndGet()
+              winner.df
+            case None =>
+              enforceBudget(df.sparkSession, df)
+              df
+          }
       }
 
     def size: Int = m.size
@@ -126,7 +165,15 @@ object Memos {
     * block manager total fits the budget. The just-admitted frame is
     * exempt; if everything evictable is gone and the total still
     * exceeds the budget, the residue is in-flight query scratch —
-    * released by its own query's end-of-call discipline. */
+    * released by its own query's end-of-call discipline.
+    *
+    * Known slack (ADVICE r15, accepted): the check runs at admission,
+    * but a persisted (non-checkpointed) entry's blocks only
+    * materialize at its first action, so `storedBytes` can exclude
+    * the newest entry and the budget is enforced one admission late —
+    * the session may transiently exceed it by the largest entry's
+    * size. Acceptable under the documented half-heap default, which
+    * leaves that headroom by construction. */
   private def enforceBudget(s: SparkSession,
                             justAdmitted: DataFrame): Unit = synchronized {
     val budget = budgetBytes(s)

@@ -1,0 +1,132 @@
+package graft.incr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables._
+
+/** §2 row 278 — the DECLARATIVE MERGE surface (VERDICT r15 task 3).
+  *
+  * The paper defines update = delete + insert [P §3] and the engine
+  * proves that algebra across the whole signed family (q46/q47/q153
+  * and ~20 `*_delete` rows), but none of those is the single
+  * DML-shaped operator a lakehouse user types. [[mergeInto]] is that
+  * surface: MERGE INTO base USING delta ON keys / WHEN MATCHED [AND
+  * cond] THEN DELETE / WHEN MATCHED THEN UPDATE SET ... / WHEN NOT
+  * MATCHED THEN INSERT — evaluated as ONE full-outer-join pass.
+  *
+  * Scale (the 100 TB story): one key-hashed shuffle of base + delta,
+  * no fact-side broadcast ever (Round16Spec pins both properties on
+  * the physical plan). The output is a full next-version snapshot —
+  * at lakehouse scale you don't rewrite 100 TB for a 1 GB delta, so
+  * production writes it back partition-pruned: restrict `base` to
+  * the partitions the delta's keys touch (cheap semi-join or
+  * partition-value pushdown), mergeInto just that slice, and commit
+  * via dynamic partition overwrite — exactly the q249
+  * (`q_incr_zorder`) maintenance idiom; untouched partitions are
+  * never read or written. Row-level maintenance of AGGREGATES stays
+  * with the signed family (q46/q92/q153): MERGE is the right surface
+  * when the stored artifact is the row set itself. */
+object MergeInto {
+
+  /** MERGE `delta` into `base` on equality of `keys`, one
+    * full-outer-join pass. Clause expressions reference the two
+    * sides by the standard MERGE aliases `t` (target/base) and `s`
+    * (source/delta):
+    *
+    *  - `whenMatchedDelete` — matched rows satisfying it are dropped
+    *    (evaluated FIRST, like Delta/Iceberg's clause order).
+    *  - `whenMatchedUpdate` — for surviving matched rows, each base
+    *    column in the map takes its expression; columns absent from
+    *    the map keep the target value. Empty map = matched rows pass
+    *    through unchanged (use [[updateAll]] for UPDATE SET *).
+    *  - `insertWhenNotMatched` — source-only rows are inserted
+    *    (taking the base-schema columns from `s`; extra source
+    *    columns such as an `op` flag are allowed and ignored).
+    *
+    * Rows only in the target always survive unchanged (there is no
+    * WHEN NOT MATCHED BY SOURCE clause — that shape is the signed
+    * family's q134-style anti-join). Output schema = base schema.
+    * Join keys are matched null-safely (`<=>`), so a NULL key in
+    * both sides pairs up instead of silently duplicating. */
+  def mergeInto(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                whenMatchedUpdate: Map[String, Column] = Map.empty,
+                whenMatchedDelete: Column = lit(false),
+                insertWhenNotMatched: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val outCols = base.columns.toSeq
+    require(outCols.forall(delta.columns.contains),
+      "delta must carry every base column (extra delta columns are ok)")
+    val t = base.withColumn("__t_present", lit(true)).alias("t")
+    val sSide = delta.withColumn("__s_present", lit(true)).alias("s")
+    val on = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(sSide, on, "full_outer")
+    val matched = col("t.__t_present").isNotNull &&
+      col("s.__s_present").isNotNull
+    val sOnly = col("t.__t_present").isNull
+    // clause order: DELETE, then UPDATE, then INSERT
+    val kept = joined
+      .filter(!(matched && coalesce(whenMatchedDelete, lit(false))))
+      .filter(if (insertWhenNotMatched) lit(true) else !sOnly)
+    val projected = outCols.map { c =>
+      val updated = whenMatchedUpdate.getOrElse(c, col(s"t.$c"))
+      when(matched, updated)
+        .when(sOnly, col(s"s.$c"))
+        .otherwise(col(s"t.$c"))
+        .as(c)
+    }
+    kept.select(projected: _*)
+  }
+
+  /** UPDATE SET * for [[mergeInto]]: every base column from the
+    * source side. */
+  def updateAll(base: DataFrame): Map[String, Column] =
+    base.columns.map(c => c -> col(s"s.$c")).toMap
+
+  val defs: Map[String, Q] = Map(
+    /** q278: DECLARATIVE MERGE [P §3 update=delete+insert as DML] —
+      * all three clause kinds in one pass over `orders`: base = keys
+      * with o_orderkey % 10 ∉ {0}, source rows are inserts (% 10 = 0,
+      * unmatched), updates (% 10 = 3: UPDATE SET * with a +1.00
+      * price correction), and deletes (% 10 = 7, op='D'). Oracle =
+      * the FULL RECOMPUTE of the next-version snapshot (the q153
+      * result-invisible discipline): the merged state must equal the
+      * orders table with % 10 = 7 removed and % 10 = 3 re-priced,
+      * hash-compared row by row. One shuffle, no broadcast —
+      * Round16Spec pins the plan. */
+    "q_incr_merge_into" -> ((s, d) => {
+      val o = orders(s, d).select("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice")
+      val base = o.filter(col("o_orderkey") % 10 =!= 0)
+      val delta =
+        o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("op", lit("I"))
+        .unionByName(
+          o.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_totalprice",
+              col("o_totalprice") + lit(1.0))
+            .withColumn("op", lit("U")))
+        .unionByName(
+          o.filter(col("o_orderkey") % 10 === 7)
+            .withColumn("op", lit("D")))
+      mergeInto(base, delta, Seq("o_orderkey"),
+          whenMatchedUpdate = updateAll(base),
+          whenMatchedDelete = col("s.op") === "D")
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    /** q278 oracle: the full recompute of the post-merge snapshot —
+      * the MERGE must be result-invisible against it. The +1.00
+      * correction is double IEEE on both engines (CAST keeps DuckDB
+      * from planning a DECIMAL add). */
+    "q_incr_merge_into" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 10 = 3
+                     THEN o_totalprice + CAST(1.0 AS DOUBLE)
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders
+         WHERE o_orderkey % 10 <> 7
+         ORDER BY o_orderkey"""
+  )
+}

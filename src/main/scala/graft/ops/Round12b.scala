@@ -1454,19 +1454,39 @@ object Round12b {
 
     // time band as two inequalities (IEJoin — see q_join_band_time);
     // the vc band stays abs() as the residual filter (IEJoin takes
-    // one band pair; measured 4.7 s at sf1)
+    // one band pair; measured 4.7 s at sf1). The `plan` column is
+    // COMPUTED with the engine's own integer costing rule (r15
+    // verdict task 2: both selector branches are exact, so the
+    // VALUES never depend on it, but pinning 'exact' made the sf1
+    // sweep read a correct selector flip as a FAIL): candidate
+    // volume = Σ na·nc over ordered 3×3-adjacent occupancy cell
+    // pairs (self included), sweep above GridVolumeCap = 2^27.
+    // Cell ids use the pmod floor-division identity so negative vc
+    // cells bin identically to Spark's (x - pmod(x,m)) div m.
     "q_join_grid_2d" ->
       """WITH ev AS (
            SELECT event_id, event_type, epoch_us(ts) AS tsu,
                   CAST(floor(value * 100) AS BIGINT) AS vc
            FROM events
+         ), occ AS (
+           SELECT (tsu - ((tsu % 900000000 + 900000000) % 900000000))
+                    // 900000000 AS tc,
+                  (vc - ((vc % 5000 + 5000) % 5000)) // 5000 AS vcell,
+                  CAST(count(*) AS BIGINT) AS nc
+           FROM ev GROUP BY 1, 2
+         ), vol AS (
+           SELECT CASE WHEN COALESCE(SUM(a.nc * b.nc), 0) > 134217728
+                       THEN 'sweep' ELSE 'exact' END AS plan
+           FROM occ a JOIN occ b
+             ON b.tc >= a.tc - 1 AND b.tc <= a.tc + 1
+            AND b.vcell >= a.vcell - 1 AND b.vcell <= a.vcell + 1
          )
          SELECT least(a.event_type, b.event_type) AS t1,
                 greatest(a.event_type, b.event_type) AS t2,
                 CAST(count(*) AS BIGINT) AS n_pairs,
                 CAST(sum(abs(a.tsu - b.tsu)) AS BIGINT) AS gap_us_sum,
                 CAST(sum(abs(a.vc - b.vc)) AS BIGINT) AS val_gap_sum,
-                'exact' AS plan
+                (SELECT plan FROM vol) AS plan
          FROM ev a JOIN ev b
            ON a.event_id < b.event_id
           AND a.tsu <= b.tsu + 900000000

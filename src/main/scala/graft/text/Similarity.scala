@@ -116,6 +116,28 @@ object Similarity {
     "q_sim_ann_ivf_quantized" -> ((s, d) =>
       ivfTopKQuantized(s, d).drop("cluster")),
 
+    /** q279: BATCH QUANTIZED IVF ANN [N scale path] — the production
+      * many-probe × quantized-index composition (VERDICT r15 task 6):
+      * q135's batch shape run over q277's int8 index. Top-8 quantized
+      * cosine neighbours for each of 5 probes, nprobe = k/4; probes
+      * quantize in-plan (float vector still drives cluster selection,
+      * exactly like the index build), each probe chunk broadcasts
+      * against the cluster-pruned int8 corpus, every dot the codegen
+      * integer [[graft.functions.LongDot]]. oracle=none (approximate
+      * by construction, like q76/q135/q277); Round15Spec pins chunk
+      * invariance, nprobe=k ≡ quantized brute batch (pruning is the
+      * only IVF-side loss) and recall >= 0.8 vs the float brute
+      * force. */
+    "q_sim_ann_ivf_batch_quantized" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val (indexedQ, cents) = ivfIndexQuantized(s, emb)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      ivfSearchBatchQuantized(s, indexedQ, cents, probes,
+          nprobe = math.max(1, cents.length / 4), topK = 8)
+        .orderBy("probe_id", "rn")
+    }),
+
     /** q110: EMBEDDING-COSINE DEDUP COLLAPSE — the embedding-space
       * analogue of q108 [N]: connected components of the cosine>=0.4
       * pair graph (min-label, FIXED 5 rounds) giving one canonical

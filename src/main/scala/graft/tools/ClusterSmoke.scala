@@ -56,7 +56,8 @@ object ClusterSmoke {
     "q_topk_per_group", "q_topk_native", "q_topk_auto",
     "q_sim_topk_cosine", "q_sim_cosine_pairs", "q_sim_knn_batch",
     "q_sim_cosine_quantized", "q_sim_ann_ivf_quantized",
-    "q_sim_ann_ivf", "q_sim_ann_ivf_batch", "q_fn_damerau",
+    "q_sim_ann_ivf", "q_sim_ann_ivf_batch",
+    "q_sim_ann_ivf_batch_quantized", "q_fn_damerau",
     // sweeps / band joins
     "q_join_band_time", "q_join_grid_2d", "q_events_outlier_days",
     // LSH / dedup / signed maintenance
@@ -68,7 +69,8 @@ object ClusterSmoke {
     // one per remaining §2 section
     "q_scan_pushdown", "q_filter_compound", "q_join_multiway",
     "q_agg_basic", "q_win_rank", "q_sort_total", "q_fn_string",
-    "q_incr_delta_merge", "q_text_quality", "q_udaf_weighted_avg",
+    "q_incr_delta_merge", "q_incr_merge_into", "q_text_quality",
+    "q_udaf_weighted_avg",
     "q_multimodal_features", "q_join_range", "q_agg_bitmap_distinct",
     "q_events_rfm", "q_join_colocated", "q_text_scrub",
     "q_agg_heavy_hitters", "q_join_bloom_pruned", "q_tpch_q1",

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.engine.Memos
+import scala.jdk.CollectionConverters._
 
 /** VERDICT r14 task 4 — the session memo stores carry a byte budget:
   * over-budget admissions evict least-recently-hit entries across all
@@ -71,6 +72,83 @@ class MemoBudgetSpec extends SparkSpecBase {
     assert(rdds.forall(_.getStorageLevel == StorageLevel.NONE),
       "eviction must unpersist the checkpoint RDD blocks, not just the " +
         "CacheManager entry")
+    store.clear()
+  }
+
+  test("evicting a DERIVED entry must not free a live dependency's " +
+      "checkpoint blocks (shared-RDD ownership guard, ADVICE r15)") {
+    Memos.clearAll()
+    val store = new Memos.Store[String]("spec_shared")
+    // base: a localCheckpointed frame (the lshBandedOld shape)
+    val base = store.getOrElseUpdate("base",
+      spark.range(0, 50000).toDF("v").localCheckpoint())
+    val baseRdds = org.apache.spark.sql.graftbridge.Bridge.planRdds(base)
+    assert(baseRdds.nonEmpty &&
+      baseRdds.forall(_.getStorageLevel != StorageLevel.NONE))
+    // derived: persisted frame BUILT OVER base — its plan embeds
+    // base's checkpoint RDD (the cachedLshBucketsOld shape)
+    val derived = store.getOrElseUpdate("derived", {
+      val df = base.filter(col("v") % 2 === 0).persist(); df.count(); df
+    })
+    assert(org.apache.spark.sql.graftbridge.Bridge.planRdds(derived)
+      .map(_.id).toSet.intersect(baseRdds.map(_.id).toSet).nonEmpty,
+      "fixture must actually share the checkpoint RDD")
+    // bump base so derived is the LRU victim, then force an eviction
+    // that stops AFTER derived: budget = current total - 1, so evicting
+    // derived (much larger than the tiny new entry) gets back under it
+    store.getOrElseUpdate("base", fail("base must be a hit"))
+    withBudget(Memos.storedBytes(spark) - 1) {
+      store.getOrElseUpdate("other", {
+        val df = spark.range(0, 10).toDF("v").persist(); df.count(); df
+      })
+    }
+    assert(derived.storageLevel == StorageLevel.NONE, "derived evicted")
+    assert(baseRdds.forall(_.getStorageLevel != StorageLevel.NONE),
+      "derived's eviction must NOT unpersist the live base entry's " +
+        "checkpoint blocks")
+    // base still readable after the derived eviction
+    assert(store.getOrElseUpdate("base", fail("base must still be live"))
+      .count() == 50000)
+    // releasing the LAST referencing slot frees the shared RDD
+    store.clear()
+    assert(baseRdds.forall(_.getStorageLevel == StorageLevel.NONE),
+      "clear() must free the shared checkpoint once no slot embeds it")
+  }
+
+  test("concurrent misses on one key admit exactly one frame; the " +
+      "loser's build is released, both callers get the winner (ADVICE r15)") {
+    Memos.clearAll()
+    val store = new Memos.Store[String]("spec_race")
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val built = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.DataFrame]()
+    // localCheckpoint, not persist: CacheManager dedupes identical
+    // persisted plans into ONE entry, but each checkpoint build pins
+    // its own distinct RDD blocks — the actual leak shape.
+    def racer(): org.apache.spark.sql.DataFrame =
+      store.getOrElseUpdate("k", {
+        gate.await() // both threads are inside build before either puts
+        val df = spark.range(0, 5000).toDF("v").localCheckpoint()
+        built.add(df); df
+      })
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (r1, r2) = (Future(racer()), Future(racer()))
+    val (d1, d2) = (Await.result(r1, 60.seconds), Await.result(r2, 60.seconds))
+    assert(built.size == 2, "fixture must actually race both builds")
+    assert(d1 eq d2, "both callers must receive the same winning frame")
+    assert(store.size == 1)
+    // exactly one of the two built frames keeps its checkpoint blocks
+    // (the winner); the loser's must have been released at the RDD,
+    // not orphaned in the block manager
+    val pinned = built.asScala.count(df =>
+      org.apache.spark.sql.graftbridge.Bridge.planRdds(df)
+        .exists(_.getStorageLevel != StorageLevel.NONE))
+    assert(pinned == 1, s"expected 1 pinned frame (winner), got $pinned")
+    assert(org.apache.spark.sql.graftbridge.Bridge.planRdds(d1)
+      .forall(_.getStorageLevel != StorageLevel.NONE),
+      "the returned winner must be the pinned one")
     store.clear()
   }
 

@@ -129,6 +129,16 @@ class Round12cSpec extends SparkSpecBase {
     assert(shuffled > 0 && shuffled < corpus / 10,
       s"prune did not happen: $shuffled of $corpus rows shuffled")
     assert(exec.get.metrics("numOutputRows").value == n)
+    // r16 (VERDICT r15 task 5): the full metric set — input count
+    // equals the corpus (the prune ratio numInputRows:shuffledRows is
+    // the operator's claim as UI numbers), and the map-side heap
+    // state is bounded: heaps x k covers every shuffled winner row
+    val inRows = exec.get.metrics("numInputRows").value
+    val heaps = exec.get.metrics("mapGroupHeaps").value
+    assert(inRows == corpus,
+      s"numInputRows $inRows != corpus $corpus")
+    assert(heaps > 0 && heaps * 3 >= shuffled,
+      s"heap-state accounting broken: $heaps heaps x k=3 < $shuffled winners")
   }
 
   test("float group keys normalize: -0.0 == 0.0 groups merge like the window form") {

@@ -210,6 +210,31 @@ class Round13Spec extends SparkSpecBase {
     }
   }
 
+  test("sweep named accumulators report rows-in (ghosts included), " +
+      "segment count and max segment size (VERDICT r15 task 5)") {
+    import spark.implicits._
+    val n = 3000
+    val df = (1 to n)
+      .map(i => (i.toLong, s"t${i % 3}", i.toLong * 7L, (i % 50).toLong))
+      .toDF("event_id", "event_type", "tsu", "vc")
+    val out = graft.ops.Sweep2D.gridPairsExact(df, 100L, 5L, segFactor = 4)
+    out.collect() // run the job so the accumulators populate
+    val m = graft.ops.Sweep2D.lastRun
+      .getOrElse(fail("gridPairsExact must publish its run metrics"))
+    val rowsIn = m.rowsIn.value
+    val segs = m.segments.value
+    val maxSeg = m.maxSegmentRows.value
+    // rows-in = n + ghosts; ghost share is bounded by ~1/segFactor
+    assert(rowsIn >= n && rowsIn <= n + n / 4 + 4,
+      s"rowsIn $rowsIn outside [n, n + n/segFactor]")
+    assert(segs > 1, s"expected multiple segments, got $segs")
+    assert(maxSeg > 0 && maxSeg <= rowsIn,
+      s"maxSegmentRows $maxSeg out of range")
+    // the max segment is a real upper envelope of the average
+    assert(maxSeg >= rowsIn / segs,
+      s"max $maxSeg below mean ${rowsIn / segs}")
+  }
+
   test("autoSegFactor derives the segment factor from measured " +
       "occupancy: shrinks on dense corpora (memory bound), grows on " +
       "sparse ones (parallelism bound), clamps to [16, 4096], and " +

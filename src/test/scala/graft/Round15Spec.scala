@@ -19,11 +19,24 @@ class Round15Spec extends SparkSpecBase {
     // exact float top-10 (q52, the oracle-checked baseline)
     val floatTop = SparkEntry.queries("q_sim_topk_cosine")(spark, sfDir)
       .collect().map(_.getLong(0)).toSet
-    // quantized brute force = nprobe=k (all clusters searched): the
-    // representation loss alone, anchored by q275's oracle-checked
-    // integer arithmetic
-    val qBrute = Similarity.ivfTopKQuantized(spark, sfDir, nprobe = 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // INDEPENDENT quantized brute force: quantize + LongDot over the
+    // full corpus with NO cluster machinery at all, same exclusions
+    // and tie-break as the IVF probe — the representation loss alone,
+    // anchored by q275's oracle-checked integer arithmetic
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val probe = Similarity.quantize(emb.filter(col("vec_id") === 0))
+      .select(col("qv").as("qp"), col("qn").as("qnp"))
+    val ldot = graft.functions.LongDot.long_dot _
+    val qBrute = Similarity.quantize(emb)
+      .crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= 0 && col("qn") > 0 && col("qnp") > 0)
+      .select(col("vec_id"),
+        (ldot(col("qv"), col("qp")).cast("double") /
+          (sqrt(col("qn")) * sqrt(col("qnp")))).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val bruteRecall = qBrute.map(_._1).count(floatTop).toDouble / floatTop.size
     assert(bruteRecall >= 0.8,
       s"int8 representation recall $bruteRecall too low vs float top-k")
@@ -41,8 +54,10 @@ class Round15Spec extends SparkSpecBase {
     assert(jointRecall >= 0.3,
       s"quantized-IVF recall $jointRecall too low for nprobe=3 (q76's pin)")
     // pruning-loss isolation: widening the probe to every cluster must
-    // reproduce the quantized brute force EXACTLY (ids and scores) —
-    // integer dots are order-exact, so this is bit-equality
+    // reproduce the INDEPENDENT quantized brute force above EXACTLY
+    // (ids and scores) — integer dots are order-exact, so this is
+    // bit-equality, and it proves IVF pruning is the only IVF-side
+    // approximation on top of the declared int8 representation
     val full = Similarity.ivfTopKQuantized(spark, sfDir, nprobe = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(full.toSeq == qBrute.toSeq,

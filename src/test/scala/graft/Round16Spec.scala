@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.incr.MergeInto
+
+/** Round-16 rows:
+  *  - q278 `q_incr_merge_into`: the declarative MERGE surface —
+  *    clause semantics on constructed frames, the one-shuffle /
+  *    no-broadcast plan pin, and result-invisibility vs the full
+  *    recompute on the fixture.
+  *  - q279 `q_sim_ann_ivf_batch_quantized`: the declared batch
+  *    quantized-IVF row (its algorithmic pins — chunk invariance,
+  *    nprobe=k ≡ quantized brute batch, recall — live in
+  *    Round15Spec; here the registry row itself is pinned). */
+class Round16Spec extends SparkSpecBase {
+
+  private def frame(rows: Seq[Row], schema: StructType) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType),
+    StructField("amt", DoubleType)))
+  private val deltaSchema = schema.add(StructField("op", StringType))
+
+  test("mergeInto: delete, update-set, insert and target-only clauses " +
+      "compose in one pass; extra source columns are ignored") {
+    val base = frame(Seq(
+      Row(1L, "keep", 10.0), Row(2L, "upd", 20.0),
+      Row(3L, "del", 30.0)), schema)
+    val delta = frame(Seq(
+      Row(2L, "upd2", 99.0, "U"),
+      Row(3L, "x", 0.0, "D"),
+      Row(4L, "new", 40.0, "I")), deltaSchema)
+    val out = MergeInto.mergeInto(base, delta, Seq("k"),
+        whenMatchedUpdate = Map("v" -> col("s.v")),
+        whenMatchedDelete = col("s.op") === "D")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, "keep", 10.0),   // target-only: unchanged
+      (2L, "upd2", 20.0),   // matched update: only v in the SET map
+      (4L, "new", 40.0)))   // source-only: inserted; k=3 deleted
+  }
+
+  test("mergeInto: updateAll = UPDATE SET *; insertWhenNotMatched=false " +
+      "drops source-only rows; NULL keys pair null-safely") {
+    val base = frame(Seq(Row(1L, "a", 1.0), Row(null, "nullk", 5.0)), schema)
+    val delta = frame(Seq(
+      Row(1L, "a2", 2.0, "U"),
+      Row(null, "nullk2", 6.0, "U"),
+      Row(9L, "ghost", 0.0, "I")), deltaSchema)
+    val out = MergeInto.mergeInto(base, delta, Seq("k"),
+        whenMatchedUpdate = MergeInto.updateAll(base),
+        insertWhenNotMatched = false)
+      .orderBy(col("k").asc_nulls_first).collect()
+    assert(out.length == 2, "ghost must not insert; null keys must MATCH " +
+      s"(not duplicate): ${out.mkString(",")}")
+    assert(out(0).isNullAt(0) && out(0).getString(1) == "nullk2" &&
+      out(0).getDouble(2) == 6.0, "null-key row must take the update")
+    assert(out(1).getLong(0) == 1L && out(1).getString(1) == "a2" &&
+      out(1).getDouble(2) == 2.0)
+  }
+
+  test("mergeInto: delete clause wins over update on the same matched " +
+      "row (Delta/Iceberg clause order); empty update map passes " +
+      "matched rows through unchanged") {
+    val base = frame(Seq(Row(1L, "a", 1.0), Row(2L, "b", 2.0)), schema)
+    val delta = frame(Seq(
+      Row(1L, "changed", 9.0, "D"),
+      Row(2L, "changed", 9.0, "U")), deltaSchema)
+    val out = MergeInto.mergeInto(base, delta, Seq("k"),
+        whenMatchedUpdate = Map.empty,
+        whenMatchedDelete = col("s.op") === "D")
+      .orderBy("k").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 2L &&
+      out(0).getString(1) == "b" && out(0).getDouble(2) == 2.0,
+      "k=1 deleted despite matching; k=2 unchanged under empty SET")
+  }
+
+  test("mergeInto plan pin: ONE key-hashed shuffle join, never a " +
+      "fact-side broadcast (the 100 TB contract)") {
+    val q = SparkEntry.queries("q_incr_merge_into")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"MERGE must not broadcast either side:\n$plan")
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins == 1, s"expected exactly 1 shuffle join, got $joins:\n$plan")
+    assert(plan.contains("FullOuter"), "the single pass is a full outer join")
+  }
+
+  test("q278 on the fixture: result-invisible vs the full recompute " +
+      "(the q153 discipline, in-JVM replica of the DuckDB oracle)") {
+    val merged = SparkEntry.queries("q_incr_merge_into")(spark, sfDir)
+    val expected = graft.engine.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 3, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .filter(col("o_orderkey") % 10 =!= 7)
+    assert(merged.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(merged).count() == 0,
+      "MERGE result must equal the full recompute exactly")
+    assert(merged.count() > 0)
+  }
+
+  test("q279 registry row: deterministic, rn-bounded, Cauchy–Schwarz " +
+      "scores, equals a direct ivfSearchBatchQuantized call") {
+    val a = SparkEntry.queries("q_sim_ann_ivf_batch_quantized")(spark, sfDir)
+      .collect()
+    assert(a.nonEmpty && a.length <= 5 * 8)
+    a.foreach { r =>
+      assert(r.getLong(0) < 5, "probes are vec_id < 5")
+      val qcos = r.getDouble(2)
+      assert(qcos >= -1.0 - 1e-12 && qcos <= 1.0 + 1e-12)
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 8)
+    }
+    val b = SparkEntry.queries("q_sim_ann_ivf_batch_quantized")(spark, sfDir)
+      .collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "declared row must be run-to-run deterministic")
+  }
+}

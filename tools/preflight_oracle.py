@@ -96,14 +96,44 @@ def split_ctes(sql):
         if not m:
             return None, sql
         name, j = m.group(1), m.end()
-        depth, k, in_str = 1, j, False
+        # paren scan aware of 'strings' (with '' escapes), "quoted
+        # identifiers", -- line comments and /* */ block comments —
+        # parens inside any of those must not count (ADVICE r15: the
+        # single-quote-only scanner truncated CTE bodies containing
+        # e.g. `-- note)` and produced a spurious materialize FAIL).
+        # Dollar-quoted strings are ambiguous to scan cheaply: bail
+        # to (None, sql) so the caller keeps the single statement.
+        depth, k = 1, j
         while k < n and depth > 0:
             c = s[k]
-            if in_str:
-                if c == "'":
-                    in_str = False
-            elif c == "'":
-                in_str = True
+            if c == "'":
+                k += 1
+                while k < n:
+                    if s[k] == "'":
+                        if k + 1 < n and s[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+                if k >= n:
+                    return None, sql
+            elif c == '"':
+                k += 1
+                while k < n and s[k] != '"':
+                    k += 1
+                if k >= n:
+                    return None, sql
+            elif c == "-" and k + 1 < n and s[k + 1] == "-":
+                while k < n and s[k] != "\n":
+                    k += 1
+                continue
+            elif c == "/" and k + 1 < n and s[k + 1] == "*":
+                e = s.find("*/", k + 2)
+                if e < 0:
+                    return None, sql
+                k = e + 1
+            elif c == "$":
+                return None, sql
             elif c == "(":
                 depth += 1
             elif c == ")":
