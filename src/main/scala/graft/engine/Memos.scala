@@ -64,6 +64,26 @@ object Memos {
     s.conf.getOption(BudgetConf).map(_.toLong)
       .getOrElse(Runtime.getRuntime.maxMemory() / 2)
 
+  /** Conf key for the WORKING-SET GUARD: the N newest-hit entries are
+    * never eviction victims. A query fetches its memo frames over
+    * several getOrElseUpdate calls and only then runs jobs over them;
+    * pure LRU under an undersized budget can evict an already-fetched
+    * checkpointed frame before the job reads it, and a checkpoint's
+    * lineage is truncated — the read then dies with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (observed at sf10 under a
+    * deliberately out-of-contract 1.5 GB budget, r16). Keeping the
+    * newest N resident turns that hard failure into a bounded
+    * overshoot: the session can exceed the budget by at most the N
+    * newest entries' bytes — which the contract already requires the
+    * budget to accommodate (it must clear the largest single query's
+    * working set). Default 8 covers the deepest current query (the
+    * signed-LSH family touches ≤ 7 entries per invocation). */
+  val MinResidentConf = "spark.graft.memoMinResident"
+
+  /** The working-set guard size (entries). */
+  def minResident(s: SparkSession): Int =
+    s.conf.getOption(MinResidentConf).map(_.toInt).getOrElse(8)
+
   /** Bytes currently pinned in the block manager (memory + disk),
     * across ALL cached/checkpointed RDDs — memo entries and any
     * in-flight query scratch. The budget compares against this total:
@@ -178,9 +198,12 @@ object Memos {
                             justAdmitted: DataFrame): Unit = synchronized {
     val budget = budgetBytes(s)
     if (budget <= 0 || storedBytes(s) <= budget) return
-    val victims = stores.asScala.flatMap(_.slots).toSeq
+    val sorted = stores.asScala.flatMap(_.slots).toSeq
       .filter(_.df ne justAdmitted)
       .sortBy(_.lastHit)
+    // working-set guard: the newest-hit entries are never victims
+    // (see MinResidentConf — the running query's fetched frames)
+    val victims = sorted.dropRight(minResident(s))
     val it = victims.iterator
     while (storedBytes(s) > budget && it.hasNext) {
       val v = it.next()

@@ -12,9 +12,18 @@ import scala.jdk.CollectionConverters._
   * correctly. */
 class MemoBudgetSpec extends SparkSpecBase {
 
+  /** Budgeted scope with the working-set guard OFF (minResident=0) so
+    * the tiny 2-3-entry fixtures below actually evict; the guard's
+    * own semantics get a dedicated test. */
   private def withBudget[A](bytes: Long)(body: => A): A = {
-    try { spark.conf.set(Memos.BudgetConf, bytes.toString); body }
-    finally spark.conf.unset(Memos.BudgetConf)
+    try {
+      spark.conf.set(Memos.BudgetConf, bytes.toString)
+      spark.conf.set(Memos.MinResidentConf, "0")
+      body
+    } finally {
+      spark.conf.unset(Memos.BudgetConf)
+      spark.conf.unset(Memos.MinResidentConf)
+    }
   }
 
   test("over-budget admission evicts the LRU entry; re-miss rebuilds " +
@@ -150,6 +159,38 @@ class MemoBudgetSpec extends SparkSpecBase {
       .forall(_.getStorageLevel != StorageLevel.NONE),
       "the returned winner must be the pinned one")
     store.clear()
+  }
+
+  test("working-set guard: the N newest-hit entries are never evicted " +
+      "even under an out-of-contract budget (r16 — an already-fetched " +
+      "checkpointed frame must survive until its query reads it)") {
+    Memos.clearAll()
+    val store = new Memos.Store[Int]("spec_guard")
+    def admit(i: Int) = store.getOrElseUpdate(i,
+      spark.range(i * 1000L, i * 1000L + 1000).toDF("v").localCheckpoint())
+    val before = Memos.evictions.get()
+    try {
+      spark.conf.set(Memos.BudgetConf, "1") // everything is over budget
+      spark.conf.set(Memos.MinResidentConf, "3")
+      val frames = (1 to 5).map(i => i -> admit(i))
+      // 5 entries, guard 3: only the 2 oldest (1, 2) may be evicted —
+      // the newest 3 (3, 4, 5 at admission time) stay readable even
+      // though every admission ran over budget
+      assert(store.size >= 3, s"guard violated: ${store.size} survive")
+      frames.drop(2).foreach { case (i, df) =>
+        val rdds = org.apache.spark.sql.graftbridge.Bridge.planRdds(df)
+        assert(rdds.forall(_.getStorageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE),
+          s"entry $i inside the guard window lost its checkpoint blocks")
+        assert(df.count() == 1000)
+      }
+      assert(Memos.evictions.get() > before,
+        "older-than-guard entries must still evict")
+    } finally {
+      spark.conf.unset(Memos.BudgetConf)
+      spark.conf.unset(Memos.MinResidentConf)
+      store.clear()
+    }
   }
 
   test("within budget nothing evicts; budget default derives from the " +
