@@ -37,9 +37,12 @@ object Graft {
                 whenMatchedUpdate: Map[String, Column] = Map.empty,
                 whenMatchedDelete: Column =
                   org.apache.spark.sql.functions.lit(false),
-                insertWhenNotMatched: Boolean = true): DataFrame =
+                insertWhenNotMatched: Boolean = true,
+                whenNotMatchedBySourceDelete: Column =
+                  org.apache.spark.sql.functions.lit(false)): DataFrame =
     graft.incr.MergeInto.mergeInto(base, delta, keys,
-      whenMatchedUpdate, whenMatchedDelete, insertWhenNotMatched)
+      whenMatchedUpdate, whenMatchedDelete, insertWhenNotMatched,
+      whenNotMatchedBySourceDelete)
 
   /** PageRank over a directed edge list `(src: long, dst: long)` —
     * damping 0.85, `iters` fixed iterations, bit-exact scaled-integer

@@ -43,15 +43,21 @@ object MergeInto {
     *    (taking the base-schema columns from `s`; extra source
     *    columns such as an `op` flag are allowed and ignored).
     *
-    * Rows only in the target always survive unchanged (there is no
-    * WHEN NOT MATCHED BY SOURCE clause — that shape is the signed
-    * family's q134-style anti-join). Output schema = base schema.
-    * Join keys are matched null-safely (`<=>`), so a NULL key in
-    * both sides pairs up instead of silently duplicating. */
+    *  - `whenNotMatchedBySourceDelete` — target-only rows satisfying
+    *    it are dropped (SQL:2023 / Delta's WHEN NOT MATCHED BY SOURCE
+    *    THEN DELETE — the "full sync" shape where the source is the
+    *    complete desired state and stale target rows must go).
+    *    Default false: target-only rows survive unchanged.
+    *
+    * Output schema = base schema. Join keys are matched null-safely
+    * (`<=>`), so a NULL key in both sides pairs up instead of
+    * silently duplicating. */
   def mergeInto(base: DataFrame, delta: DataFrame, keys: Seq[String],
                 whenMatchedUpdate: Map[String, Column] = Map.empty,
                 whenMatchedDelete: Column = lit(false),
-                insertWhenNotMatched: Boolean = true): DataFrame = {
+                insertWhenNotMatched: Boolean = true,
+                whenNotMatchedBySourceDelete: Column = lit(false))
+      : DataFrame = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val outCols = base.columns.toSeq
     require(outCols.forall(delta.columns.contains),
@@ -63,9 +69,12 @@ object MergeInto {
     val matched = col("t.__t_present").isNotNull &&
       col("s.__s_present").isNotNull
     val sOnly = col("t.__t_present").isNull
-    // clause order: DELETE, then UPDATE, then INSERT
+    val tOnly = col("s.__s_present").isNull
+    // clause order: DELETE, then UPDATE, then INSERT; the
+    // by-source delete applies to the disjoint target-only set
     val kept = joined
       .filter(!(matched && coalesce(whenMatchedDelete, lit(false))))
+      .filter(!(tOnly && coalesce(whenNotMatchedBySourceDelete, lit(false))))
       .filter(if (insertWhenNotMatched) lit(true) else !sOnly)
     val projected = outCols.map { c =>
       val updated = whenMatchedUpdate.getOrElse(c, col(s"t.$c"))

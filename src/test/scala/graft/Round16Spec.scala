@@ -81,6 +81,30 @@ class Round16Spec extends SparkSpecBase {
       "k=1 deleted despite matching; k=2 unchanged under empty SET")
   }
 
+  test("mergeInto: WHEN NOT MATCHED BY SOURCE THEN DELETE drops stale " +
+      "target-only rows (full-sync shape) without touching matched or " +
+      "inserted rows") {
+    val base = frame(Seq(
+      Row(1L, "keep", 1.0),    // matched → survives (empty SET)
+      Row(2L, "stale", 2.0),   // target-only + cond → dropped
+      Row(3L, "pinned", 3.0)), // target-only, cond false → survives
+      schema)
+    val delta = frame(Seq(
+      Row(1L, "x", 0.0, "U"),
+      Row(4L, "new", 4.0, "I")), deltaSchema)
+    val out = MergeInto.mergeInto(base, delta, Seq("k"),
+        whenNotMatchedBySourceDelete = col("t.v") === "stale")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "keep"), (3L, "pinned"), (4L, "new")),
+      s"got ${out.toSeq}")
+    // full-sync: delete EVERY target-only row → result == source ids
+    val sync = MergeInto.mergeInto(base, delta, Seq("k"),
+        whenMatchedUpdate = MergeInto.updateAll(base),
+        whenNotMatchedBySourceDelete = lit(true))
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(sync.toSeq == Seq(1L, 4L))
+  }
+
   test("mergeInto plan pin: ONE key-hashed shuffle join, never a " +
       "fact-side broadcast (the 100 TB contract)") {
     val q = SparkEntry.queries("q_incr_merge_into")(spark, sfDir)
