@@ -206,6 +206,25 @@ object Graft {
                    window: String = "15 minutes"): DataFrame =
     Streams.intervalJoin(left, right, watermark, window)
 
+  /** Streaming upsert sink: a `foreachBatch` body that maintains a
+    * keyed parquet snapshot from a change stream via [[mergeInto]] —
+    * last-write-wins per batch under `orderCol`, idempotent on batch
+    * replay. See [[graft.stream.Streams.mergeSink]]. */
+  def streamingMergeSink(keys: Seq[String], orderCol: String,
+                         storePath: String)
+      : DataFrame => Unit = df =>
+    Streams.applyMergeBatch(df, keys, orderCol, storePath)
+
+  /** Persist / load a quantized IVF ANN index, partitioned by cluster
+    * so probe-time cluster selection becomes parquet partition
+    * pruning. See [[graft.text.Similarity.ivfWriteIndex]]. */
+  def ivfWriteIndex(indexedQ: DataFrame, cents: Array[Array[Double]],
+                    path: String): Unit =
+    Similarity.ivfWriteIndex(indexedQ, cents, path)
+  def ivfReadIndex(s: SparkSession, path: String)
+      : (DataFrame, Array[Array[Double]]) =
+    Similarity.ivfReadIndex(s, path)
+
   /** TF-IDF scores over `(idCol, textCol)` documents: one row per
     * (doc, term) with tf, df and tfidf = tf * ln(N/df). Space-split
     * tokenization; vocabulary-sized df side is broadcast. */

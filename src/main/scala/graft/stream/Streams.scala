@@ -164,4 +164,54 @@ object Streams {
           }
       }
   }
+
+  /** STREAMING UPSERT SINK (r16) — maintain a keyed parquet table
+    * from a change stream: `foreachBatch` + [[graft.incr.MergeInto
+    * .mergeInto]], the streaming face of q278. Per micro-batch:
+    *
+    *  1. last-write-wins dedup of the batch on `keys` under
+    *     `orderCol` DESC (the caller must make (orderCol, keys) a
+    *     TOTAL order per key — the q47 determinism contract — e.g. a
+    *     (ts, event_id) struct column);
+    *  2. one full-outer MERGE into the stored snapshot (UPDATE SET *
+    *     on matched keys, INSERT on new ones — an update is
+    *     delete+insert [P §3], arriving as one row);
+    *  3. overwrite the store (the pre-merge snapshot is
+    *     localCheckpointed first, so reading and overwriting the same
+    *     path is safe — the q103 read-back discipline).
+    *
+    * Exactly-once story: the sink is IDEMPOTENT — re-merging a
+    * replayed batch (foreachBatch retries after a crash) recomputes
+    * the identical snapshot because last-write-wins dedup and
+    * UPDATE SET * are both absorbing; StreamingSpec proves replay ≡
+    * once. At 100 TB the store would be partitioned and the merge
+    * slice-restricted + dynamic-overwritten (the q249 idiom, see the
+    * MergeInto scaladoc); the snapshot-overwrite form here is the
+    * fixture-scale expression of the same batch logic. */
+  def mergeSink(stream: DataFrame, keys: Seq[String], orderCol: String,
+                storePath: String): org.apache.spark.sql.DataFrame => Unit = {
+    // returned as the foreachBatch body so tests and callers can
+    // drive it under any trigger/checkpoint combination
+    batch => applyMergeBatch(batch, keys, orderCol, storePath)
+  }
+
+  /** One [[mergeSink]] micro-batch, also the unit StreamingSpec
+    * replays directly. */
+  def applyMergeBatch(batch: DataFrame, keys: Seq[String],
+                      orderCol: String, storePath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    val dedup = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val store =
+      if (new java.io.File(storePath).exists)
+        s.read.parquet(storePath).localCheckpoint()
+      else dedup.filter(lit(false)).localCheckpoint()
+    val merged = graft.incr.MergeInto.mergeInto(store, dedup, keys,
+      whenMatchedUpdate = graft.incr.MergeInto.updateAll(store))
+    merged.localCheckpoint().write.mode("overwrite").parquet(storePath)
+  }
 }

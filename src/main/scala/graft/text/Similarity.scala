@@ -384,6 +384,41 @@ object Similarity {
     (KMeans.assign(s, vecs, cents), cents)
   }
 
+  /** Persist a quantized IVF index (r16): the int8 corpus relation
+    * written PARTITIONED BY CLUSTER — so at read time the nprobe
+    * cluster filter becomes parquet PARTITION PRUNING and a probe
+    * reads only its nprobe/k share of the index from disk, which is
+    * the actual 100 TB ANN-store shape (the in-session path gets the
+    * same pruning from the cluster filter over the cached relation;
+    * the stored path gets it from the directory layout). Centroids —
+    * the k-row model — ride along as a tiny parquet.
+    * `Round16Spec` proves the roundtrip is search-result bit-equal
+    * and that the probed scan carries the cluster partition filter. */
+  def ivfWriteIndex(indexedQ: DataFrame, cents: Array[Array[Double]],
+                    path: String): Unit = {
+    indexedQ.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/corpus")
+    val s = indexedQ.sparkSession
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a stored quantized IVF index: (corpus, centroids). The
+    * corpus frame's cluster column is the partition column — any
+    * `cluster IN (...)` filter on it prunes directories before a
+    * byte of payload is read. */
+  def ivfReadIndex(s: SparkSession, path: String)
+      : (DataFrame, Array[Array[Double]]) = {
+    val corpus = s.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("qv"), col("qn"))
+    val cents = s.read.parquet(s"$path/centroids").orderBy("cluster")
+      .collect().map(_.getSeq[Double](1).toArray)
+    (corpus, cents)
+  }
+
   /** Brute-force batch KNN: top-`topK` cosine neighbours per probe,
     * probes broadcast against the corpus-partitioned scan (never the
     * reverse), the q91 shape as a library entry. Same FloatDot IEEE

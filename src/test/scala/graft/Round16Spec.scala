@@ -131,6 +131,77 @@ class Round16Spec extends SparkSpecBase {
     assert(merged.count() > 0)
   }
 
+  test("quantized IVF index roundtrip: stored index reproduces the " +
+      "in-session search bit-exactly and the probed scan partition-" +
+      "prunes on cluster") {
+    import graft.text.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+    try {
+      val emb = graft.engine.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val (indexedQ, cents) = Similarity.ivfIndexQuantized(spark, emb)
+      Similarity.ivfWriteIndex(indexedQ, cents, dir.toString)
+      val (stored, storedCents) = Similarity.ivfReadIndex(spark, dir.toString)
+      // the model roundtrips exactly (doubles in parquet are exact)
+      assert(storedCents.length == cents.length &&
+        storedCents.zip(cents).forall { case (a, b) => a.sameElements(b) })
+      // the stored corpus is the same relation (column order aside)
+      val canon = (df: org.apache.spark.sql.DataFrame) =>
+        df.select("vec_id", "cluster", "qv", "qn")
+      assert(canon(stored).exceptAll(canon(indexedQ)).count() == 0 &&
+        canon(indexedQ).exceptAll(canon(stored)).count() == 0)
+      // search over the stored index ≡ search over the in-session one
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+      def run(ix: org.apache.spark.sql.DataFrame,
+              cs: Array[Array[Double]]) =
+        Similarity.ivfSearchBatchQuantized(spark, ix, cs, probes,
+            nprobe = math.max(1, cs.length / 4), topK = 8)
+          .collect().map(_.toSeq).toSet
+      assert(run(stored, storedCents) == run(indexedQ, cents),
+        "stored-index search diverged from the in-session index")
+      // partition pruning: a cluster-filtered scan of the stored
+      // corpus must carry the filter at the scan (pruned read)
+      val probed = stored.filter(col("cluster").isin(0, 1))
+      val scan = probed.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") &&
+        scan.contains("cluster"),
+        s"cluster filter did not reach the partitioned scan:\n$scan")
+      assert(probed.count() ==
+        indexedQ.filter(col("cluster").isin(0, 1)).count())
+    } finally deleteRecursively(dir)
+  }
+
+  test("streaming merge sink: last-write-wins per batch, upserts across " +
+      "batches, idempotent under batch replay (exactly-once story)") {
+    import graft.stream.Streams
+    val dir = java.nio.file.Files.createTempDirectory("graft_mergesink")
+    val store = s"$dir/store"
+    try {
+      val b1 = frame(Seq(
+        Row(1L, "a", 1.0), Row(1L, "a2", 2.0),  // same key: LWW on amt
+        Row(2L, "b", 1.0)), schema)
+      Streams.applyMergeBatch(b1, Seq("k"), "amt", store)
+      val s1 = spark.read.parquet(store).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(s1 == Seq((1L, "a2"), (2L, "b")), s"batch-1 state: $s1")
+      val b2 = frame(Seq(
+        Row(2L, "b9", 9.0),                      // update existing key
+        Row(3L, "c", 1.0)), schema)              // insert new key
+      Streams.applyMergeBatch(b2, Seq("k"), "amt", store)
+      def state() = spark.read.parquet(store).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val s2 = state()
+      assert(s2 == Seq((1L, "a2"), (2L, "b9"), (3L, "c")), s"batch-2: $s2")
+      // replay batch 2 (a foreachBatch retry): state must not change
+      Streams.applyMergeBatch(b2, Seq("k"), "amt", store)
+      assert(state() == s2, "replaying a batch changed the snapshot")
+      // empty batch is a no-op
+      Streams.applyMergeBatch(b2.filter(lit(false)), Seq("k"), "amt", store)
+      assert(state() == s2)
+    } finally deleteRecursively(dir)
+  }
+
   test("q279 registry row: deterministic, rn-bounded, Cauchy–Schwarz " +
       "scores, equals a direct ivfSearchBatchQuantized call") {
     val a = SparkEntry.queries("q_sim_ann_ivf_batch_quantized")(spark, sfDir)
