@@ -693,6 +693,65 @@ object Round11b {
       s.read.parquet(out).orderBy("day", "event_type").localCheckpoint()
     })),
 
+    /** q280: STREAMING MERGE UPSERT under the oracle hash (r16) —
+      * the third streaming fault-tolerance row: a real file-source
+      * stream driven through `foreachBatch` +
+      * [[graft.stream.Streams.applyMergeBatch]] (the q278 MERGE as a
+      * streaming sink) maintaining a keyed parquet snapshot. The
+      * landing files are DELIBERATELY time-REVERSED (newest event
+      * range lands first, maxFilesPerTrigger=1), so every later
+      * micro-batch is LATE data — the ord-conditional merge (update
+      * only when struct(ts, event_id) is greater) must converge to
+      * the same global last-write-wins state regardless, which is
+      * exactly what the oracle (the full LWW recompute, q47's shape)
+      * hash-asserts. No watermark is involved — foreachBatch sees
+      * every row; ordering robustness comes from the MERGE algebra,
+      * not from arrival discipline. Stream runs once per (session,
+      * fixture); appId-isolated scratch. */
+    "q_stream_merge_upsert" -> ((s, d) => dfMemo.getOrElseUpdate(
+        (s, d, "streamMergeUpsert"), {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_r16m_" +
+        Integer.toHexString(d.hashCode) + "_" + s.sparkContext.applicationId
+      val (src, ck, store) = (s"$root/src", s"$root/ck", s"$root/store")
+      val norm = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts"))
+        .withColumn("ord", struct(col("ts"), col("event_id")))
+      norm.repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(src)
+      // REVERSED mtimes: the newest time range is batch 1, every
+      // subsequent batch is globally late
+      new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex
+        .foreach { case (f, i) =>
+          f.setLastModified(1700000000000L - i * 60000L)
+        }
+      val q = s.readStream
+        .schema(norm.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            graft.stream.Streams.applyMergeBatch(
+              b.toDF(), Seq("user_id"), "ord", store)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(180000L))
+        throw new IllegalStateException(
+          "streaming run did not terminate within 180s - store is " +
+          "partial; not memoizing a truncated result")
+      s.read.parquet(store)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id").localCheckpoint()
+    })),
+
     /** q179: ORC SOURCE as a declared oracle row — completes the
       * source-format matrix (parquet everywhere, CSV/JSON q156,
       * hive-partitioned q158, bucketed tables q157) with Spark's
@@ -992,6 +1051,20 @@ object Round11b {
          WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
                <= m - INTERVAL 1 MINUTE
          ORDER BY day, event_type""",
+    // q280's oracle: the full last-write-wins recompute — the
+    // stream-maintained snapshot must be result-invisible against it
+    // (q47's discipline, computed by a MERGE cascade over
+    // deliberately out-of-order micro-batches instead of one window).
+    "q_stream_merge_upsert" ->
+      """SELECT user_id, event_id AS last_event_id,
+                event_type AS last_type, value AS last_value
+         FROM (
+           SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events
+         ) t WHERE rn = 1 ORDER BY user_id""",
+
     // q179's oracle reads the parquet originals — the Spark side must
     // produce identical values through the ORC round-trip.
     "q_source_orc" ->

@@ -173,9 +173,16 @@ object Streams {
     *     `orderCol` DESC (the caller must make (orderCol, keys) a
     *     TOTAL order per key — the q47 determinism contract — e.g. a
     *     (ts, event_id) struct column);
-    *  2. one full-outer MERGE into the stored snapshot (UPDATE SET *
-    *     on matched keys, INSERT on new ones — an update is
-    *     delete+insert [P §3], arriving as one row);
+    *  2. one full-outer MERGE into the stored snapshot — CONDITIONAL
+    *     update: a matched key takes the batch row only when its
+    *     `orderCol` is GREATER than the stored one, else keeps the
+    *     stored row (an update is delete+insert [P §3], arriving as
+    *     one row). This makes the sink OUT-OF-ORDER SAFE: a late or
+    *     replayed batch carrying older versions can never clobber
+    *     newer stored state, so the final snapshot is the global
+    *     argmax-by-orderCol over every row ever delivered —
+    *     INVARIANT to micro-batch boundaries and arrival order (real
+    *     CDC feeds deliver late);
     *  3. overwrite the store (the pre-merge snapshot is
     *     localCheckpointed first, so reading and overwriting the same
     *     path is safe — the q103 read-back discipline).
@@ -210,8 +217,14 @@ object Streams {
       if (new java.io.File(storePath).exists)
         s.read.parquet(storePath).localCheckpoint()
       else dedup.filter(lit(false)).localCheckpoint()
+    // conditional UPDATE SET *: per column, take the source value
+    // only when the source version is newer (see scaladoc)
+    val newer = col(s"s.$orderCol") > col(s"t.$orderCol")
+    val updateIfNewer = store.columns.map { c =>
+      c -> when(newer, col(s"s.$c")).otherwise(col(s"t.$c"))
+    }.toMap
     val merged = graft.incr.MergeInto.mergeInto(store, dedup, keys,
-      whenMatchedUpdate = graft.incr.MergeInto.updateAll(store))
+      whenMatchedUpdate = updateIfNewer)
     merged.localCheckpoint().write.mode("overwrite").parquet(storePath)
   }
 }

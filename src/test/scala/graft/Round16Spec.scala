@@ -202,6 +202,40 @@ class Round16Spec extends SparkSpecBase {
     } finally deleteRecursively(dir)
   }
 
+  test("streaming merge sink is out-of-order safe: a LATE batch " +
+      "(older orderCol) never clobbers newer stored state; final " +
+      "snapshot is batch-order invariant") {
+    import graft.stream.Streams
+    val dir = java.nio.file.Files.createTempDirectory("graft_ooo")
+    val (p1, p2) = (s"$dir/fwd", s"$dir/rev")
+    try {
+      val newer = frame(Seq(Row(1L, "v2", 2.0), Row(2L, "w2", 9.0)), schema)
+      val older = frame(Seq(Row(1L, "v1", 1.0), Row(3L, "x1", 3.0)), schema)
+      // forward order: older then newer
+      Streams.applyMergeBatch(older, Seq("k"), "amt", p1)
+      Streams.applyMergeBatch(newer, Seq("k"), "amt", p1)
+      // reverse order: newer first, the late batch second
+      Streams.applyMergeBatch(newer, Seq("k"), "amt", p2)
+      Streams.applyMergeBatch(older, Seq("k"), "amt", p2)
+      def state(p: String) = spark.read.parquet(p).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val expected = Seq((1L, "v2", 2.0), (2L, "w2", 9.0), (3L, "x1", 3.0))
+      assert(state(p1) == expected, s"forward: ${state(p1)}")
+      assert(state(p2) == expected,
+        s"late batch clobbered newer state: ${state(p2)}")
+    } finally deleteRecursively(dir)
+  }
+
+  test("q280 on the fixture: stream-maintained LWW snapshot equals the " +
+      "batch recompute (in-JVM replica of the DuckDB oracle)") {
+    val merged = SparkEntry.queries("q_stream_merge_upsert")(spark, sfDir)
+    val expected = SparkEntry.queries("q_incr_upsert_latest")(spark, sfDir)
+    assert(merged.count() > 0)
+    assert(merged.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(merged).count() == 0,
+      "streamed MERGE state diverged from the batch LWW recompute")
+  }
+
   test("q279 registry row: deterministic, rn-bounded, Cauchy–Schwarz " +
       "scores, equals a direct ivfSearchBatchQuantized call") {
     val a = SparkEntry.queries("q_sim_ann_ivf_batch_quantized")(spark, sfDir)
