@@ -69,8 +69,8 @@ object ClusterSmoke {
     // one per remaining §2 section
     "q_scan_pushdown", "q_filter_compound", "q_join_multiway",
     "q_agg_basic", "q_win_rank", "q_sort_total", "q_fn_string",
-    "q_incr_delta_merge", "q_incr_merge_into", "q_text_quality",
-    "q_udaf_weighted_avg",
+    "q_incr_delta_merge", "q_incr_merge_into", "q_stream_merge_upsert",
+    "q_text_quality", "q_udaf_weighted_avg",
     "q_multimodal_features", "q_join_range", "q_agg_bitmap_distinct",
     "q_events_rfm", "q_join_colocated", "q_text_scrub",
     "q_agg_heavy_hitters", "q_join_bloom_pruned", "q_tpch_q1",
