@@ -106,13 +106,28 @@ object Memos {
     * A shared checkpoint RDD is therefore only freed when its LAST
     * referencing slot is released (no permanent leak: the exclusion
     * set shrinks as slots go). Blocking, so the budget check right
-    * after an eviction reads post-release sizes. */
-  def release(df: DataFrame): Unit = {
-    val keep: Set[Int] = stores.asScala.flatMap(_.slots)
-      .filter(_.df ne df)
+    * after an eviction reads post-release sizes.
+    *
+    * Two r16-ADVICE hardenings:
+    *  - the keep-set scan and the unpersist loop run under the Memos
+    *    lock, and admissions ([[Store.getOrElseUpdate]]'s insert path)
+    *    take the same lock — so a slot admitted concurrently whose
+    *    plan embeds the same checkpoint RDD can never slip in between
+    *    the ownership scan and the free;
+    *  - liveness is decided per SLOT, not by DataFrame reference: a
+    *    victim slot is removed from its map BEFORE release is called
+    *    (removeSelf / clear()'s drain / the never-inserted loser), so
+    *    "live" = everything still in a store. If the SAME DataFrame
+    *    instance is also memoized under another key, that twin slot
+    *    keeps both the cache entry (the `df.unpersist` is skipped)
+    *    and every plan RDD — releasing one alias is then a no-op
+    *    instead of destroying the survivor's blocks. */
+  def release(df: DataFrame): Unit = Memos.synchronized {
+    val live = stores.asScala.flatMap(_.slots).toSeq
+    val keep: Set[Int] = live
       .flatMap(sl => org.apache.spark.sql.graftbridge.Bridge.planRdds(sl.df))
       .map(_.id).toSet
-    df.unpersist(blocking = true)
+    if (!live.exists(_.df eq df)) df.unpersist(blocking = true)
     org.apache.spark.sql.graftbridge.Bridge.planRdds(df).foreach { r =>
       if (!keep.contains(r.id) &&
           r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
@@ -163,17 +178,23 @@ object Memos {
         case Some(sl) =>
           sl.lastHit = tick.incrementAndGet(); sl.df
         case None =>
-          val df = build
-          val slot = new Slot(df, tick.incrementAndGet())
-          slot.removeSelf = () => { m.remove(key, slot); () }
-          m.putIfAbsent(key, slot) match {
-            case Some(winner) =>
-              release(df)
-              winner.lastHit = tick.incrementAndGet()
-              winner.df
-            case None =>
-              enforceBudget(df.sparkSession, df)
-              df
+          val df = build // outside the lock: builds run Spark jobs
+          // Admission holds the Memos lock (ADVICE r16): release()'s
+          // keep-set scan and unpersist loop hold the same lock, so a
+          // slot can never become live between a scan and the free it
+          // informs — the insert and the budget sweep are one atom.
+          Memos.synchronized {
+            val slot = new Slot(df, tick.incrementAndGet())
+            slot.removeSelf = () => { m.remove(key, slot); () }
+            m.putIfAbsent(key, slot) match {
+              case Some(winner) =>
+                release(df)
+                winner.lastHit = tick.incrementAndGet()
+                winner.df
+              case None =>
+                enforceBudget(df.sparkSession, df)
+                df
+            }
           }
       }
 

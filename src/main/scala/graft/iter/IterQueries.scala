@@ -359,6 +359,115 @@ object IterQueries {
     (state, i)
   }
 
+  /** Driver-memory cap (edge rows) for [[minLabelCollapseLocal]] —
+    * above it the collapse runs on the distributed [[minPropagate]]
+    * instead. 8M rows of two longs ≈ 128 MB packed (sub-GB boxed) —
+    * far under the driver heap, far above any measured fixture (sf10
+    * carries ~3.6M directed pair-graph edges). */
+  val LocalCollapseCap: Long = 8L * 1000 * 1000
+
+  /** MIN-LABEL COLLAPSE over a DRIVER-RESIDENT pair graph — the
+    * job-count-compact form of `minPropagate(edges, id-state,
+    * id-frontier, "label", 0, iters)` for the label-propagation case
+    * (initial label(v) = v), row-identical to it by construction
+    * (`Round17Spec` proves it on the fixture pair graph AND on
+    * property-tested random graphs).
+    *
+    * Why it exists (VERDICT r16 task 1): the distributed loop costs
+    * 3 jobs per round (frontier broadcast build, candidate broadcast
+    * build, checkpoint) — 19 warm jobs for the 5-round LSH collapse —
+    * and on a bursty host every job LAUNCH pays scheduler latency, so
+    * the row's bench reading was hostage to ambient load (6.93 s in
+    * BENCH_r16 vs a 1.21 s quiet min; the r13 A/B had already shown
+    * the warm cost is the local[32] job-launch floor, not data
+    * volume). The collapse's input is the NEAR-DUP PAIR GRAPH — two
+    * longs per verified pair, the very relation the LSH family
+    * already broadcasts under its near-dup-volume scale argument
+    * (`lshVerdictJoin`'s kg hint) — so the whole edge list fits where
+    * a broadcast already goes: collect it ONCE and run the
+    * synchronous rounds as pure driver arithmetic (≤ cap·iters long
+    * comparisons — microseconds at fixture scale, <0.2 s at the cap).
+    * Per-query jobs collapse from 3·rounds+2 to THREE: the edge-count
+    * gate, the edge collect, and the final label join's broadcast
+    * build; no per-round checkpoint exists because no distributed
+    * lineage accumulates.
+    *
+    * Scale contract (the 100 TB story): the gate COUNTS the edge
+    * relation first (one cheap job — the caller hands a checkpointed
+    * pair graph) and only collects below [[LocalCollapseCap]]; past
+    * the cap the collapse runs the distributed [[minPropagate]] from
+    * round 1 — the shape that never holds the graph in one place.
+    * Driver label state is bounded by the edge endpoint count, the
+    * same near-dup bound as the collect itself.
+    *
+    * `edges` (src, dst) directed offers; `nodes` (node). Returns
+    * (node, label) — nodes with no in-edge keep label = node. */
+  def minLabelCollapseLocal(edges: DataFrame, nodes: DataFrame,
+                            iters: Int,
+                            localCap: Long = LocalCollapseCap): DataFrame = {
+    require(iters >= 1, "minLabelCollapseLocal needs at least one round")
+    val s = nodes.sparkSession
+    if (edges.count() > localCap) {
+      // over the cap: distributed from round 1 (see scaladoc)
+      val state0 = nodes.select(col("node"), col("node").as("label"))
+      val changed0 = state0
+        .select(col("node").as("cnode"), col("label").as("cval"))
+      return minPropagate(edges, state0, changed0, "label", 0L, iters,
+          matEvery = 1)
+        .select("node", "label")
+    }
+    val es = edges.select(col("src"), col("dst")).collect()
+    val srcs = new Array[Long](es.length)
+    val dsts = new Array[Long](es.length)
+    var k = 0
+    while (k < es.length) {
+      srcs(k) = es(k).getLong(0); dsts(k) = es(k).getLong(1); k += 1
+    }
+    // Synchronous rounds, identical to minPropagate's recurrence:
+    // label'(v) = min(label(v), min over frontier-src edges (u,v) of
+    // label(u)); frontier' = improved nodes; round-1 frontier = all
+    // (identity labels). LongMap default = identity label.
+    val labels = scala.collection.mutable.LongMap.empty[Long]
+    def labelOf(n: Long): Long = labels.getOrElse(n, n)
+    var frontier: scala.collection.mutable.LongMap[Long] = null // null = all
+    var round = 0
+    while (round < iters && (frontier == null || frontier.nonEmpty)) {
+      round += 1
+      val cand = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < srcs.length) {
+        val u = srcs(i)
+        if (frontier == null || frontier.contains(u)) {
+          val offer = if (frontier == null) labelOf(u) else frontier(u)
+          val v = dsts(i)
+          if (offer < cand.getOrElse(v, Long.MaxValue)) cand.update(v, offer)
+        }
+        i += 1
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      cand.foreach { case (v, mc) =>
+        if (mc < labelOf(v)) { labels.update(v, mc); next.update(v, mc) }
+      }
+      frontier = next
+    }
+    val lbl = localPairs(s, labels.toArray, "node", "nlabel")
+    nodes.join(broadcast(lbl), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("nlabel"), col("node")).as("label"))
+  }
+
+  /** Two-long LocalRelation — broadcast builds over it are
+    * driver-local (LocalTableScan.executeCollect launches no job). */
+  private def localPairs(s: SparkSession, rows: Array[(Long, Long)],
+                         c1: String, c2: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    s.createDataFrame(
+      java.util.Arrays.asList(rows.map(p => Row(p._1, p._2)): _*),
+      StructType(Seq(StructField(c1, LongType, nullable = false),
+        StructField(c2, LongType, nullable = false))))
+  }
+
   /** EDGE-DELETION restart for the min-propagate family [P §6] — the
     * piece monotone additions (q101 / [[iterateIncremental]]) cannot
     * cover, done with the MRBG preserved-state idea: identify the

@@ -746,7 +746,7 @@ object Round11b {
         throw new IllegalStateException(
           "streaming run did not terminate within 180s - store is " +
           "partial; not memoizing a truncated result")
-      s.read.parquet(store)
+      graft.stream.Streams.readStore(s, store).get
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy("user_id").localCheckpoint()

@@ -196,6 +196,10 @@ object Round8 {
     * `BroadcastAuditSpec` pins both branches and their equality. */
   val ProbeTokenCap: Long = 512L * 1000
 
+  /** Diagnostic handle for [[graft.tools.CollapseProbe]]. */
+  private[graft] def probeLshPairs(s: SparkSession, d: String): DataFrame =
+    cachedLshPairs(s, d)
+
   /** q136's verified pair graph: capped candidates ∪ the quarantined
     * buckets' spanning-star candidates, exact-Jaccard-verified. */
   private def cachedLshPairs(s: SparkSession, d: String): DataFrame =
@@ -436,45 +440,31 @@ object Round8 {
                           pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // Frontier/broadcast min-label propagation (minPropagate): after
-    // round 1 the changed frontier collapses to near-empty, so rounds
-    // 2-5 are broadcast-join no-ops — measured FASTER here (and the
-    // right 100 TB shape: the corpus-sized state never re-shuffles)
-    // than BOTH a fused all-nodes shuffle plan (2.3 s vs 1.1 s warm at
-    // sf0.1: 3 shuffle stages x 5 rounds over the full state) AND an
-    // until-stable early-exit loop (the per-round emptiness count
-    // costs what the skipped no-op rounds cost; measured a wash).
-    // matEvery=1 flattens lineage each round so the broadcast builds
-    // never re-plan the growing join chain. The checkpoint runs
-    // INSIDE the conf block: Spark reads session conf at ACTION time.
-    //
-    // r13 A/B (quiet window, interleaved BenchOne warm medians): this
-    // shape is the local optimum of four measured variants. (a)
-    // pair-graph-restricted state (loop over pair endpoints only,
-    // corpus joins the labels once at the end): batch 1.0->1.5 s —
-    // at sf0.1 the corpus (~5k docs) is barely larger than the pair
-    // node set (~4.5k), so the restriction saves nothing and its
-    // extra distinct/checkpoint/final-join jobs are pure overhead; at
-    // 100 TB the restriction IS the right production shape (the
-    // corpus-sized frame would otherwise be re-materialized every
-    // round) and becomes worth its fixed cost once corpus >> pair
-    // nodes. (b) shuffle-hash rounds: 2.7->3.6 s (3 stages x 32
-    // tasks of scheduling per round lose to tiny broadcast builds).
-    // (c) matEvery=5: q139 37->40 jobs, 2.8->3.8 s — the in-loop
-    // broadcast exchanges re-execute through unmaterialized lineage
-    // per action, re-confirming the r9 finding. The row's remaining
-    // warm cost is the local[32] job-launch floor (~37 jobs x ~60 ms
-    // across maintenance + collapse), not data volume — it shrinks
-    // RELATIVE to data at larger SF (see SCALING.md).
+    // r17 (VERDICT r16 task 1): DRIVER-FRONTIER min-label collapse —
+    // [[graft.iter.IterQueries.minLabelCollapseLocal]], row-identical
+    // to the previous minPropagate(…, 5, matEvery = 1) form
+    // (Round17Spec proves it on this pair graph and on randoms) at
+    // ONE job per round instead of three (frontier broadcast build,
+    // cand broadcast build, checkpoint). The r13 A/B already showed
+    // the row's warm cost was the local[32] JOB-LAUNCH floor, not
+    // data volume, and BENCH_r16 showed that floor multiplied 5× by
+    // ambient host bursts (6.93 s vs a 1.21 s quiet min at 19 warm
+    // jobs); the compact form cuts warm q136 to ~6 jobs — the
+    // frontier (measured 4844→1015→123→25→4 over the 5 rounds at
+    // sf0.1) lives on the driver, re-entering each round's plan as a
+    // LocalRelation whose broadcast build launches no job. Driver
+    // state is bounded by the pair-graph endpoint count — the same
+    // near-dup-volume bound that already justifies broadcasting the
+    // verified-pair store — with LocalCollapseCap as the safety
+    // valve: past it the collapse restarts on the distributed
+    // minPropagate (the 100 TB shape; see the method scaladoc).
+    // No trailing checkpoint: the result plan is docs ⋈ broadcast
+    // (local label map) — a single cheap projection, re-executable.
     graft.iter.IterQueries.loopConf(s) {
-      val state0 = docs
-        .select(col("doc_id").as("node"), col("doc_id").as("label"))
-      val changed0 = state0
-        .select(col("node").as("cnode"), col("label").as("cval"))
       graft.iter.IterQueries
-        .minPropagate(edges, state0, changed0, "label", 0L, 5, matEvery = 1)
+        .minLabelCollapseLocal(edges,
+          docs.select(col("doc_id").as("node")), 5)
         .select(col("node").as("doc_id"), col("label").as("keep_id"))
-        .localCheckpoint()
     }
   }
 

@@ -183,18 +183,26 @@ object Streams {
     *     argmax-by-orderCol over every row ever delivered —
     *     INVARIANT to micro-batch boundaries and arrival order (real
     *     CDC feeds deliver late);
-    *  3. overwrite the store (the pre-merge snapshot is
-    *     localCheckpointed first, so reading and overwriting the same
-    *     path is safe — the q103 read-back discipline).
+    *  3. commit the result as a NEW versioned snapshot and swap the
+    *     `_CURRENT` pointer atomically (see [[commitSnapshot]]).
     *
-    * Exactly-once story: the sink is IDEMPOTENT — re-merging a
-    * replayed batch (foreachBatch retries after a crash) recomputes
-    * the identical snapshot because last-write-wins dedup and
-    * UPDATE SET * are both absorbing; StreamingSpec proves replay ≡
-    * once. At 100 TB the store would be partitioned and the merge
-    * slice-restricted + dynamic-overwritten (the q249 idiom, see the
-    * MergeInto scaladoc); the snapshot-overwrite form here is the
-    * fixture-scale expression of the same batch logic. */
+    * Exactly-once story (r17 — scoped to the write protocol below):
+    * the MERGE itself is IDEMPOTENT — re-merging a replayed batch
+    * (foreachBatch retries after a crash) recomputes the identical
+    * snapshot because last-write-wins dedup and the ord-conditional
+    * UPDATE are both absorbing — and the COMMIT is crash-safe because
+    * the store is never modified in place: the merged state lands in
+    * a fresh `snap-<v+1>` directory and becomes visible only when the
+    * one-file `_CURRENT` pointer is atomically renamed over (r16's
+    * in-place overwrite left a truncated store if the writer died
+    * mid-write, ADVICE r16). A crash at ANY point leaves the pointer
+    * on a complete snapshot — old or new — and the retry re-merges
+    * into whichever it reads, converging to the same state either
+    * way. At 100 TB the store would be partitioned and the merge
+    * slice-restricted + dynamic-overwritten
+    * ([[graft.incr.MergeInto.mergeIntoPartitioned]], the q249 idiom);
+    * the snapshot form here is the fixture-scale expression of the
+    * same batch logic. */
   def mergeSink(stream: DataFrame, keys: Seq[String], orderCol: String,
                 storePath: String): org.apache.spark.sql.DataFrame => Unit = {
     // returned as the foreachBatch body so tests and callers can
@@ -202,7 +210,7 @@ object Streams {
     batch => applyMergeBatch(batch, keys, orderCol, storePath)
   }
 
-  /** One [[mergeSink]] micro-batch, also the unit StreamingSpec
+  /** One [[mergeSink]] micro-batch, also the unit Round16Spec
     * replays directly. */
   def applyMergeBatch(batch: DataFrame, keys: Seq[String],
                       orderCol: String, storePath: String): Unit = {
@@ -213,18 +221,75 @@ object Streams {
       .orderBy(col(orderCol).desc)
     val dedup = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val store =
-      if (new java.io.File(storePath).exists)
-        s.read.parquet(storePath).localCheckpoint()
-      else dedup.filter(lit(false)).localCheckpoint()
-    // conditional UPDATE SET *: per column, take the source value
-    // only when the source version is newer (see scaladoc)
-    val newer = col(s"s.$orderCol") > col(s"t.$orderCol")
-    val updateIfNewer = store.columns.map { c =>
-      c -> when(newer, col(s"s.$c")).otherwise(col(s"t.$c"))
-    }.toMap
+    val (ver, store) = currentSnapshot(s, storePath) match {
+      case Some((v, df)) => (v, df)
+      case None          => (0L, dedup.filter(lit(false)))
+    }
+    // conditional UPDATE SET *: take the source row only when the
+    // source version is newer (see scaladoc)
     val merged = graft.incr.MergeInto.mergeInto(store, dedup, keys,
-      whenMatchedUpdate = updateIfNewer)
-    merged.localCheckpoint().write.mode("overwrite").parquet(storePath)
+      whenMatchedUpdate = graft.incr.MergeInto.updateAll(store),
+      whenMatchedUpdateCond = col(s"s.$orderCol") > col(s"t.$orderCol"))
+    commitSnapshot(s, storePath, ver + 1, merged)
+  }
+
+  /** The store's current snapshot as a batch DataFrame — the read
+    * face of [[mergeSink]] (None before the first committed batch).
+    * All paths resolve through Hadoop's FileSystem API from the
+    * session's Hadoop conf, so `file:`, `hdfs:`, `s3a:` and friends
+    * all work (ADVICE r16: the previous `java.io.File` existence
+    * check silently treated any scheme'd store as absent). */
+  def readStore(s: org.apache.spark.sql.SparkSession,
+                storePath: String): Option[DataFrame] =
+    currentSnapshot(s, storePath).map(_._2)
+
+  private def pointerOf(storePath: String) =
+    new org.apache.hadoop.fs.Path(storePath, "_CURRENT")
+
+  private def currentSnapshot(s: org.apache.spark.sql.SparkSession,
+                              storePath: String): Option[(Long, DataFrame)] = {
+    val conf = s.sessionState.newHadoopConf()
+    val ptr = pointerOf(storePath)
+    val fs = ptr.getFileSystem(conf)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong finally in.close()
+      Some((v, s.read.parquet(
+        new org.apache.hadoop.fs.Path(storePath, s"snap-$v").toString)))
+    }
+  }
+
+  /** Commit `df` as snapshot `v` of the store: write it to a FRESH
+    * `snap-<v>` directory (a dead prior attempt at the same version
+    * is simply overwritten — the pointer never saw it), then swap the
+    * one-line `_CURRENT` pointer via FileContext rename with
+    * OVERWRITE — atomic on HDFS and local filesystems, so a reader
+    * (or a crash-retry) observes either the old complete snapshot or
+    * the new complete snapshot, never a torn one. Superseded
+    * snapshots older than v-1 are garbage-collected; v-1 is kept one
+    * generation so lazily-evaluated readers of the just-replaced
+    * snapshot stay valid across a single commit. */
+  private def commitSnapshot(s: org.apache.spark.sql.SparkSession,
+                             storePath: String, v: Long,
+                             df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(conf)
+    df.write.mode("overwrite").parquet(new Path(root, s"snap-$v").toString)
+    val tmp = new Path(root, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(fs.getUri, conf)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(pointerOf(storePath)),
+        Options.Rename.OVERWRITE)
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("snap-") &&
+          n.stripPrefix("snap-").toLongOption.exists(_ < v - 1))
+        fs.delete(st.getPath, true)
+    }
   }
 }

@@ -182,14 +182,14 @@ class Round16Spec extends SparkSpecBase {
         Row(1L, "a", 1.0), Row(1L, "a2", 2.0),  // same key: LWW on amt
         Row(2L, "b", 1.0)), schema)
       Streams.applyMergeBatch(b1, Seq("k"), "amt", store)
-      val s1 = spark.read.parquet(store).orderBy("k").collect()
+      val s1 = Streams.readStore(spark, store).get.orderBy("k").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(s1 == Seq((1L, "a2"), (2L, "b")), s"batch-1 state: $s1")
       val b2 = frame(Seq(
         Row(2L, "b9", 9.0),                      // update existing key
         Row(3L, "c", 1.0)), schema)              // insert new key
       Streams.applyMergeBatch(b2, Seq("k"), "amt", store)
-      def state() = spark.read.parquet(store).orderBy("k").collect()
+      def state() = Streams.readStore(spark, store).get.orderBy("k").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       val s2 = state()
       assert(s2 == Seq((1L, "a2"), (2L, "b9"), (3L, "c")), s"batch-2: $s2")
@@ -214,10 +214,15 @@ class Round16Spec extends SparkSpecBase {
       // forward order: older then newer
       Streams.applyMergeBatch(older, Seq("k"), "amt", p1)
       Streams.applyMergeBatch(newer, Seq("k"), "amt", p1)
-      // reverse order: newer first, the late batch second
-      Streams.applyMergeBatch(newer, Seq("k"), "amt", p2)
-      Streams.applyMergeBatch(older, Seq("k"), "amt", p2)
-      def state(p: String) = spark.read.parquet(p).orderBy("k").collect()
+      // reverse order: newer first, the late batch second — and the
+      // reverse store is addressed by an EXPLICIT file: scheme, so
+      // the existence check provably resolves through the Hadoop
+      // FileSystem API (ADVICE r16: java.io.File treated any
+      // scheme'd path as absent and silently reset the store)
+      Streams.applyMergeBatch(newer, Seq("k"), "amt", s"file://$p2")
+      Streams.applyMergeBatch(older, Seq("k"), "amt", s"file://$p2")
+      def state(p: String) = Streams.readStore(spark, p).get
+        .orderBy("k").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
       val expected = Seq((1L, "v2", 2.0), (2L, "w2", 9.0), (3L, "x1", 3.0))
       assert(state(p1) == expected, s"forward: ${state(p1)}")
