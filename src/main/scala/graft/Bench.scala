@@ -143,9 +143,18 @@ object Bench {
     // top-40-slowest line, then the short totals line LAST — the final
     // two lines together (~1.2 KB) fit any tail capture, so the judge
     // always sees the complete heavy tail plus a parseable total.
+    // VERDICT r16 task 6: the streaming rows' real cost is the ONE-TIME
+    // stream execution on the first sample (repeats serve the session
+    // memo), so it hides inside value_first; this line breaks it out
+    // per row so a stream-path regression is visible round-over-round.
+    val streamFirst = results
+      .filter { case (k, _) => SparkEntry.streamingRows(k) }
+      .map { case (k, (_, _, first, _)) => s"\"" + k + "\":" + r3(first) }
+      .mkString("{", ",", "}")
     val loadEnd = loadavg()
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"stream_first","unit":"sec","queries":$streamFirst,"sf":"$sfDir"}""")
     println(s"""{"metric":"top40","queries":$top40,"cached_rdds":${storage.length},"cached_mem_mb":$cachedMb,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"cached_mem_mb":$cachedMb,"memo_budget_mb":$memoBudgetMb,"memo_evictions":$memoEvictions,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
     spark.stop()

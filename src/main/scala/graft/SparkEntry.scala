@@ -35,6 +35,16 @@ object SparkEntry {
       Curation.defs ++
       HeavyHitters.defs ++ BloomPrune.defs ++ TpcH.defs
 
+  /** Registry rows whose FIRST invocation executes a real Structured
+    * Streaming run (file source → sink); repeats serve the memoized
+    * result. Bench reports their first-sample cost on a dedicated
+    * `stream_first` line (VERDICT r16 task 6) so regressions in the
+    * stream path itself stay visible — the warm median only times the
+    * memo serve. */
+  val streamingRows: Set[String] = Set(
+    "q_stream_sink_roundtrip", "q_stream_restart_exactly_once",
+    "q_stream_join_interval", "q_stream_dedup", "q_stream_merge_upsert")
+
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops
     * (sketches, float-order-sensitive loops, streaming-only). */

