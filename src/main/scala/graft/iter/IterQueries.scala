@@ -363,7 +363,7 @@ object IterQueries {
     * above it the collapse runs on the distributed [[minPropagate]]
     * instead. 8M rows of two longs ≈ 128 MB packed (sub-GB boxed) —
     * far under the driver heap, far above any measured fixture (sf10
-    * carries ~3.6M directed pair-graph edges). */
+    * carries 4.58M directed pair-graph edges — CollapseProbe). */
   val LocalCollapseCap: Long = 8L * 1000 * 1000
 
   /** MIN-LABEL COLLAPSE over a DRIVER-RESIDENT pair graph — the

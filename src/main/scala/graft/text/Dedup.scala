@@ -460,19 +460,16 @@ object Dedup {
       val pairs = cachedSubsetPairs(s, d)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      // matEvery=1 + checkpoint INSIDE the conf block (conf is read at
-      // ACTION time): every round's broadcast builds from materialized
-      // rows instead of re-planning the growing join chain — the r10
-      // LSH-collapse fix applied to the whole collapse family
+      // r17: the driver-frontier compact collapse (row-identical to
+      // the minPropagate(…, 5, matEvery = 1) form it replaces —
+      // Round17Spec — at ~3 jobs instead of 3 per round; the pair
+      // graph is the near-dup relation, driver-bounded by the same
+      // argument as the LSH family's verified-pair broadcast, with
+      // the distributed fallback past LocalCollapseCap)
       graft.iter.IterQueries.loopConf(s) {
-        val state0 = cachedSubsetDocs(s, d)
-          .select(col("doc_id").as("node"), col("doc_id").as("label"))
-        val changed0 = state0
-          .select(col("node").as("cnode"), col("label").as("cval"))
-        graft.iter.IterQueries
-          .minPropagate(edges, state0, changed0, "label", 0L, 5, matEvery = 1)
+        graft.iter.IterQueries.minLabelCollapseLocal(edges,
+            cachedSubsetDocs(s, d).select(col("doc_id").as("node")), 5)
           .select(col("node").as("doc_id"), col("label").as("keep_id"))
-          .localCheckpoint()
       }.orderBy("doc_id")
     }),
 
@@ -502,16 +499,11 @@ object Dedup {
       val pairs = tp.unionByName(ep)
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      // matEvery=1 + in-block checkpoint — see q108's collapse note
+      // r17: compact driver-frontier collapse — see the q108 note
       graft.iter.IterQueries.loopConf(s) {
-        val state0 = documents(s, d)
-          .select(col("doc_id").as("node"), col("doc_id").as("label"))
-        val changed0 = state0
-          .select(col("node").as("cnode"), col("label").as("cval"))
-        graft.iter.IterQueries
-          .minPropagate(edges, state0, changed0, "label", 0L, 5, matEvery = 1)
+        graft.iter.IterQueries.minLabelCollapseLocal(edges,
+            documents(s, d).select(col("doc_id").as("node")), 5)
           .select(col("node").as("doc_id"), col("label").as("keep_id"))
-          .localCheckpoint()
       }.orderBy("doc_id")
     }),
 

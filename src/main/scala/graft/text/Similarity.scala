@@ -159,16 +159,11 @@ object Similarity {
       val pairs = cachedCosinePairs04(s, d)
       val edges = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .union(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-      // matEvery=1 + in-block checkpoint — see q108's collapse note
+      // r17: compact driver-frontier collapse — see the q108 note
       graft.iter.IterQueries.loopConf(s) {
-        val state0 = embeddings(s, d)
-          .select(col("vec_id").as("node"), col("vec_id").as("label"))
-        val changed0 = state0
-          .select(col("node").as("cnode"), col("label").as("cval"))
-        graft.iter.IterQueries
-          .minPropagate(edges, state0, changed0, "label", 0L, 5, matEvery = 1)
+        graft.iter.IterQueries.minLabelCollapseLocal(edges,
+            embeddings(s, d).select(col("vec_id").as("node")), 5)
           .select(col("node").as("vec_id"), col("label").as("keep_id"))
-          .localCheckpoint()
       }.orderBy("vec_id")
     })
   )

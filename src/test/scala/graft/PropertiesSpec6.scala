@@ -126,8 +126,8 @@ class PropertiesSpec6 extends SparkSpecBase {
           batches.foreach(b =>
             Streams.applyMergeBatch(df(b, schema), Seq("k"), "amt",
               s"$dir/store"))
-          spark.read.parquet(s"$dir/store").orderBy("k").collect()
-            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          Streams.readStore(spark, s"$dir/store").get.orderBy("k")
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
         } finally deleteRecursively(dir)
       }
       val a = run("a", rndOrder.grouped(7).toSeq)
