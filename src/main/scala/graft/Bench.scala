@@ -26,7 +26,20 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unknown" }
+    // Hypervisor steal counter (jiffies, /proc/stat field 9): this VM
+    // shares a host with bursty neighbors — measured r17: >800
+    // core-seconds stolen inside one 6-minute bench window, while an
+    // idle quiet window steals <2/s. The start/end delta is the
+    // provenance that tells a genuine regression from a stolen-CPU
+    // window (loadavg alone can't: our own 32 runnable threads
+    // inflate it exactly when steal slows them down).
+    def stealJiffies(): Long =
+      try scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong)
+        .getOrElse(-1L)
+      catch { case _: Throwable => -1L }
     val loadStart = loadavg()
+    val stealStart = stealJiffies()
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -156,7 +169,8 @@ object Bench {
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"stream_first","unit":"sec","queries":$streamFirst,"sf":"$sfDir"}""")
     println(s"""{"metric":"top40","queries":$top40,"cached_rdds":${storage.length},"cached_mem_mb":$cachedMb,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"cached_mem_mb":$cachedMb,"memo_budget_mb":$memoBudgetMb,"memo_evictions":$memoEvictions,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","sf":"$sfDir"}""")
+    val stealDelta = stealJiffies() - stealStart
+    println(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"repeats":$repeats,"failed":$failed,"cached_mem_mb":$cachedMb,"memo_budget_mb":$memoBudgetMb,"memo_evictions":$memoEvictions,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","steal_jiffies":$stealDelta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

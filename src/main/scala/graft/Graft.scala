@@ -39,10 +39,34 @@ object Graft {
                   org.apache.spark.sql.functions.lit(false),
                 insertWhenNotMatched: Boolean = true,
                 whenNotMatchedBySourceDelete: Column =
-                  org.apache.spark.sql.functions.lit(false)): DataFrame =
+                  org.apache.spark.sql.functions.lit(false),
+                whenMatchedUpdateCond: Column =
+                  org.apache.spark.sql.functions.lit(true)): DataFrame =
     graft.incr.MergeInto.mergeInto(base, delta, keys,
       whenMatchedUpdate, whenMatchedDelete, insertWhenNotMatched,
-      whenNotMatchedBySourceDelete)
+      whenNotMatchedBySourceDelete, whenMatchedUpdateCond)
+
+  /** Partition-pruned MERGE into the partitioned parquet table at
+    * `basePath`: only the partitions the delta touches are read or
+    * rewritten (dynamic partition overwrite; merge-emptied partitions
+    * removed). The 100 TB write path — see
+    * [[graft.incr.MergeInto.mergeIntoPartitioned]] for the contract
+    * (`partCol` must be key-stable). Returns the touched values. */
+  def mergeIntoPartitioned(s: SparkSession, basePath: String,
+                           delta: DataFrame, keys: Seq[String],
+                           partCol: String,
+                           whenMatchedUpdate: Map[String, Column] = Map.empty,
+                           whenMatchedDelete: Column =
+                             org.apache.spark.sql.functions.lit(false),
+                           insertWhenNotMatched: Boolean = true,
+                           whenNotMatchedBySourceDelete: Column =
+                             org.apache.spark.sql.functions.lit(false),
+                           whenMatchedUpdateCond: Column =
+                             org.apache.spark.sql.functions.lit(true))
+      : Seq[Any] =
+    graft.incr.MergeInto.mergeIntoPartitioned(s, basePath, delta, keys,
+      partCol, whenMatchedUpdate, whenMatchedDelete, insertWhenNotMatched,
+      whenNotMatchedBySourceDelete, whenMatchedUpdateCond)
 
   /** PageRank over a directed edge list `(src: long, dst: long)` —
     * damping 0.85, `iters` fixed iterations, bit-exact scaled-integer
@@ -209,11 +233,18 @@ object Graft {
   /** Streaming upsert sink: a `foreachBatch` body that maintains a
     * keyed parquet snapshot from a change stream via [[mergeInto]] —
     * last-write-wins per batch under `orderCol`, idempotent on batch
-    * replay. See [[graft.stream.Streams.mergeSink]]. */
+    * replay, crash-safe versioned commits (r17). Read the snapshot
+    * back with [[readMergeStore]]. See
+    * [[graft.stream.Streams.mergeSink]]. */
   def streamingMergeSink(keys: Seq[String], orderCol: String,
                          storePath: String)
       : DataFrame => Unit = df =>
     Streams.applyMergeBatch(df, keys, orderCol, storePath)
+
+  /** The current committed snapshot of a [[streamingMergeSink]] store
+    * (None before the first batch commits). */
+  def readMergeStore(s: SparkSession, storePath: String): Option[DataFrame] =
+    Streams.readStore(s, storePath)
 
   /** Persist / load a quantized IVF ANN index, partitioned by cluster
     * so probe-time cluster selection becomes parquet partition

@@ -361,10 +361,15 @@ object IterQueries {
 
   /** Driver-memory cap (edge rows) for [[minLabelCollapseLocal]] —
     * above it the collapse runs on the distributed [[minPropagate]]
-    * instead. 8M rows of two longs ≈ 128 MB packed (sub-GB boxed) —
-    * far under the driver heap, far above any measured fixture (sf10
-    * carries 4.58M directed pair-graph edges — CollapseProbe). */
-  val LocalCollapseCap: Long = 8L * 1000 * 1000
+    * instead. Set at the MEASURED crossover, not the memory limit
+    * (r17, quiet-window mins): at sf0.1 (180k directed edges) the
+    * local path wins 0.7 s vs 1.2 s; at sf3 (~1.4M) the two tie
+    * (3.1 s vs r16's 2.9 s distributed); at sf10 (4.58M —
+    * CollapseProbe) the collect cost inverts it, 4.4 s local vs
+    * 2.5 s distributed. 2M edges ≈ 32 MB packed is also two orders
+    * under the driver heap, so the cap is a latency choice with
+    * memory safety for free. */
+  val LocalCollapseCap: Long = 2L * 1000 * 1000
 
   /** MIN-LABEL COLLAPSE over a DRIVER-RESIDENT pair graph — the
     * job-count-compact form of `minPropagate(edges, id-state,
